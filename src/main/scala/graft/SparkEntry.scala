@@ -1,13 +1,173 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.agg.GraftFunctions._
+import graft.pipeline.TokenTable
+
+/**
+ * Driver contract (see SURVEY.md §7): every implemented operator gets a
+ * `queries` entry, and an `oracleSql` entry (DuckDB, same parquet
+ * tables) wherever the semantics are SQL-expressible. Sketch queries
+ * expose their probabilistic guarantees as BOOLEAN columns (no false
+ * negatives, fp within bound, estimate within published error) computed
+ * on the Spark side, so the DuckDB oracle can assert them exactly.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: sketch-build over the token table at sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val toks = TokenTable.tokens(spark, dir)
+    toks.groupBy(col("source")).agg(
+      bloom_agg(col("token").cast("string"), 100000L, 1e-4).as("token_bloom"),
+      sbf_agg(col("doc_id"), 10000L, 1e-4, 4, 0.9).as("doc_sbf"))
+      .select(col("source"),
+        bloom_estimate(col("token_bloom")).as("distinct_tokens_est"),
+        sbf_size(col("doc_sbf")).as("docs_est"),
+        sbf_num_layers(col("doc_sbf")).as("layers"))
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // bloom `bulk`+`check`: zero false negatives over every inserted
+    // (source, token) pair — `csrc/libbloom/bloom.c:105-150` semantics
+    "bloom_member_tokens" -> ((s, dir) => {
+      val toks = TokenTable.tokens(s, dir)
+      val sketches = toks.groupBy("source")
+        .agg(bloom_agg(col("token").cast("string"), 100000L, 1e-4).as("sketch"))
+      toks.select("source", "token").distinct()
+        .join(broadcast(sketches), Seq("source"))
+        .select(col("source"), col("token"),
+          bloom_contains(col("sketch"), col("token").cast("string")).as("present"))
+        .orderBy("source", "token")
+    }),
+
+    // bloom FP bound at design load: 20k inserts into a 20k-capacity
+    // p=0.01 filter, probed with 20k never-inserted keys
+    // (mirrors tests/libbloom/test_bloom.c:430-478)
+    "bloom_fp_bound" -> ((s, dir) => {
+      val ins = s.range(20000).select(concat(lit("ins"), col("id")).as("key"))
+      val sk = ins.agg(bloom_agg(col("key"), 20000L, 0.01).as("sketch"))
+      val probes = s.range(20000).select(concat(lit("abs"), col("id")).as("key"))
+        .crossJoin(broadcast(sk))
+      val fpCount = probes
+        .select(when(bloom_contains(col("sketch"), col("key")), 1L).otherwise(0L).as("hit"))
+        .agg(sum(col("hit")).as("fp"))
+      val fnCount = ins.crossJoin(broadcast(sk))
+        .select(when(bloom_contains(col("sketch"), col("key")), 0L).otherwise(1L).as("miss"))
+        .agg(sum(col("miss")).as("fn"))
+      fpCount.crossJoin(fnCount).select(
+        (col("fp") <= lit(20000L * 0.01 * 2.5)).as("fp_ok"),
+        (col("fn") === 0L).as("zero_false_neg"))
+    }),
+
+    // SBF per-source over doc ids: membership + size within count error
+    "sbf_member_docs" -> ((s, dir) => {
+      val docs = TokenTable.load(s, dir).select("source", "doc_id")
+      val sketches = docs.groupBy("source").agg(
+        sbf_agg(col("doc_id"), 10000L, 1e-4, 4, 0.9).as("sketch"))
+      val truth = docs.groupBy("source").agg(countDistinct("doc_id").as("n"))
+      docs.join(broadcast(sketches), Seq("source"))
+        .select(col("source"), col("doc_id"),
+          sbf_contains(col("sketch"), col("doc_id")).as("present"))
+        .groupBy("source").agg(min(col("present")).as("all_present"))
+        .join(sketches, Seq("source")).join(truth, Seq("source"))
+        .select(col("source"), col("all_present"),
+          (sbf_size(col("sketch")) <= col("n") &&
+            sbf_size(col("sketch")) >= (col("n") * 0.99).cast("long")).as("size_ok"))
+        .orderBy("source")
+    }),
+
+    // LBF multiplicity: merged count within [1, true multiplicity]
+    "lbf_multiplicity" -> ((s, dir) => {
+      val toks = TokenTable.tokens(s, dir)
+      val sketches = toks.groupBy("source")
+        .agg(lbf_agg(col("token").cast("string"), 100000L, 1e-4).as("sketch"))
+      val truth = toks.groupBy("source", "token").agg(count(lit(1)).as("m_true"))
+      truth.join(broadcast(sketches), Seq("source"))
+        .select(col("source"), col("token"), col("m_true"),
+          (lbf_count(col("sketch"), col("token").cast("string")) >= 1 &&
+            lbf_count(col("sketch"), col("token").cast("string")) <= col("m_true")).as("count_ok"))
+        .orderBy("source", "token")
+    }),
+
+    // per-row invariant from the north rule: n_tok == size(tokens),
+    // token ids reproduce the reference derivation exactly
+    "token_table_invariant" -> ((s, dir) => {
+      TokenTable.load(s, dir)
+        .select(col("doc_id"), col("tokens"), col("n_tok"), col("source"))
+        .orderBy(col("doc_id").cast("long"))
+    }),
+
+    // classic relational coverage (SURVEY.md §2.5): agg over lineitem
+    "q1_agg" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // join + groupBy: orders per customer segment
+    "q_join_segments" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // window function: per-supplier latest shipment line
+    "q_window_latest" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate").desc, col("l_orderkey").desc, col("l_linenumber").desc)
+      li.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy("l_suppkey")
+    })
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  private val V = TokenTable.vocabDuckArray
+  private val tokensFrom =
+    s"(SELECT CAST(doc_id AS VARCHAR) AS doc_id, source, list_position($V, w) - 1 AS token " +
+      s"FROM (SELECT doc_id, source, unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents))"
+
+  def oracleSql: Map[String, String] = Map(
+    "bloom_member_tokens" ->
+      s"SELECT source, token, TRUE AS present FROM (SELECT DISTINCT source, token FROM $tokensFrom) ORDER BY source, token",
+    "bloom_fp_bound" ->
+      "SELECT TRUE AS fp_ok, TRUE AS zero_false_neg",
+    "sbf_member_docs" ->
+      "SELECT source, TRUE AS all_present, TRUE AS size_ok FROM (SELECT DISTINCT source FROM documents) ORDER BY source",
+    "lbf_multiplicity" ->
+      s"SELECT source, token, count(*) AS m_true, TRUE AS count_ok FROM $tokensFrom GROUP BY source, token ORDER BY source, token",
+    "token_table_invariant" ->
+      (s"SELECT CAST(doc_id AS VARCHAR) AS doc_id, " +
+        s"list_transform(regexp_split_to_array(text, '\\s+'), w -> CAST(list_position($V, w) - 1 AS INT)) AS tokens, " +
+        s"CAST(len(regexp_split_to_array(text, '\\s+')) AS INT) AS n_tok, source " +
+        "FROM documents ORDER BY doc_id"),
+    "q1_agg" ->
+      ("SELECT l_returnflag, l_linestatus, sum(CAST(l_quantity AS BIGINT)) AS sum_qty, " +
+        "count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders " +
+        "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_join_segments" ->
+      ("SELECT c_mktsegment, count(*) AS n_orders, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1"),
+    "q_window_latest" ->
+      ("SELECT l_suppkey, l_orderkey, l_linenumber FROM (" +
+        "SELECT l_suppkey, l_orderkey, l_linenumber, row_number() OVER (" +
+        "PARTITION BY l_suppkey ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn " +
+        "FROM lineitem) WHERE rn = 1 ORDER BY l_suppkey")
+  )
 }

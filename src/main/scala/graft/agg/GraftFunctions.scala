@@ -1,0 +1,88 @@
+package graft.agg
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.graftshim.ColumnShim
+
+/**
+ * The user-facing function surface of the engine — Column builders for
+ * every sketch aggregation and probe, plus SQL registration. Mirrors
+ * the reference's wire operators (SURVEY.md §2.1) in Spark idiom:
+ *
+ *   set/bulk  -> groupBy(...).agg(bloom_agg|sbf_agg|lbf_agg(key))
+ *   check     -> bloom_contains/sbf_contains/lbf_count(sketch, key)
+ *   info size -> bloom_count/sbf_size/lbf_size(sketch)
+ */
+object GraftFunctions {
+
+  private def col(e: Expression): Column = ColumnShim.column(e)
+  private def ex(c: Column): Expression = ColumnShim.expression(c)
+  private def agg(a: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction): Column =
+    col(AggregateExpression(a, org.apache.spark.sql.catalyst.expressions.aggregate.Complete, isDistinct = false))
+
+  // ---- aggregations (reference create-params validated in SketchCatalog) ----
+
+  def bloom_agg(key: Column, capacity: Long, fpProb: Double): Column =
+    agg(BloomAgg(ex(key.cast("string")), capacity, fpProb))
+
+  def sbf_agg(key: Column, initialCapacity: Long = 100000L, fpProb: Double = 1e-4,
+              scaleSize: Int = 4, probReduction: Double = 0.9): Column =
+    agg(SbfAgg(ex(key.cast("string")), initialCapacity, fpProb, scaleSize, probReduction))
+
+  def lbf_agg(key: Column, capacity: Long, fpProb: Double): Column =
+    agg(LbfAgg(ex(key.cast("string")), capacity, fpProb))
+
+  // ---- probes / inspectors ----
+
+  def bloom_contains(sketch: Column, key: Column): Column = col(BloomContains(ex(sketch), ex(key.cast("string"))))
+  def sbf_contains(sketch: Column, key: Column): Column = col(SbfContains(ex(sketch), ex(key.cast("string"))))
+  def lbf_count(sketch: Column, key: Column): Column = col(LbfCount(ex(sketch), ex(key.cast("string"))))
+  def bloom_count(sketch: Column): Column = col(BloomCount(ex(sketch)))
+  def bloom_estimate(sketch: Column): Column = col(BloomEstimate(ex(sketch)))
+  def sbf_size(sketch: Column): Column = col(SbfSize(ex(sketch)))
+  def sbf_num_layers(sketch: Column): Column = col(SbfNumLayers(ex(sketch)))
+  def sbf_total_capacity(sketch: Column): Column = col(SbfTotalCapacity(ex(sketch)))
+  def lbf_size(sketch: Column): Column = col(LbfSize(ex(sketch)))
+
+  // ---- SQL registration ----
+
+  private def lit2Long(e: Expression): Long = e.eval().asInstanceOf[Number].longValue()
+  private def lit2Double(e: Expression): Double = e.eval() match {
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case n: Number => n.doubleValue()
+    case other => throw new IllegalArgumentException(s"expected numeric literal, got $other")
+  }
+  private def lit2Int(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
+
+  /** Registers `graft_*` functions for spark.sql use. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def add(name: String)(builder: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+
+    add("graft_bloom_agg")(es => AggregateExpression(
+      BloomAgg(Cast(es.head, StringType), lit2Long(es(1)), lit2Double(es(2))),
+      org.apache.spark.sql.catalyst.expressions.aggregate.Complete, isDistinct = false))
+    add("graft_sbf_agg")(es => AggregateExpression(
+      SbfAgg(Cast(es.head, StringType),
+        if (es.length > 1) lit2Long(es(1)) else 100000L,
+        if (es.length > 2) lit2Double(es(2)) else 1e-4,
+        if (es.length > 3) lit2Int(es(3)) else 4,
+        if (es.length > 4) lit2Double(es(4)) else 0.9),
+      org.apache.spark.sql.catalyst.expressions.aggregate.Complete, isDistinct = false))
+    add("graft_lbf_agg")(es => AggregateExpression(
+      LbfAgg(Cast(es.head, StringType), lit2Long(es(1)), lit2Double(es(2))),
+      org.apache.spark.sql.catalyst.expressions.aggregate.Complete, isDistinct = false))
+    add("graft_bloom_contains")(es => BloomContains(es.head, Cast(es(1), StringType)))
+    add("graft_sbf_contains")(es => SbfContains(es.head, Cast(es(1), StringType)))
+    add("graft_lbf_count")(es => LbfCount(es.head, Cast(es(1), StringType)))
+    add("graft_bloom_count")(es => BloomCount(es.head))
+    add("graft_bloom_estimate")(es => BloomEstimate(es.head))
+    add("graft_sbf_size")(es => SbfSize(es.head))
+    add("graft_sbf_num_layers")(es => SbfNumLayers(es.head))
+    add("graft_sbf_total_capacity")(es => SbfTotalCapacity(es.head))
+    add("graft_lbf_size")(es => LbfSize(es.head))
+  }
+}
