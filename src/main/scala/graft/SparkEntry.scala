@@ -101,6 +101,74 @@ object SparkEntry {
         .orderBy(col("doc_id").cast("long"))
     }),
 
+    // HLL companion: distinct docs per source within published error
+    // (linear-counting regime at this scale -> tolerance max(2, 3*se*n))
+    "hll_distinct_docs" -> ((s, dir) => {
+      val docs = TokenTable.load(s, dir).select("source", "doc_id")
+      val sk = docs.groupBy("source").agg(hll_agg(col("doc_id"), 14).as("sk"))
+      val truth = docs.groupBy("source").agg(countDistinct("doc_id").as("n_exact"))
+      truth.join(sk, Seq("source"))
+        .select(col("source"), col("n_exact"),
+          (abs(hll_estimate(col("sk")) - col("n_exact")) <=
+            greatest(lit(2.0), col("n_exact") * (3 * 1.04 / math.sqrt(1 << 14)))).as("hll_ok"))
+        .orderBy("source")
+    }),
+
+    // CMS companion: per-(source,token) frequency within eps-delta bound
+    "cms_freq_bound" -> ((s, dir) => {
+      val toks = TokenTable.tokens(s, dir)
+      val sk = toks.groupBy("source").agg(
+        cms_agg(col("token").cast("string"), 1e-4, 0.01).as("sk"),
+        count(lit(1)).as("n_total"))
+      val truth = toks.groupBy("source", "token").agg(count(lit(1)).as("m_true"))
+      truth.join(broadcast(sk), Seq("source"))
+        .select(col("source"), col("token"), col("m_true"),
+          (cms_estimate(col("sk"), col("token").cast("string")) >= col("m_true") &&
+            cms_estimate(col("sk"), col("token").cast("string")) <=
+              col("m_true") + (col("n_total") * 1e-4).cast("long") + 1).as("cms_ok"))
+        .orderBy("source", "token")
+    }),
+
+    // t-digest companion: empirical CDF at estimated quantiles within 2%
+    "tdigest_quantiles" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val sk = li.groupBy("l_returnflag")
+        .agg(tdigest_agg(col("l_extendedprice"), 100.0).as("sk"))
+      val qs = sk.select(col("l_returnflag"),
+        tdigest_quantile(col("sk"), lit(0.5)).as("q50"),
+        tdigest_quantile(col("sk"), lit(0.95)).as("q95"))
+      li.join(broadcast(qs), Seq("l_returnflag"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          (abs(avg(when(col("l_extendedprice") <= col("q50"), 1.0).otherwise(0.0)) - 0.5) <= 0.02)
+            .as("q50_ok"),
+          (abs(avg(when(col("l_extendedprice") <= col("q95"), 1.0).otherwise(0.0)) - 0.95) <= 0.02)
+            .as("q95_ok"))
+        .orderBy("l_returnflag")
+    }),
+
+    // KLL companion: empirical CDF at estimated quantiles within 3%
+    "kll_quantiles" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"), col("value"))
+      val sk = ev.groupBy("event_type").agg(kll_agg(col("value"), 200).as("sk"))
+      val qs = sk.select(col("event_type"),
+        kll_quantile(col("sk"), lit(0.25)).as("q25"),
+        kll_quantile(col("sk"), lit(0.5)).as("q50"),
+        kll_quantile(col("sk"), lit(0.9)).as("q90"),
+        kll_n(col("sk")).as("n_sketch"))
+      ev.join(broadcast(qs), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), first(col("n_sketch")).as("n_sketch"),
+          (abs(avg(when(col("value") <= col("q25"), 1.0).otherwise(0.0)) - 0.25) <= 0.03).as("q25_ok"),
+          (abs(avg(when(col("value") <= col("q50"), 1.0).otherwise(0.0)) - 0.5) <= 0.03).as("q50_ok"),
+          (abs(avg(when(col("value") <= col("q90"), 1.0).otherwise(0.0)) - 0.9) <= 0.03).as("q90_ok"))
+        .select(col("event_type"), col("n"), (col("n_sketch") === col("n")).as("n_ok"),
+          col("q25_ok"), col("q50_ok"), col("q90_ok"))
+        .orderBy("event_type")
+    }),
+
     // classic relational coverage (SURVEY.md §2.5): agg over lineitem
     "q1_agg" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -157,6 +225,17 @@ object SparkEntry {
         s"list_transform(regexp_split_to_array(text, '\\s+'), w -> CAST(list_position($V, w) - 1 AS INT)) AS tokens, " +
         s"CAST(len(regexp_split_to_array(text, '\\s+')) AS INT) AS n_tok, source " +
         "FROM documents ORDER BY doc_id"),
+    "hll_distinct_docs" ->
+      ("SELECT source, count(DISTINCT doc_id) AS n_exact, TRUE AS hll_ok " +
+        "FROM documents GROUP BY source ORDER BY source"),
+    "cms_freq_bound" ->
+      s"SELECT source, token, count(*) AS m_true, TRUE AS cms_ok FROM $tokensFrom GROUP BY source, token ORDER BY source, token",
+    "tdigest_quantiles" ->
+      ("SELECT l_returnflag, count(*) AS n, TRUE AS q50_ok, TRUE AS q95_ok " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "kll_quantiles" ->
+      ("SELECT event_type, count(*) AS n, TRUE AS n_ok, TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q90_ok " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
     "q1_agg" ->
       ("SELECT l_returnflag, l_linestatus, sum(CAST(l_quantity AS BIGINT)) AS sum_qty, " +
         "count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders " +

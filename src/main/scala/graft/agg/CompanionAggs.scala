@@ -1,0 +1,101 @@
+package graft.agg
+
+import graft.sketch._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HLL distinct-count aggregate over string keys. */
+case class HllAgg(
+    child: Expression,
+    precision: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends KeyedSketchAgg[Hll] {
+
+  override def createAggregationBuffer(): Hll = Hll.create(precision)
+  override protected def updateKey(buf: Hll, key: Array[Byte]): Unit = buf.update(key)
+  override def merge(a: Hll, b: Hll): Hll = a.merge(b)
+  override def eval(buf: Hll): Any = buf.serialize()
+  override def serialize(buf: Hll): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): Hll = Hll.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(n: Int): HllAgg = copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): HllAgg = copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): HllAgg = copy(child = c)
+  override def prettyName: String = "hll_agg"
+}
+
+/** Count-Min frequency aggregate over string keys. */
+case class CmsAgg(
+    child: Expression,
+    eps: Double,
+    delta: Double,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends KeyedSketchAgg[CountMin] {
+
+  override def createAggregationBuffer(): CountMin = CountMin.forGuarantee(eps, delta)
+  override protected def updateKey(buf: CountMin, key: Array[Byte]): Unit = buf.update(key)
+  override def merge(a: CountMin, b: CountMin): CountMin = a.merge(b)
+  override def eval(buf: CountMin): Any = buf.serialize()
+  override def serialize(buf: CountMin): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): CountMin = CountMin.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(n: Int): CmsAgg = copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): CmsAgg = copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): CmsAgg = copy(child = c)
+  override def prettyName: String = "cms_agg"
+}
+
+/** Numeric sketch aggregates share double-input handling. */
+abstract class DoubleSketchAgg[T] extends TypedImperativeAggregate[T]
+    with UnaryLike[Expression] {
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  protected def updateValue(buffer: T, v: Double): Unit
+
+  final override def update(buffer: T, input: InternalRow): T = {
+    val v = child.eval(input)
+    if (v != null) updateValue(buffer, v.asInstanceOf[Double])
+    buffer
+  }
+}
+
+/** t-digest quantile aggregate over doubles. */
+case class TDigestAgg(
+    child: Expression,
+    compression: Double,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends DoubleSketchAgg[TDigest] {
+
+  override def createAggregationBuffer(): TDigest = TDigest.create(compression)
+  override protected def updateValue(buf: TDigest, v: Double): Unit = buf.update(v)
+  override def merge(a: TDigest, b: TDigest): TDigest = a.merge(b)
+  override def eval(buf: TDigest): Any = buf.serialize()
+  override def serialize(buf: TDigest): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): TDigest = TDigest.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(n: Int): TDigestAgg = copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): TDigestAgg = copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): TDigestAgg = copy(child = c)
+  override def prettyName: String = "tdigest_agg"
+}
+
+/** KLL quantile aggregate over doubles. */
+case class KllAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends DoubleSketchAgg[Kll] {
+
+  override def createAggregationBuffer(): Kll = Kll.create(k)
+  override protected def updateValue(buf: Kll, v: Double): Unit = buf.update(v)
+  override def merge(a: Kll, b: Kll): Kll = a.merge(b)
+  override def eval(buf: Kll): Any = buf.serialize()
+  override def serialize(buf: Kll): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): Kll = Kll.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(n: Int): KllAgg = copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): KllAgg = copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): KllAgg = copy(child = c)
+  override def prettyName: String = "kll_agg"
+}

@@ -2,7 +2,7 @@ package graft.agg
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{DoubleType, StringType}
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 import org.apache.spark.sql.graftshim.ColumnShim
 
@@ -34,6 +34,18 @@ object GraftFunctions {
   def lbf_agg(key: Column, capacity: Long, fpProb: Double): Column =
     agg(LbfAgg(ex(key.cast("string")), capacity, fpProb))
 
+  def hll_agg(key: Column, precision: Int = 14): Column =
+    agg(HllAgg(ex(key.cast("string")), precision))
+
+  def cms_agg(key: Column, eps: Double = 1e-4, delta: Double = 0.01): Column =
+    agg(CmsAgg(ex(key.cast("string")), eps, delta))
+
+  def tdigest_agg(value: Column, compression: Double = 100.0): Column =
+    agg(TDigestAgg(ex(value.cast("double")), compression))
+
+  def kll_agg(value: Column, k: Int = 200): Column =
+    agg(KllAgg(ex(value.cast("double")), k))
+
   // ---- probes / inspectors ----
 
   def bloom_contains(sketch: Column, key: Column): Column = col(BloomContains(ex(sketch), ex(key.cast("string"))))
@@ -45,6 +57,14 @@ object GraftFunctions {
   def sbf_num_layers(sketch: Column): Column = col(SbfNumLayers(ex(sketch)))
   def sbf_total_capacity(sketch: Column): Column = col(SbfTotalCapacity(ex(sketch)))
   def lbf_size(sketch: Column): Column = col(LbfSize(ex(sketch)))
+  def hll_estimate(sketch: Column): Column = col(HllEstimate(ex(sketch)))
+  def cms_estimate(sketch: Column, key: Column): Column = col(CmsEstimate(ex(sketch), ex(key.cast("string"))))
+  def cms_total(sketch: Column): Column = col(CmsTotal(ex(sketch)))
+  def tdigest_quantile(sketch: Column, q: Column): Column = col(TDigestQuantile(ex(sketch), ex(q.cast("double"))))
+  def tdigest_cdf(sketch: Column, x: Column): Column = col(TDigestCdf(ex(sketch), ex(x.cast("double"))))
+  def kll_quantile(sketch: Column, q: Column): Column = col(KllQuantile(ex(sketch), ex(q.cast("double"))))
+  def kll_rank(sketch: Column, x: Column): Column = col(KllRank(ex(sketch), ex(x.cast("double"))))
+  def kll_n(sketch: Column): Column = col(KllN(ex(sketch)))
 
   // ---- SQL registration ----
 
@@ -84,5 +104,27 @@ object GraftFunctions {
     add("graft_sbf_num_layers")(es => SbfNumLayers(es.head))
     add("graft_sbf_total_capacity")(es => SbfTotalCapacity(es.head))
     add("graft_lbf_size")(es => LbfSize(es.head))
+    add("graft_hll_agg")(es => AggregateExpression(
+      HllAgg(Cast(es.head, StringType), if (es.length > 1) lit2Int(es(1)) else 14),
+      org.apache.spark.sql.catalyst.expressions.aggregate.Complete, isDistinct = false))
+    add("graft_cms_agg")(es => AggregateExpression(
+      CmsAgg(Cast(es.head, StringType),
+        if (es.length > 1) lit2Double(es(1)) else 1e-4,
+        if (es.length > 2) lit2Double(es(2)) else 0.01),
+      org.apache.spark.sql.catalyst.expressions.aggregate.Complete, isDistinct = false))
+    add("graft_tdigest_agg")(es => AggregateExpression(
+      TDigestAgg(Cast(es.head, DoubleType), if (es.length > 1) lit2Double(es(1)) else 100.0),
+      org.apache.spark.sql.catalyst.expressions.aggregate.Complete, isDistinct = false))
+    add("graft_kll_agg")(es => AggregateExpression(
+      KllAgg(Cast(es.head, DoubleType), if (es.length > 1) lit2Int(es(1)) else 200),
+      org.apache.spark.sql.catalyst.expressions.aggregate.Complete, isDistinct = false))
+    add("graft_hll_estimate")(es => HllEstimate(es.head))
+    add("graft_cms_estimate")(es => CmsEstimate(es.head, Cast(es(1), StringType)))
+    add("graft_cms_total")(es => CmsTotal(es.head))
+    add("graft_tdigest_quantile")(es => TDigestQuantile(es.head, Cast(es(1), DoubleType)))
+    add("graft_tdigest_cdf")(es => TDigestCdf(es.head, Cast(es(1), DoubleType)))
+    add("graft_kll_quantile")(es => KllQuantile(es.head, Cast(es(1), DoubleType)))
+    add("graft_kll_rank")(es => KllRank(es.head, Cast(es(1), DoubleType)))
+    add("graft_kll_n")(es => KllN(es.head))
   }
 }
