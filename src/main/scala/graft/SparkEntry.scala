@@ -93,6 +93,44 @@ object SparkEntry {
         .orderBy("source", "token")
     }),
 
+    // scripted wire-protocol lifecycle over the sketch catalog —
+    // exact reference response strings (`handler_constants.c:6-64`)
+    "op_catalog_lifecycle" -> ((s, dir) => {
+      import s.implicits._
+      val cat = new graft.catalog.SketchCatalog(s,
+        java.nio.file.Files.createTempDirectory("opcat").toString)
+      val keys = (0 until 1000).map(i => s"k$i").toDF("k")
+      val steps = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+      steps += ((1, "create foo", cat.create("foo", 20000, 0.001)))
+      steps += ((2, "create foo again", cat.create("foo", 20000, 0.001)))
+      steps += ((3, "create capacity<=10000", cat.create("badcap", 500)))
+      steps += ((4, "create prob>=0.1", cat.create("badp", 20000, 0.5)))
+      steps += ((5, "create bad name", cat.create("bad name")))
+      steps += ((6, "bulk 1000 keys", if (cat.setKeys("foo", keys).isRight) "Done" else "Error"))
+      val chk = cat.checkKeys("foo", keys).toOption.get
+      steps += ((7, "check all inserted", if (chk.filter(!col("present")).count() == 0) "Yes" else "No"))
+      steps += ((8, "check absent key",
+        if (cat.checkKeys("foo", Seq("absent").toDF("k")).toOption.get.head().getBoolean(1)) "Yes" else "No"))
+      val info = cat.info("foo").toOption.get.head()
+      steps += ((9, "info size", info.getAs[Long]("size").toString))
+      steps += ((10, "info sets/set_hits/set_misses",
+        s"${info.getAs[Long]("sets")}/${info.getAs[Long]("set_hits")}/${info.getAs[Long]("set_misses")}"))
+      steps += ((11, "info checks/check_hits/check_misses",
+        s"${info.getAs[Long]("checks")}/${info.getAs[Long]("check_hits")}/${info.getAs[Long]("check_misses")}"))
+      steps += ((12, "clear before close", cat.clear("foo")))
+      steps += ((13, "close", cat.close("foo")))
+      steps += ((14, "clear after close", cat.clear("foo")))
+      steps += ((15, "create after clear reloads", cat.create("foo", 20000, 0.001)))
+      steps += ((16, "old keys fault back in",
+        if (cat.checkKeys("foo", Seq("k0").toDF("k")).toOption.get.head().getBoolean(1)) "Yes" else "No"))
+      steps += ((17, "drop", cat.drop("foo")))
+      steps += ((18, "drop again", cat.drop("foo")))
+      steps += ((19, "info of dropped",
+        cat.info("foo").left.getOrElse("?")))
+      steps += ((20, "list is empty", cat.list().count().toString))
+      steps.toSeq.toDF("step", "op", "result").orderBy("step")
+    }),
+
     // per-row invariant from the north rule: n_tok == size(tokens),
     // token ids reproduce the reference derivation exactly
     "token_table_invariant" -> ((s, dir) => {
@@ -225,6 +263,29 @@ object SparkEntry {
         s"list_transform(regexp_split_to_array(text, '\\s+'), w -> CAST(list_position($V, w) - 1 AS INT)) AS tokens, " +
         s"CAST(len(regexp_split_to_array(text, '\\s+')) AS INT) AS n_tok, source " +
         "FROM documents ORDER BY doc_id"),
+    "op_catalog_lifecycle" ->
+      ("SELECT * FROM (VALUES " +
+        "(1, 'create foo', 'Done'), " +
+        "(2, 'create foo again', 'Exists'), " +
+        "(3, 'create capacity<=10000', 'Client Error: Bad arguments'), " +
+        "(4, 'create prob>=0.1', 'Client Error: Bad arguments'), " +
+        "(5, 'create bad name', 'Client Error: Bad filter name'), " +
+        "(6, 'bulk 1000 keys', 'Done'), " +
+        "(7, 'check all inserted', 'Yes'), " +
+        "(8, 'check absent key', 'No'), " +
+        "(9, 'info size', '1000'), " +
+        "(10, 'info sets/set_hits/set_misses', '1000/1000/0'), " +
+        "(11, 'info checks/check_hits/check_misses', '1001/1000/1'), " +
+        "(12, 'clear before close', 'Filter is not proxied. Close it first.'), " +
+        "(13, 'close', 'Done'), " +
+        "(14, 'clear after close', 'Done'), " +
+        "(15, 'create after clear reloads', 'Done'), " +
+        "(16, 'old keys fault back in', 'Yes'), " +
+        "(17, 'drop', 'Done'), " +
+        "(18, 'drop again', 'Filter does not exist'), " +
+        "(19, 'info of dropped', 'Filter does not exist'), " +
+        "(20, 'list is empty', '0')" +
+        ") AS t(step, op, result) ORDER BY step"),
     "hll_distinct_docs" ->
       ("SELECT source, count(DISTINCT doc_id) AS n_exact, TRUE AS hll_ok " +
         "FROM documents GROUP BY source ORDER BY source"),

@@ -1,0 +1,271 @@
+package graft.catalog
+
+import graft.agg.GraftFunctions._
+import graft.sketch.ScalableBloom
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths}
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.collection.mutable
+
+/**
+ * The filter-manager / wire-operator surface of the reference
+ * (`csrc/bloomd/filter_manager.c`, `conn_handler.c`), re-expressed over
+ * Spark: a named registry of scalable-bloom sketches whose inserts and
+ * probes are DISTRIBUTED DataFrame jobs, with the same lifecycle verbs,
+ * validation bounds, response strings, counters, and on-disk layout
+ * spirit (`data_dir/bloomd.<name>/{config.ini -> config.json,
+ * data.NNN.mmap -> sketch.bin}`).
+ *
+ * What the reference needed an ART tree + MVCC + rwlocks for
+ * (`filter_manager.c:64-116,874-1147`) collapses into a small
+ * driver-side registry: the sketches themselves are immutable blobs
+ * produced by distributed aggregation, so readers never see partial
+ * state. At scale the blob store is an object store / Iceberg table;
+ * here it's a directory seam.
+ *
+ * Response strings match `handler_constants.c:6-64` (without trailing
+ * newlines — transport framing, not semantics).
+ */
+class SketchCatalog(
+    val spark: SparkSession,
+    val dataDir: String,
+    val initialCapacity: Long = 100000L,
+    val defaultProbability: Double = 1e-4,
+    val scaleSize: Int = 4,
+    val probReduction: Double = 0.9) {
+
+  import SketchCatalog._
+
+  final case class Counters(
+      var checkHits: Long = 0, var checkMisses: Long = 0,
+      var setHits: Long = 0, var setMisses: Long = 0,
+      var pageIns: Long = 0, var pageOuts: Long = 0)
+
+  final class Entry(
+      val name: String,
+      val capacity: Long,
+      val probability: Double,
+      val inMemory: Boolean,
+      var sketch: Option[ScalableBloom], // None = proxied (closed)
+      val counters: Counters = Counters())
+
+  private val registry = mutable.LinkedHashMap.empty[String, Entry]
+
+  Files.createDirectories(Paths.get(dataDir))
+  restore()
+
+  private def filterDir(name: String): Path = Paths.get(dataDir, s"bloomd.$name")
+
+  // ---- `create <name> [capacity=] [prob=] [in_memory=]` ----
+  // validation per csrc/bloomd/config.c:260-376 (sane_* bounds)
+  def create(name: String, capacity: Long = -1, prob: Double = -1,
+             inMemory: Boolean = false): String = {
+    if (!name.matches(ValidNamePattern)) return "Client Error: Bad filter name"
+    val cap = if (capacity == -1) initialCapacity else capacity
+    val p = if (prob == -1) defaultProbability else prob
+    if (cap <= 10000) return "Client Error: Bad arguments"
+    if (p <= 0 || p >= 0.1) return "Client Error: Bad arguments"
+    if (registry.contains(name)) return "Exists"
+    // clear-reload parity (`tests/bloomd/test_filtmgr.c` clear_reload):
+    // create over files left by `clear` re-registers them proxied and
+    // the old data faults back in on first use.
+    if (Files.exists(filterDir(name).resolve("sketch.bin"))) {
+      registry(name) = new Entry(name, cap, p, inMemory, None)
+      return "Done"
+    }
+    val entry = new Entry(name, cap, p, inMemory,
+      Some(ScalableBloom.create(cap, p, scaleSize, probReduction)))
+    registry(name) = entry
+    if (!inMemory) persist(entry)
+    "Done"
+  }
+
+  // ---- `drop <name>`: remove + delete files ----
+  def drop(name: String): String = registry.remove(name) match {
+    case None => "Filter does not exist"
+    case Some(_) =>
+      deleteRecursively(filterDir(name))
+      "Done"
+  }
+
+  // ---- `close <name>`: persist + unload, stay registered (proxied) ----
+  def close(name: String): String = registry.get(name) match {
+    case None => "Filter does not exist"
+    case Some(e) =>
+      if (e.sketch.isDefined) {
+        if (!e.inMemory) persist(e)
+        e.sketch = None
+        e.counters.pageOuts += 1
+      }
+      "Done"
+  }
+
+  // ---- `clear <name>`: forget a PROXIED filter, keep its files ----
+  def clear(name: String): String = registry.get(name) match {
+    case None => "Filter does not exist"
+    case Some(e) =>
+      if (e.sketch.isDefined) "Filter is not proxied. Close it first."
+      else { registry.remove(name); "Done" }
+  }
+
+  // ---- `flush [name]` ----
+  def flush(name: String = null): String = {
+    if (name == null) {
+      registry.values.foreach(e => if (!e.inMemory && e.sketch.isDefined) persist(e))
+      "Done"
+    } else registry.get(name) match {
+      case None => "Filter does not exist"
+      case Some(e) =>
+        if (!e.inMemory && e.sketch.isDefined) persist(e)
+        "Done"
+    }
+  }
+
+  /** proxied filters fault back in on first use (`filter.c:365-381`) */
+  private def faultIn(e: Entry): ScalableBloom = e.sketch match {
+    case Some(s) => s
+    case None =>
+      val blob = Files.readAllBytes(filterDir(e.name).resolve("sketch.bin"))
+      val s = ScalableBloom.deserialize(blob)
+      e.sketch = Some(s)
+      e.counters.pageIns += 1
+      s
+  }
+
+  // ---- `set` / `bulk`: distributed insert of a key column ----
+  // bloomd semantics: per key, Yes if newly added, No if already present
+  // (`filter_manager.c:369-391`); set_hits counts new adds, set_misses
+  // the duplicates (`filter.c:299-316`).
+  def setKeys(name: String, keys: DataFrame): Either[String, DataFrame] =
+    registry.get(name) match {
+      case None => Left("Filter does not exist")
+      case Some(e) =>
+        val sk = faultIn(e)
+        val beforeBlob = sk.serialize()
+        val keyCol = keys.columns.head
+        val keyed = keys.select(col(keyCol).as("key")).na.drop()
+        // contains-check against current state first, like sbf_add
+        val result = keyed.select(col("key"),
+          (!sbf_contains(lit(beforeBlob), col("key"))).as("added"))
+        val newKeys = result.filter(col("added")).select("key")
+        val built = newKeys
+          .agg(sbf_agg(col("key"), e.capacity, e.probability,
+            scaleSize, probReduction).as("s"))
+          .head().getAs[Array[Byte]]("s")
+        val incoming = ScalableBloom.deserialize(built)
+        val nKeys = keyed.count()
+        val added = incoming.size
+        sk.mergeInPlace(incoming)
+        e.counters.setHits += added
+        e.counters.setMisses += nKeys - added
+        Right(result)
+    }
+
+  // ---- `check` / `multi`: distributed membership probe ----
+  def checkKeys(name: String, keys: DataFrame): Either[String, DataFrame] =
+    registry.get(name) match {
+      case None => Left("Filter does not exist")
+      case Some(e) =>
+        val blob = faultIn(e).serialize()
+        val keyCol = keys.columns.head
+        val res = keys.select(col(keyCol),
+          sbf_contains(lit(blob), col(keyCol)).as("present"))
+        val hits = res.filter(col("present")).count()
+        val total = res.count()
+        e.counters.checkHits += hits
+        e.counters.checkMisses += total - hits
+        Right(res)
+    }
+
+  // ---- `list [prefix]`: lexicographic (ART order) ----
+  def list(prefix: String = ""): DataFrame = {
+    import spark.implicits._
+    registry.values.toSeq
+      .filter(_.name.startsWith(prefix))
+      .sortBy(_.name)
+      .map { e =>
+        val s = e.sketch // do NOT fault in for list (reference lists proxied too)
+        val bytes = s.map(_.totalByteSize).getOrElse(onDiskBytes(e.name))
+        val size = s.map(_.size).getOrElse(onDiskSize(e.name))
+        (e.name, e.probability, bytes, e.capacity, size)
+      }
+      .toDF("name", "probability", "bytes", "capacity", "size")
+  }
+
+  // ---- `info <name>`: 13 fields (`conn_handler.c:447-476`) ----
+  def info(name: String): Either[String, DataFrame] = registry.get(name) match {
+    case None => Left("Filter does not exist")
+    case Some(e) =>
+      import spark.implicits._
+      val c = e.counters
+      val proxied = e.sketch.isEmpty
+      val storage = e.sketch.map(_.totalByteSize).getOrElse(onDiskBytes(e.name))
+      val size = e.sketch.map(_.size).getOrElse(onDiskSize(e.name))
+      Right(Seq((
+        e.capacity, c.checkHits + c.checkMisses, c.checkHits, c.checkMisses,
+        if (proxied) 0 else 1, c.pageIns, c.pageOuts, e.probability,
+        c.setHits + c.setMisses, c.setHits, c.setMisses, size, storage))
+        .toDF("capacity", "checks", "check_hits", "check_misses", "in_memory",
+          "page_ins", "page_outs", "probability", "sets", "set_hits",
+          "set_misses", "size", "storage"))
+  }
+
+  def exists(name: String): Boolean = registry.contains(name)
+  def names: Seq[String] = registry.keys.toSeq.sorted
+
+  // ---- persistence ----
+
+  private def persist(e: Entry): Unit = {
+    val dir = filterDir(e.name)
+    Files.createDirectories(dir)
+    val cfg = s"""{"name":"${e.name}","capacity":${e.capacity},"probability":${e.probability},"in_memory":${e.inMemory}}"""
+    Files.write(dir.resolve("config.json"), cfg.getBytes(UTF_8))
+    e.sketch.foreach(s => Files.write(dir.resolve("sketch.bin"), s.serialize()))
+  }
+
+  private def onDiskBytes(name: String): Long = {
+    val f = filterDir(name).resolve("sketch.bin")
+    if (Files.exists(f)) ScalableBloom.deserialize(Files.readAllBytes(f)).totalByteSize else 0L
+  }
+
+  private def onDiskSize(name: String): Long = {
+    val f = filterDir(name).resolve("sketch.bin")
+    if (Files.exists(f)) ScalableBloom.deserialize(Files.readAllBytes(f)).size else 0L
+  }
+
+  /** startup restore: scan for bloomd.* dirs, register PROXIED
+    * (`filter_manager.c:840-863` — filters load lazily on first use) */
+  private def restore(): Unit = {
+    val root = Paths.get(dataDir)
+    if (!Files.isDirectory(root)) return
+    val dirs = Files.list(root).iterator()
+    val found = mutable.ArrayBuffer.empty[(String, Long, Double, Boolean)]
+    while (dirs.hasNext) {
+      val d = dirs.next()
+      val fn = d.getFileName.toString
+      if (fn.startsWith("bloomd.") && Files.exists(d.resolve("config.json"))) {
+        val cfg = new String(Files.readAllBytes(d.resolve("config.json")), UTF_8)
+        def field(k: String): String =
+          cfg.split(s""""$k":""")(1).split("[,}]")(0).trim.stripPrefix("\"").stripSuffix("\"")
+        found += ((field("name"), field("capacity").toLong,
+          field("probability").toDouble, field("in_memory").toBoolean))
+      }
+    }
+    found.sortBy(_._1).foreach { case (name, cap, p, inMem) =>
+      registry(name) = new Entry(name, cap, p, inMem, None)
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+  }
+}
+
+object SketchCatalog {
+  /** `handler_constants.c:83-84` */
+  final val ValidNamePattern = "^[^ \\t\\n\\r]{1,200}$"
+}
