@@ -30,7 +30,10 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    sketchQueries ++ graft.pipeline.PipelineQueries.queries
+
+  private def sketchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // bloom `bulk`+`check`: zero false negatives over every inserted
     // (source, token) pair — `csrc/libbloom/bloom.c:105-150` semantics
     "bloom_member_tokens" -> ((s, dir) => {
@@ -249,7 +252,10 @@ object SparkEntry {
     s"(SELECT CAST(doc_id AS VARCHAR) AS doc_id, source, list_position($V, w) - 1 AS token " +
       s"FROM (SELECT doc_id, source, unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents))"
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    sketchOracleSql ++ graft.pipeline.PipelineQueries.oracleSql
+
+  private def sketchOracleSql: Map[String, String] = Map(
     "bloom_member_tokens" ->
       s"SELECT source, token, TRUE AS present FROM (SELECT DISTINCT source, token FROM $tokensFrom) ORDER BY source, token",
     "bloom_fp_bound" ->
@@ -298,11 +304,11 @@ object SparkEntry {
       ("SELECT event_type, count(*) AS n, TRUE AS n_ok, TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q90_ok " +
         "FROM events GROUP BY 1 ORDER BY 1"),
     "q1_agg" ->
-      ("SELECT l_returnflag, l_linestatus, sum(CAST(l_quantity AS BIGINT)) AS sum_qty, " +
+      ("SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, " +
         "count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders " +
         "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_join_segments" ->
-      ("SELECT c_mktsegment, count(*) AS n_orders, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents " +
+      ("SELECT c_mktsegment, count(*) AS n_orders, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
         "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1"),
     "q_window_latest" ->
       ("SELECT l_suppkey, l_orderkey, l_linenumber FROM (" +

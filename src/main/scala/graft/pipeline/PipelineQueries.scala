@@ -1,0 +1,226 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver-contract queries (and their DuckDB oracles) for the
+ * training-data pipeline operators: dedup, similarity search,
+ * multimodal plumbing, text analysis, and streaming sketch
+ * maintenance. Merged into SparkEntry.queries / SparkEntry.oracleSql.
+ *
+ * Oracle philosophy: every deterministic value (ids, counts, hashes,
+ * metadata, double-precision similarity computed with an identical
+ * left-fold) is re-derived independently by DuckDB; probabilistic
+ * internals (LSH bucketing, SimHash bands) are verified through their
+ * CONTRACT — the verified output pairs equal the exact-similarity
+ * pairs — plus boolean invariants computed Spark-side.
+ */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- text analysis --------------------------------------------------
+
+    "text_lang_id" -> ((s, dir) =>
+      TextOps.langId(docs(s, dir)).orderBy("doc_id")),
+
+    "text_quality" -> ((s, dir) =>
+      TextOps.quality(docs(s, dir)).orderBy("doc_id")),
+
+    "text_token_counts" -> ((s, dir) =>
+      TextOps.tokenCounts(docs(s, dir)).orderBy("doc_id")),
+
+    "text_fingerprints" -> ((s, dir) =>
+      TextOps.fingerprints(docs(s, dir)).orderBy("doc_id")),
+
+    // ---- dedup ----------------------------------------------------------
+
+    // exact dedup demonstrated on a corpus with real duplicates:
+    // documents unioned with an id-shifted copy of itself
+    "dedup_exact" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val dup = d.union(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      Dedup.exactDedup(dup).orderBy("kept_doc_id")
+    }),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), n = 3, minJ = 0.5).orderBy("id_a", "id_b")),
+
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(docs(s, dir), numPerms = 128, bands = 32, minJ = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), maxHamming = 16, minJ = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      Dedup.cosinePairs(emb(s, dir), minCos = 0.44).orderBy("id_a", "id_b")),
+
+    // ---- similarity search ----------------------------------------------
+
+    "ann_brute_topk" -> ((s, dir) =>
+      Ann.bruteTopK(emb(s, dir), nQueries = 10, k = 10).orderBy("q_id", "rank")),
+
+    "ann_lsh_topk" -> ((s, dir) =>
+      Ann.lshTopK(emb(s, dir), nQueries = 10, k = 10).orderBy("q_id")),
+
+    // ---- multimodal -----------------------------------------------------
+
+    "multimodal_decode" -> ((s, dir) => {
+      val decoded = Multimodal.decode(s, Multimodal.synthesize(s, docs(s, dir)))
+      decoded.toDF()
+        .select(col("doc_id"), col("kind"), col("width"), col("height"),
+          col("n_payload_bytes"), col("n_frames"), col("checksum"),
+          size(col("feat")).as("feat_dim"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- streaming ------------------------------------------------------
+
+    "stream_sketch_incremental" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graftstream")
+      val in = tmp.resolve("in").toString
+      val cp = tmp.resolve("cp").toString
+      TokenTable.load(s, dir).repartition(8).write.mode("overwrite").parquet(in)
+      val streamed = graft.streaming.SketchStream.runIncremental(s, in, cp)
+      graft.streaming.SketchStream.compareToBatch(s, in, streamed)
+        .select(col("source"), (col("n_batches") > 1).as("multi_batch_ok"),
+          col("rows_ok"), col("bloom_ok"), col("hll_ok"))
+        .orderBy("source")
+    }),
+
+    // ---- relational coverage extras -------------------------------------
+
+    "q_rollup" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n_rows"), col("sum_qty"))
+        .orderBy("rf", "ls")),
+
+    "q_set_ops" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet").select(col("c_custkey").as("k"))
+      val o = s.read.parquet(s"$dir/orders.parquet").select(col("o_custkey").as("k"))
+      c.intersect(o).withColumn("op", lit("with_orders"))
+        .union(c.except(o).withColumn("op", lit("no_orders")))
+        .orderBy("op", "k")
+    })
+  )
+
+  // ---- oracles ----------------------------------------------------------
+
+  /** words array, shared fragment. */
+  private val W = "regexp_split_to_array(text, '\\s+')"
+  /** distinct word-trigram shingles of a words array named ws. */
+  private val Sh =
+    "list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)])"
+  private val ShTable =
+    s"(SELECT doc_id, $Sh AS sh FROM (SELECT doc_id, $W AS ws FROM documents))"
+  /** exact trigram-jaccard pairs at >= 0.5 — shared by 3 dedup oracles. */
+  private val JaccardPairs =
+    s"SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "round(len(list_intersect(a.sh, b.sh))::DOUBLE / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard " +
+      s"FROM $ShTable a JOIN $ShTable b ON a.doc_id < b.doc_id " +
+      "WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5 " +
+      "ORDER BY id_a, id_b"
+  /** left-fold double dot product matching Spark's aggregate(zip_with). */
+  private def dot(x: String, y: String) =
+    s"list_reduce(list_concat([0.0], [$x[i] * $y[i] for i in range(1, 65)]), (acc, z) -> acc + z)"
+  private val Cos =
+    s"${dot("a.e", "b.e")} / (sqrt(${dot("a.e", "a.e")}) * sqrt(${dot("b.e", "b.e")}))"
+  private val Vecs = "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"
+
+  private val stopLists: Map[String, String] =
+    TextFunctions.StopwordProfiles.map { case (l, ws) =>
+      l -> ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    }.toMap
+  private def score(l: String) =
+    s"CAST(len(list_filter(ws, w -> list_contains(${stopLists(l)}, w))) AS INT)"
+
+  def oracleSql: Map[String, String] = Map(
+    "text_lang_id" ->
+      ("SELECT doc_id, lang_label, score_de, score_en, score_es, score_fr, score_zh, " +
+        "CASE WHEN m = 0 THEN 'und' WHEN score_de = m THEN 'de' WHEN score_en = m THEN 'en' " +
+        "WHEN score_es = m THEN 'es' WHEN score_fr = m THEN 'fr' ELSE 'zh' END AS lang_pred " +
+        "FROM (SELECT doc_id, lang_label, score_de, score_en, score_es, score_fr, score_zh, " +
+        "greatest(score_de, score_en, score_es, score_fr, score_zh) AS m " +
+        s"FROM (SELECT doc_id, lang AS lang_label, ${score("de")} AS score_de, ${score("en")} AS score_en, " +
+        s"${score("es")} AS score_es, ${score("fr")} AS score_fr, ${score("zh")} AS score_zh " +
+        s"FROM (SELECT doc_id, lang, $W AS ws FROM documents))) ORDER BY doc_id"),
+
+    "text_quality" ->
+      ("SELECT doc_id, CAST(len(ws) AS INT) AS n_words, CAST(length(text) AS INT) AS n_chars_calc, " +
+        "round(list_sum(list_transform(ws, w -> len(w)))::BIGINT / len(ws), 6) AS mean_word_len, " +
+        "round(len(list_distinct(ws))::DOUBLE / len(ws), 6) AS type_token_ratio, " +
+        "round(len(list_filter(ws, w -> list_contains(" + stopLists("en") + ", w)))::DOUBLE / len(ws), 6) AS stopword_ratio, " +
+        "(len(ws) BETWEEN 5 AND 2000 AND len(list_distinct(ws))::DOUBLE / len(ws) >= 0.05 " +
+        "AND list_sum(list_transform(ws, w -> len(w)))::BIGINT / len(ws) BETWEEN 1.0 AND 20.0) AS quality_keep " +
+        s"FROM (SELECT doc_id, text, $W AS ws FROM documents) ORDER BY doc_id"),
+
+    "text_token_counts" ->
+      (s"SELECT doc_id, CAST(len($W) AS INT) AS n_ws_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_re_tokens " +
+        "FROM documents ORDER BY doc_id"),
+
+    "text_fingerprints" ->
+      ("SELECT doc_id, md5(text) AS fp_md5, " +
+        "list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+        "(a, c) -> (a * 31 + c) % 1000000007) AS fp_rolling " +
+        "FROM documents ORDER BY doc_id"),
+
+    "dedup_exact" ->
+      ("SELECT md5(text) AS fp, min(doc_id) AS kept_doc_id, count(*) AS n_copies " +
+        "FROM (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, text FROM documents) " +
+        "GROUP BY md5(text) ORDER BY kept_doc_id"),
+
+    "dedup_ngram_jaccard" -> JaccardPairs,
+    "dedup_minhash_lsh" -> JaccardPairs,
+    "dedup_simhash" -> JaccardPairs,
+
+    "dedup_embedding_cosine" ->
+      (s"SELECT id_a, id_b, round(c, 6) AS cos FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, $Cos AS c " +
+        s"FROM $Vecs a JOIN $Vecs b ON a.vec_id < b.vec_id) WHERE c >= 0.44 ORDER BY id_a, id_b"),
+
+    "ann_brute_topk" ->
+      ("SELECT q_id, CAST(rank AS INT) AS rank, n_id, round(c, 6) AS cos FROM (" +
+        "SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rank FROM (" +
+        s"SELECT a.vec_id AS q_id, b.vec_id AS n_id, $Cos AS c FROM $Vecs a JOIN $Vecs b ON b.vec_id <> a.vec_id " +
+        "WHERE a.vec_id < 10)) WHERE rank <= 10 ORDER BY q_id, rank"),
+
+    "ann_lsh_topk" ->
+      ("SELECT vec_id AS q_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 10 ORDER BY q_id"),
+
+    "multimodal_decode" ->
+      ("SELECT doc_id, ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind, " +
+        "CAST(16 + strlen(text) % 64 AS INT) AS width, CAST(16 + (strlen(text) * 7) % 64 AS INT) AS height, " +
+        "CAST(strlen(text) AS INT) AS n_payload_bytes, " +
+        "CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 1 + strlen(text) // 128 ELSE 1 + strlen(text) // 256 END AS INT) AS n_frames, " +
+        "CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) % 1000000007 AS BIGINT) AS checksum, " +
+        "CAST(16 AS INT) AS feat_dim FROM documents ORDER BY doc_id"),
+
+    "stream_sketch_incremental" ->
+      ("SELECT source, TRUE AS multi_batch_ok, TRUE AS rows_ok, TRUE AS bloom_ok, TRUE AS hll_ok " +
+        "FROM (SELECT DISTINCT source FROM documents) ORDER BY source"),
+
+    "q_rollup" ->
+      ("SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, " +
+        "count(*) AS n_rows, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty " +
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY rf, ls"),
+
+    "q_set_ops" ->
+      ("SELECT k, op FROM (" +
+        "SELECT k, 'with_orders' AS op FROM (SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders) " +
+        "UNION ALL " +
+        "SELECT k, 'no_orders' AS op FROM (SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders)" +
+        ") ORDER BY op, k")
+  )
+}

@@ -1,0 +1,150 @@
+package graft.pipeline
+
+import graft.hash.Murmur3x64
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+
+/**
+ * Row-local text-sketch expressions for the dedup pipeline. Both are
+ * SCALAR (the signature of a document depends only on that document's
+ * own shingles), so they run inside the scan projection — no shuffle,
+ * no state — and the only shuffle in a dedup job is the subsequent
+ * band-bucket join. They reuse the engine's bit-exact Murmur3 x64_128
+ * (graft.hash.Murmur3x64) so signatures are deterministic across JVMs,
+ * partitionings, and reruns — required for resumable jobs.
+ */
+
+/**
+ * MinHash signature of a set of shingle strings.
+ *
+ * Permutation hashes follow the same Kirsch–Mitzenmacher 2-hash scheme
+ * the bloom core uses (h_i = h1 + i*h2, wrapping mod 2^64): one 128-bit
+ * Murmur per shingle yields all `numPerms` permutation values, so cost
+ * is O(shingles * numPerms) adds, not O(shingles * numPerms) hashes.
+ * Collision probability per permutation equals the Jaccard similarity
+ * (Broder 1997), independent of the total order used for "min" — we use
+ * signed Long order with empty-set sentinel Long.MaxValue.
+ */
+case class MinHashSig(child: Expression, numPerms: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(numPerms > 0 && numPerms <= 4096, s"numPerms out of range: $numPerms")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(numPerms)(Long.MaxValue)
+    val two = new Array[Long](2)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val bytes = arr.getUTF8String(i).getBytes
+        Murmur3x64.hash128(bytes, 0, bytes.length, 0L, two)
+        val h2 = two(1)
+        var h = two(0)
+        var p = 0
+        while (p < numPerms) {
+          if (h < sig(p)) sig(p) = h
+          h += h2
+          p += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+/**
+ * 64-bit SimHash (Charikar 2002) over a bag of word strings: each
+ * word votes ±1 per bit position of its Murmur3 x64 hash; the
+ * fingerprint sets bit b iff the vote sum is positive. Similar word
+ * bags yield fingerprints at small Hamming distance, probed with the
+ * built-in `bit_count(a ^ b)` — no custom expression needed there.
+ */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val acc = new Array[Int](64)
+    val two = new Array[Long](2)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val bytes = arr.getUTF8String(i).getBytes
+        Murmur3x64.hash128(bytes, 0, bytes.length, 0L, two)
+        val h = two(0)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+/** Column builders + builtin-composed text helpers (codegen'd where possible). */
+object TextFunctions {
+
+  def minhash_sig(shingles: Column, numPerms: Int): Column =
+    ColumnShim.column(MinHashSig(ColumnShim.expression(shingles), numPerms))
+
+  def simhash64(words: Column): Column =
+    ColumnShim.column(SimHash64(ColumnShim.expression(words)))
+
+  /** Whitespace word array — the same split the token table uses. */
+  def words(text: Column): Column = split(text, "\\s+")
+
+  /**
+   * Distinct word n-gram shingles, entirely from codegen'd builtins
+   * (sequence + transform + slice + concat_ws). Row-local: stays
+   * inside WholeStageCodegen in the scan projection.
+   */
+  def shingles(wordsCol: Column, n: Int): Column =
+    when(size(wordsCol) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(wordsCol) - lit(n - 1)),
+        i => concat_ws(" ", slice(wordsCol, i, lit(n))))))
+      .otherwise(array_distinct(array(concat_ws(" ", wordsCol))))
+
+  /**
+   * Stopword-profile language scores. Honest n-gram/stopword heuristic
+   * (fully SQL-expressible so DuckDB can replay it exactly): score(L) =
+   * number of word occurrences that are stopwords of L; prediction =
+   * argmax with fixed tie order, "und" when all scores are zero.
+   */
+  val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "that"),
+    "es" -> Seq("el", "la", "de", "y", "es", "en", "que", "los"),
+    "fr" -> Seq("le", "la", "et", "est", "les", "des", "un", "une"),
+    "zh" -> Seq("de0", "shi4", "le0", "zai4", "he2", "you3", "wo3", "ta1"))
+
+  def langScore(wordsCol: Column, stopwords: Seq[String]): Column =
+    size(filter(wordsCol, w => w.isin(stopwords: _*)))
+}

@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import TextFunctions._
+
+/**
+ * Text-analysis operators for a large-scale training-data pipeline:
+ * language ID, quality scoring, token counting, and document
+ * fingerprinting — all over the `documents` table.
+ *
+ * Every metric is a row-local projection built from codegen'd builtins
+ * (split/filter/aggregate/regexp/md5), so at 100 TB each of these is a
+ * single parquet scan + WholeStageCodegen projection: no shuffle, no
+ * UDF, no driver involvement. The formulas are deliberately
+ * SQL-expressible so the DuckDB oracle replays them exactly.
+ */
+object TextOps {
+
+  private def ws: Column = words(col("text"))
+
+  /**
+   * Stopword-profile language ID (see TextFunctions.StopwordProfiles):
+   * per-language occurrence scores, argmax with fixed tie order
+   * (alphabetical), "und" when no profile matches.
+   */
+  def langId(docs: DataFrame): DataFrame = {
+    val cols = Seq(
+      col("doc_id").cast("long").as("doc_id"),
+      col("lang").as("lang_label")) ++
+      TextFunctions.StopwordProfiles.map { case (l, stops) =>
+        langScore(ws, stops).as(s"score_$l")
+      }
+    val scored = docs.select(cols: _*)
+    val scoreCols = TextFunctions.StopwordProfiles.map { case (l, _) => col(s"score_$l") }
+    val m = greatest(scoreCols: _*)
+    val pred = TextFunctions.StopwordProfiles.foldLeft(when(m === 0, "und")) {
+      case (acc, (l, _)) => acc.when(col(s"score_$l") === m, l)
+    }
+    scored.withColumn("lang_pred", pred)
+  }
+
+  /**
+   * Quality metrics: word/char counts, mean word length, type-token
+   * ratio, stopword ratio, and a composite keep/drop decision — the
+   * standard pre-training quality gates (cf. C4/Gopher filtering
+   * rules), restricted to ones computable from this corpus.
+   */
+  def quality(docs: DataFrame): DataFrame = {
+    val nWords = size(ws)
+    val sumWordLen = aggregate(transform(ws, w => length(w)), lit(0L), (a, x) => a + x)
+    val nDistinct = size(array_distinct(ws))
+    val stopHits = langScore(ws, TextFunctions.StopwordProfiles.toMap.apply("en"))
+    docs.select(
+      col("doc_id").cast("long").as("doc_id"),
+      nWords.as("n_words"),
+      length(col("text")).as("n_chars_calc"),
+      round(sumWordLen / nWords, 6).as("mean_word_len"),
+      round(nDistinct.cast("double") / nWords, 6).as("type_token_ratio"),
+      round(stopHits.cast("double") / nWords, 6).as("stopword_ratio"),
+      (nWords.between(5, 2000) &&
+        (nDistinct.cast("double") / nWords) >= 0.05 &&
+        (sumWordLen / nWords).between(1.0, 20.0)).as("quality_keep"))
+  }
+
+  /**
+   * Token counting two ways: whitespace words, and a BPE-ish regex
+   * tokenizer (`[a-z]+|[0-9]+|punct`) — plus the n_tok invariant vs
+   * the stored column.
+   */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").cast("long").as("doc_id"),
+      size(ws).as("n_ws_tokens"),
+      expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").as("n_re_tokens"))
+
+  /**
+   * Document fingerprints: md5 content hash (exact-dup key) and a
+   * 31-base polynomial rolling hash mod 1e9+7 over the byte stream —
+   * both replayable in ANSI-ish SQL for the oracle. (The 64-bit
+   * SimHash fingerprint is exercised by Dedup.simhashPairs, where its
+   * near-dup property is what's under test.)
+   */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").cast("long").as("doc_id"),
+      md5(col("text")).as("fp_md5"),
+      expr("aggregate(transform(split(text, ''), c -> ascii(c)), 0L, (a, c) -> (a * 31 + c) % 1000000007)")
+        .as("fp_rolling"))
+}

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import graft.agg.GraftFunctions._
+import graft.sketch.{BloomFilter, Hll}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/**
+ * Incremental sketch maintenance with Structured Streaming — the
+ * Spark analog of the reference daemon's always-on updater with
+ * periodic flush (`csrc/bloomd/background.c:100-139`): each
+ * micro-batch builds PARTIAL per-group sketches with the same
+ * Catalyst aggregates the batch path uses, and foreachBatch
+ * OR-merges them into the running sketch state (bloomd's
+ * flush-interval write-back). Because the sketches are mergeable and
+ * commutative, the streaming result is IDENTICAL to a one-shot batch
+ * aggregation over the same rows — asserted by compareToBatch.
+ *
+ * State is catalog-sized (one sketch row per group), never
+ * row-sized: at 10^12 sequences the merge target is a sketch table
+ * (Delta/Iceberg MERGE in production; an in-memory map here), not
+ * per-key state, so checkpoint size is independent of data volume.
+ */
+object SketchStream {
+
+  /** Running state: source -> (bloom bytes, hll bytes, rows seen). */
+  final class SketchState {
+    val groups = new java.util.concurrent.ConcurrentHashMap[String, (Array[Byte], Array[Byte], Long)]()
+    var batches: Long = 0L
+
+    def mergeBatch(rows: Seq[(String, Array[Byte], Array[Byte], Long)]): Unit = synchronized {
+      batches += 1
+      rows.foreach { case (src, bloomBytes, hllBytes, n) =>
+        groups.compute(src, (_, prev) =>
+          if (prev == null) (bloomBytes, hllBytes, n)
+          else {
+            val bloom = BloomFilter.deserialize(prev._1)
+              .orInPlace(BloomFilter.deserialize(bloomBytes))
+            val hll = Hll.deserialize(prev._2).merge(Hll.deserialize(hllBytes))
+            (bloom.serialize(), hll.serialize(), prev._3 + n)
+          })
+      }
+    }
+  }
+
+  /**
+   * Streams the parquet files under `inDir` (schema`d file source,
+   * `maxFilesPerTrigger` files per micro-batch, AvailableNow so the
+   * run drains and terminates), building per-source token sketches
+   * incrementally. Returns the final merged state as a DataFrame
+   * (source, bloom, hll, n_rows, n_batches).
+   */
+  def runIncremental(spark: SparkSession, inDir: String, checkpointDir: String,
+                     capacity: Long = 100000L, fpProb: Double = 1e-4,
+                     maxFilesPerTrigger: Int = 2): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(inDir).schema
+    val state = new SketchState
+
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+      .select(col("source"), explode(col("tokens")).as("token"))
+
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val partials = batch.groupBy("source")
+          .agg(
+            bloom_agg(col("token").cast("string"), capacity, fpProb).as("bloom"),
+            hll_agg(col("token").cast("string"), 14).as("hll"),
+            count(lit(1)).as("n"))
+          .collect() // one small row per group: the sketch "flush"
+          .map(r => (r.getString(0), r.getAs[Array[Byte]](1), r.getAs[Array[Byte]](2), r.getLong(3)))
+          .toSeq
+        state.mergeBatch(partials)
+      }
+      .start()
+    q.awaitTermination()
+
+    import scala.jdk.CollectionConverters._
+    val rows = state.groups.asScala.toSeq.map { case (src, (b, h, n)) => (src, b, h, n) }
+    rows.toDF("source", "bloom", "hll", "n_rows")
+      .withColumn("n_batches", lit(state.batches))
+  }
+
+  /**
+   * The streaming-equals-batch contract: bloom membership bits, bloom
+   * estimate, and HLL estimate of the incrementally-merged sketches
+   * must equal a one-shot batch aggregation over the same input.
+   */
+  def compareToBatch(spark: SparkSession, inDir: String, streamed: DataFrame,
+                     capacity: Long = 100000L, fpProb: Double = 1e-4): DataFrame = {
+    val tokens = spark.read.parquet(inDir)
+      .select(col("source"), explode(col("tokens")).as("token"))
+    val batch = tokens.groupBy("source").agg(
+      bloom_agg(col("token").cast("string"), capacity, fpProb).as("bloom_b"),
+      hll_agg(col("token").cast("string"), 14).as("hll_b"),
+      count(lit(1)).as("n_b"))
+    streamed.join(batch, Seq("source"))
+      .select(col("source"), col("n_batches"),
+        (col("n_rows") === col("n_b")).as("rows_ok"),
+        (bloom_estimate(col("bloom")) === bloom_estimate(col("bloom_b"))).as("bloom_ok"),
+        (hll_estimate(col("hll")) === hll_estimate(col("hll_b"))).as("hll_ok"))
+      .orderBy("source")
+  }
+}

@@ -1,0 +1,164 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup / ANN / text / multimodal pipeline operators over the
+  * deterministic sandbox corpus at sf0.001. */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+  private def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash signature: deterministic, and identical shingle sets collide on every permutation") {
+    import spark.implicits._
+    val rows = Seq("a b c d e f g", "a b c d e f g", "x y z w q r s").toDF("text")
+      .select(TextFunctions.minhash_sig(
+        TextFunctions.shingles(TextFunctions.words(col("text")), 3), 64).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    assert(rows(0) == rows(1), "same text must give identical signatures")
+    assert(rows(0) != rows(2), "different text must differ")
+    assert(rows(0).length == 64)
+  }
+
+  test("simhash: identical bags collide; near-identical bags are close in Hamming; disjoint bags far") {
+    import spark.implicits._
+    val fps = Seq(
+      "the quick brown fox jumps over the lazy dog and runs far away today",
+      "the quick brown fox jumps over the lazy dog and runs far away now",
+      "completely different words entirely unrelated content here nothing shared at all ever"
+    ).toDF("text")
+      .select(TextFunctions.simhash64(TextFunctions.words(col("text"))).as("f"))
+      .collect().map(_.getLong(0))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fps(0), fps(1)) <= 16, s"near-dup hamming ${hamming(fps(0), fps(1))}")
+    assert(hamming(fps(0), fps(2)) > 16, s"unrelated hamming ${hamming(fps(0), fps(2))}")
+  }
+
+  test("exact dedup keeps the lowest doc_id of each clique and counts copies") {
+    import spark.implicits._
+    val df = Seq((5L, "aa bb"), (2L, "aa bb"), (9L, "cc dd"), (7L, "aa bb"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDedup(df).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((2L, 3L), (9L, 1L)))
+  }
+
+  test("MinHash-LSH and SimHash dedup recover EXACTLY the exact-Jaccard pair set on the corpus") {
+    val exact = pairSet(Dedup.ngramJaccardPairs(docs, 3, 0.5))
+    assert(exact.nonEmpty, "corpus must contain planted near-dups")
+    assert(pairSet(Dedup.minhashLshPairs(docs, 128, 32, 0.5)) == exact, "minhash-lsh recall+precision")
+    assert(pairSet(Dedup.simhashPairs(docs, 16, 0.5)) == exact, "simhash recall+precision")
+  }
+
+  test("inverted-index jaccard equals brute-force jaccard (no candidate lost to the index)") {
+    // brute force on a small slice
+    val sub = docs.filter(col("doc_id") < 100)
+    val viaIndex = Dedup.ngramJaccardPairs(sub, 3, 0.1).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val sh = sub.select(col("doc_id").cast("long").as("id"),
+      TextFunctions.shingles(TextFunctions.words(col("text")), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val brute = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      j = sh(a).intersect(sh(b)).size.toDouble / sh(a).union(sh(b)).size
+      if j >= 0.1
+    } yield (a, b) -> j).toMap
+    assert(viaIndex.keySet == brute.keySet)
+    viaIndex.foreach { case (k, j) => assert(math.abs(j - brute(k)) < 1e-6) }
+  }
+
+  test("cosine kernel matches hand computation; cosine pairs are symmetric-free (a<b) and thresholded") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    val c = df.select(Dedup.cosine(col("a").cast("array<double>"),
+      col("b").cast("array<double>")).as("c")).head().getDouble(0)
+    assert(math.abs(c - 1.0 / math.sqrt(2)) < 1e-12)
+    val pairs = Dedup.cosinePairs(emb, 0.44).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.44)
+    }
+  }
+
+  test("brute-force top-k: ranks are exact-descending cosine with id tiebreak, k rows per query") {
+    val top = Ann.bruteTopK(emb, 3, 5).collect()
+    assert(top.length == 15)
+    top.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == (1 to 5))
+      val cosines = byRank.map(_.getDouble(3))
+      assert(cosines.zip(cosines.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("LSH ANN: deterministic hyperplanes, candidates only from bucket collisions, recall floor holds") {
+    assert(Ann.planeComponent(3, 17) == Ann.planeComponent(3, 17))
+    val out = Ann.lshTopK(emb, 10, 10).collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getBoolean(1)), "per-query recall floor")
+  }
+
+  test("multimodal: synthesized GMM1 payload decodes to header metadata + checksum of payload bytes") {
+    val decoded = Multimodal.decode(spark, Multimodal.synthesize(spark, docs))
+      .collect().map(d => d.doc_id -> d).toMap
+    val truth = docs.select(col("doc_id").cast("long"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(decoded.size == truth.size)
+    truth.foreach { case (id, text) =>
+      val d = decoded(id)
+      val bytes = text.getBytes("UTF-8")
+      assert(d.width == 16 + bytes.length % 64)
+      assert(d.height == 16 + (bytes.length * 7) % 64)
+      assert(d.n_payload_bytes == bytes.length)
+      assert(d.checksum == bytes.map(_ & 0xff).map(_.toLong).sum % 1000000007L)
+      assert(d.feat.length == 16 && math.abs(d.feat.sum - bytes.length) < 1e-9,
+        "histogram mass equals byte count")
+      assert(d.n_frames >= 1)
+    }
+  }
+
+  test("text ops: rolling fingerprint formula, tokenizer agreement, lang-id argmax, quality gates") {
+    import spark.implicits._
+    // pin split(text,'') + aggregate semantics against a hand-rolled value
+    val s = "ab c"
+    val expected = s.getBytes("UTF-8").foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    val got = Seq((1L, s)).toDF("doc_id", "text")
+      .select(expr("aggregate(transform(split(text, ''), c -> ascii(c)), 0L, (a, c) -> (a * 31 + c) % 1000000007)"))
+      .head().getLong(0)
+    assert(got == expected, s"rolling hash $got != $expected")
+
+    val fp = TextOps.fingerprints(docs).collect()
+    assert(fp.length == 500 && fp.map(_.getString(1)).distinct.length == 500,
+      "distinct texts -> distinct md5")
+
+    val tc = TextOps.tokenCounts(docs).collect()
+    tc.foreach(r => assert(r.getInt(1) == r.getInt(2), "both tokenizers agree on this corpus"))
+
+    val li = TextOps.langId(docs).collect()
+    li.foreach { r =>
+      val scores = Seq(r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))
+      val pred = r.getString(7)
+      if (scores.max == 0) assert(pred == "und")
+      else assert(Seq("de", "en", "es", "fr", "zh")(scores.indexOf(scores.max)) == pred)
+    }
+
+    val q = TextOps.quality(docs).collect()
+    q.foreach { r =>
+      assert(r.getDouble(4) <= 1.0 && r.getDouble(4) > 0.0) // type-token ratio
+      assert(r.getDouble(3) > 0.0)                          // mean word len
+    }
+  }
+}
