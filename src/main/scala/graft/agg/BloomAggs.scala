@@ -29,11 +29,24 @@ abstract class KeyedSketchAgg[T] extends TypedImperativeAggregate[T]
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
 
-  protected def updateKey(buffer: T, key: Array[Byte]): Unit
+  protected def updateKey(buffer: T, key: Array[Byte], len: Int): Unit
+
+  // reusable key buffer: UTF8String.getBytes would allocate a byte[]
+  // per row (columnar scans never hand out exactly-spanning arrays),
+  // which at 10^8 rows/agg makes the build GC-bound. One instance of
+  // this expression serves one aggregation thread, so a plain var is safe.
+  @transient private var scratch: Array[Byte] = _
 
   final override def update(buffer: T, input: InternalRow): T = {
     val v = child.eval(input)
-    if (v != null) updateKey(buffer, v.asInstanceOf[UTF8String].getBytes)
+    if (v != null) {
+      val u = v.asInstanceOf[UTF8String]
+      val len = u.numBytes()
+      if (scratch == null || scratch.length < len)
+        scratch = new Array[Byte](math.max(64, java.lang.Integer.highestOneBit(len) * 2))
+      u.writeToMemory(scratch, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
+      updateKey(buffer, scratch, len)
+    }
     buffer
   }
 }
@@ -49,7 +62,7 @@ case class BloomAgg(
   private val params = BloomParams.forCapacity(capacity, fpProb)
 
   override def createAggregationBuffer(): BloomFilter = BloomFilter.create(params)
-  override protected def updateKey(buf: BloomFilter, key: Array[Byte]): Unit = buf.addKey(key)
+  override protected def updateKey(buf: BloomFilter, key: Array[Byte], len: Int): Unit = buf.addKey(key, 0, len)
   override def merge(a: BloomFilter, b: BloomFilter): BloomFilter = a.orInPlace(b)
   override def eval(buf: BloomFilter): Any = buf.serialize()
   override def serialize(buf: BloomFilter): Array[Byte] = buf.serialize()
@@ -73,7 +86,7 @@ case class SbfAgg(
 
   override def createAggregationBuffer(): ScalableBloom =
     ScalableBloom.create(initialCapacity, fpProb, scaleSize, probReduction)
-  override protected def updateKey(buf: ScalableBloom, key: Array[Byte]): Unit = buf.add(key)
+  override protected def updateKey(buf: ScalableBloom, key: Array[Byte], len: Int): Unit = buf.add(key, 0, len)
   override def merge(a: ScalableBloom, b: ScalableBloom): ScalableBloom = a.mergeInPlace(b)
   override def eval(buf: ScalableBloom): Any = buf.serialize()
   override def serialize(buf: ScalableBloom): Array[Byte] = buf.serialize()
@@ -94,7 +107,7 @@ case class LbfAgg(
     inputAggBufferOffset: Int = 0) extends KeyedSketchAgg[LayeredBloom] {
 
   override def createAggregationBuffer(): LayeredBloom = LayeredBloom.create(capacity, fpProb)
-  override protected def updateKey(buf: LayeredBloom, key: Array[Byte]): Unit = buf.add(key)
+  override protected def updateKey(buf: LayeredBloom, key: Array[Byte], len: Int): Unit = buf.add(key, 0, len)
   override def merge(a: LayeredBloom, b: LayeredBloom): LayeredBloom = a.mergeInPlace(b)
   override def eval(buf: LayeredBloom): Any = buf.serialize()
   override def serialize(buf: LayeredBloom): Array[Byte] = buf.serialize()

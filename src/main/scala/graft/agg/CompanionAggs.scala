@@ -16,7 +16,7 @@ case class HllAgg(
     inputAggBufferOffset: Int = 0) extends KeyedSketchAgg[Hll] {
 
   override def createAggregationBuffer(): Hll = Hll.create(precision)
-  override protected def updateKey(buf: Hll, key: Array[Byte]): Unit = buf.update(key)
+  override protected def updateKey(buf: Hll, key: Array[Byte], len: Int): Unit = buf.update(key, 0, len)
   override def merge(a: Hll, b: Hll): Hll = a.merge(b)
   override def eval(buf: Hll): Any = buf.serialize()
   override def serialize(buf: Hll): Array[Byte] = buf.serialize()
@@ -36,7 +36,7 @@ case class CmsAgg(
     inputAggBufferOffset: Int = 0) extends KeyedSketchAgg[CountMin] {
 
   override def createAggregationBuffer(): CountMin = CountMin.forGuarantee(eps, delta)
-  override protected def updateKey(buf: CountMin, key: Array[Byte]): Unit = buf.update(key)
+  override protected def updateKey(buf: CountMin, key: Array[Byte], len: Int): Unit = buf.update(key, 0, len, 1L)
   override def merge(a: CountMin, b: CountMin): CountMin = a.merge(b)
   override def eval(buf: CountMin): Any = buf.serialize()
   override def serialize(buf: CountMin): Array[Byte] = buf.serialize()

@@ -127,12 +127,16 @@ object Dedup {
    * plan in Ann.lshTopK, which this shares its cosine kernel with.
    */
   def cosinePairs(emb: DataFrame, minCos: Double): DataFrame = {
+    // norms hoisted out of the O(n^2) pair loop: sqrt(dot(v,v)) once
+    // per row, so each pair costs ONE native dot + a multiply/divide.
+    // Identical IEEE result to computing norms per pair.
     val e = emb.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("v"))
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(VecFunctions.vec_dot(col("v"), col("v"))))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("nrm_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nrm_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", VecFunctions.vec_dot(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
@@ -140,7 +144,7 @@ object Dedup {
   /** dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))), left-fold order. */
   def cosine(va: org.apache.spark.sql.Column, vb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, z) => acc + z)
+      VecFunctions.vec_dot(x, y)
     dot(va, vb) / (sqrt(dot(va, va)) * sqrt(dot(vb, vb)))
   }
 

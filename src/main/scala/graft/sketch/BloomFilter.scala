@@ -75,10 +75,26 @@ final class BloomFilter private (
     contains(hs)
   }
 
-  def addKey(key: Array[Byte]): Boolean = {
-    val hs = new Array[Long](math.max(kNum, 4))
-    BloomHash.computeHashes(kNum, key, 0, key.length, hs)
+  def addKey(key: Array[Byte]): Boolean = addKey(key, 0, key.length)
+
+  // reusable hash scratch: the aggregation hot path calls this once per
+  // input row; a fresh Array[Long] per key would dominate GC at scale
+  @transient private var hsScratch: Array[Long] = _
+  private def hashScratch: Array[Long] = {
+    if (hsScratch == null) hsScratch = new Array[Long](math.max(kNum, 4))
+    hsScratch
+  }
+
+  def addKey(key: Array[Byte], off: Int, len: Int): Boolean = {
+    val hs = hashScratch
+    BloomHash.computeHashes(kNum, key, off, len, hs)
     add(hs)
+  }
+
+  def containsKey(key: Array[Byte], off: Int, len: Int): Boolean = {
+    val hs = hashScratch
+    BloomHash.computeHashes(kNum, key, off, len, hs)
+    contains(hs)
   }
 
   /** In-place bitwise OR of another filter with identical shape. */

@@ -17,8 +17,14 @@ import java.nio.{ByteBuffer, ByteOrder}
 final class CountMin(val depth: Int, val width: Int, val counts: Array[Long],
                      var total: Long) extends Serializable {
 
-  def update(key: Array[Byte], inc: Long = 1L): Unit = {
-    val (h0, h1) = Murmur3x64.hash128(key)
+  def update(key: Array[Byte], inc: Long = 1L): Unit = update(key, 0, key.length, inc)
+
+  @transient private var hsScratch: Array[Long] = _
+  def update(key: Array[Byte], off: Int, len: Int, inc: Long): Unit = {
+    if (hsScratch == null) hsScratch = new Array[Long](2)
+    Murmur3x64.hash128(key, off, len, 0L, hsScratch)
+    val h0 = hsScratch(0)
+    val h1 = hsScratch(1)
     var i = 0
     while (i < depth) {
       val h = h0 + i.toLong * h1

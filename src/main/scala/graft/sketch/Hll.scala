@@ -18,9 +18,13 @@ final class Hll(val precision: Int, val registers: Array[Byte]) extends Serializ
 
   @inline private def m: Int = 1 << precision
 
-  def update(key: Array[Byte]): Unit = {
-    val (h0, _) = Murmur3x64.hash128(key)
-    updateHash(h0)
+  def update(key: Array[Byte]): Unit = update(key, 0, key.length)
+
+  @transient private var hsScratch: Array[Long] = _
+  def update(key: Array[Byte], off: Int, len: Int): Unit = {
+    if (hsScratch == null) hsScratch = new Array[Long](2)
+    Murmur3x64.hash128(key, off, len, 0L, hsScratch)
+    updateHash(hsScratch(0))
   }
 
   def updateHash(h0: Long): Unit = {

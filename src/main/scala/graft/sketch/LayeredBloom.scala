@@ -32,27 +32,33 @@ final class LayeredBloom(
 
   private def params: BloomParams = BloomParams.forCapacity(capacity, fpProbability)
 
-  private def hashesFor(f: BloomFilter, key: Array[Byte]): Array[Long] = {
-    val hs = new Array[Long](math.max(f.kNum, 4))
-    BloomHash.computeHashes(f.kNum, key, 0, key.length, hs)
-    hs
+  @transient private var hsScratch: Array[Long] = _
+  private def hashesFor(f: BloomFilter, key: Array[Byte], off: Int, len: Int): Array[Long] = {
+    val need = math.max(f.kNum, 4)
+    if (hsScratch == null || hsScratch.length < need) hsScratch = new Array[Long](need)
+    BloomHash.computeHashes(f.kNum, key, off, len, hsScratch)
+    hsScratch
   }
 
   /** multiplicity: consecutive containing layers from layer 0 */
-  def count(key: Array[Byte]): Int = {
+  def count(key: Array[Byte]): Int = count(key, 0, key.length)
+
+  def count(key: Array[Byte], off: Int, len: Int): Int = {
     var i = 0
     while (i < layers.length) {
-      if (!layers(i).contains(hashesFor(layers(i), key))) return i
+      if (!layers(i).contains(hashesFor(layers(i), key, off, len))) return i
       i += 1
     }
     layers.length
   }
 
   /** add; returns the new multiplicity (1-based layer index used). */
-  def add(key: Array[Byte]): Int = {
-    val c = count(key)
+  def add(key: Array[Byte]): Int = add(key, 0, key.length)
+
+  def add(key: Array[Byte], off: Int, len: Int): Int = {
+    val c = count(key, off, len)
     if (c == layers.length) layers += BloomFilter.create(params)
-    layers(c).add(hashesFor(layers(c), key))
+    layers(c).add(hashesFor(layers(c), key, off, len))
     c + 1
   }
 

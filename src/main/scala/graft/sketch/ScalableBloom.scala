@@ -55,12 +55,21 @@ final class ScalableBloom(
     layers += ((next, BloomFilter.create(rungParams(next))))
   }
 
-  def contains(key: Array[Byte]): Boolean = {
-    val hs = new Array[Long](maxK)
+  def contains(key: Array[Byte]): Boolean = contains(key, 0, key.length)
+
+  @transient private var hsScratch: Array[Long] = _
+  private def hashScratch: Array[Long] = {
+    val need = maxK
+    if (hsScratch == null || hsScratch.length < need) hsScratch = new Array[Long](need)
+    hsScratch
+  }
+
+  def contains(key: Array[Byte], off: Int, len: Int): Boolean = {
+    val hs = hashScratch
     var i = layers.length - 1 // newest-to-oldest like sbf_contains
     while (i >= 0) {
       val f = layers(i)._2
-      BloomHash.computeHashes(f.kNum, key, 0, key.length, hs)
+      BloomHash.computeHashes(f.kNum, key, off, len, hs)
       if (f.contains(hs)) return true
       i -= 1
     }
@@ -68,11 +77,16 @@ final class ScalableBloom(
   }
 
   /** `sbf_add`: returns true if newly added. */
-  def add(key: Array[Byte]): Boolean = {
-    if (contains(key)) return false
+  def add(key: Array[Byte]): Boolean = add(key, 0, key.length)
+
+  def add(key: Array[Byte], off: Int, len: Int): Boolean = {
+    if (contains(key, off, len)) return false
     if (layers.isEmpty) grow()
     else if (activeFilter.count >= rungCapacity(topRung)) grow()
-    activeFilter.addKey(key)
+    val f = activeFilter
+    val hs = hashScratch // re-fetch: grow() may have raised maxK
+    BloomHash.computeHashes(f.kNum, key, off, len, hs)
+    f.add(hs)
   }
 
   /** sum of per-layer counts (`sbf_size`) */
