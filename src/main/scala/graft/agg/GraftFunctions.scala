@@ -46,6 +46,16 @@ object GraftFunctions {
   def kll_agg(value: Column, k: Int = 200): Column =
     agg(KllAgg(ex(value.cast("double")), k))
 
+  // ---- merge/rollup aggregations over serialized sketches ----
+
+  def bloom_merge_agg(sketch: Column): Column = agg(BloomMergeAgg(ex(sketch)))
+  def sbf_merge_agg(sketch: Column): Column = agg(SbfMergeAgg(ex(sketch)))
+  def lbf_merge_agg(sketch: Column): Column = agg(LbfMergeAgg(ex(sketch)))
+  def hll_merge_agg(sketch: Column): Column = agg(HllMergeAgg(ex(sketch)))
+  def cms_merge_agg(sketch: Column): Column = agg(CmsMergeAgg(ex(sketch)))
+  def tdigest_merge_agg(sketch: Column): Column = agg(TDigestMergeAgg(ex(sketch)))
+  def kll_merge_agg(sketch: Column): Column = agg(KllMergeAgg(ex(sketch)))
+
   // ---- probes / inspectors ----
 
   def bloom_contains(sketch: Column, key: Column): Column = col(BloomContains(ex(sketch), ex(key.cast("string"))))
@@ -126,5 +136,15 @@ object GraftFunctions {
     add("graft_kll_quantile")(es => KllQuantile(es.head, Cast(es(1), DoubleType)))
     add("graft_kll_rank")(es => KllRank(es.head, Cast(es(1), DoubleType)))
     add("graft_kll_n")(es => KllN(es.head))
+    def addMerge(name: String)(builder: Expression => org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction): Unit =
+      add(name)(es => AggregateExpression(builder(es.head),
+        org.apache.spark.sql.catalyst.expressions.aggregate.Complete, isDistinct = false))
+    addMerge("graft_bloom_merge_agg")(BloomMergeAgg(_))
+    addMerge("graft_sbf_merge_agg")(SbfMergeAgg(_))
+    addMerge("graft_lbf_merge_agg")(LbfMergeAgg(_))
+    addMerge("graft_hll_merge_agg")(HllMergeAgg(_))
+    addMerge("graft_cms_merge_agg")(CmsMergeAgg(_))
+    addMerge("graft_tdigest_merge_agg")(TDigestMergeAgg(_))
+    addMerge("graft_kll_merge_agg")(KllMergeAgg(_))
   }
 }

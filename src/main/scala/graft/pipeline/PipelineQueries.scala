@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.agg.GraftFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -94,6 +95,65 @@ object PipelineQueries {
         .select(col("source"), (col("n_batches") > 1).as("multi_batch_ok"),
           col("rows_ok"), col("bloom_ok"), col("hll_ok"))
         .orderBy("source")
+    }),
+
+    // kill/resume: build crashes (injected) after 1 checkpointed batch,
+    // resumes from the lineage journal, and the folded result must be
+    // bit-equivalent to a single-shot build (north rule resumability)
+    "resumable_build" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graftresume")
+      val in = tmp.resolve("in").toString
+      TokenTable.load(s, dir).repartition(8).write.mode("overwrite").parquet(in)
+      val ckpt = tmp.resolve("ckpt").toString
+      val crashed =
+        try { SketchBuildJob.run(s, in, ckpt, filesPerBatch = 2, failAfterBatches = 1); false }
+        catch { case _: SketchBuildJob.InjectedFailure => true }
+      val resumed = SketchBuildJob.run(s, in, ckpt, filesPerBatch = 2)
+      val direct = s.read.parquet(in)
+        .select(col("source"), explode(col("tokens")).as("token"))
+        .groupBy("source").agg(
+          bloom_agg(col("token").cast("string"), 100000L, 1e-4).as("bloom_d"),
+          hll_agg(col("token").cast("string"), 14).as("hll_d"),
+          count(lit(1)).as("n_d"))
+      resumed.sketches.join(direct, Seq("source"))
+        .select(col("source"),
+          lit(crashed).as("crashed_then_resumed"),
+          lit(resumed.batchesSkipped > 0).as("skipped_done_batches"),
+          (bloom_estimate(col("bloom")) === bloom_estimate(col("bloom_d"))).as("bloom_ok"),
+          (hll_estimate(col("hll")) === hll_estimate(col("hll_d"))).as("hll_ok"),
+          (col("n_tokens") === col("n_d")).as("n_ok"))
+        .orderBy("source")
+    }),
+
+    // sketch rollup: fold per-source sketches into a global sketch with
+    // the merge aggregates; estimates must match a direct global build
+    "sketch_rollup" -> ((s, dir) => {
+      val toks = TokenTable.tokens(s, dir)
+      val perSource = toks.groupBy("source").agg(
+        bloom_agg(col("token").cast("string"), 100000L, 1e-4).as("bloom"),
+        hll_agg(col("token").cast("string"), 14).as("hll"),
+        cms_agg(col("token").cast("string"), 1e-4, 0.01).as("cms"),
+        tdigest_agg(col("token"), 100.0).as("td"),
+        kll_agg(col("token"), 200).as("kll"))
+      val rolled = perSource.agg(
+        bloom_merge_agg(col("bloom")).as("bloom"),
+        hll_merge_agg(col("hll")).as("hll"),
+        cms_merge_agg(col("cms")).as("cms"),
+        tdigest_merge_agg(col("td")).as("td"),
+        kll_merge_agg(col("kll")).as("kll"))
+      val direct = toks.agg(
+        bloom_agg(col("token").cast("string"), 100000L, 1e-4).as("bloom_d"),
+        hll_agg(col("token").cast("string"), 14).as("hll_d"),
+        cms_agg(col("token").cast("string"), 1e-4, 0.01).as("cms_d"),
+        tdigest_agg(col("token"), 100.0).as("td_d"),
+        kll_agg(col("token"), 200).as("kll_d"),
+        count(lit(1)).as("n"))
+      rolled.crossJoin(direct).select(
+        (bloom_estimate(col("bloom")) === bloom_estimate(col("bloom_d"))).as("bloom_ok"),
+        (hll_estimate(col("hll")) === hll_estimate(col("hll_d"))).as("hll_ok"),
+        (cms_total(col("cms")) === col("n")).as("cms_ok"),
+        (abs(tdigest_quantile(col("td"), lit(0.5)) - tdigest_quantile(col("td_d"), lit(0.5))) <= lit(1.0)).as("td_ok"),
+        (kll_n(col("kll")) === col("n")).as("kll_ok"))
     }),
 
     // ---- relational coverage extras -------------------------------------
@@ -210,6 +270,14 @@ object PipelineQueries {
     "stream_sketch_incremental" ->
       ("SELECT source, TRUE AS multi_batch_ok, TRUE AS rows_ok, TRUE AS bloom_ok, TRUE AS hll_ok " +
         "FROM (SELECT DISTINCT source FROM documents) ORDER BY source"),
+
+    "resumable_build" ->
+      ("SELECT source, TRUE AS crashed_then_resumed, TRUE AS skipped_done_batches, " +
+        "TRUE AS bloom_ok, TRUE AS hll_ok, TRUE AS n_ok " +
+        "FROM (SELECT DISTINCT source FROM documents) ORDER BY source"),
+
+    "sketch_rollup" ->
+      "SELECT TRUE AS bloom_ok, TRUE AS hll_ok, TRUE AS cms_ok, TRUE AS td_ok, TRUE AS kll_ok",
 
     "q_rollup" ->
       ("SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, " +
