@@ -97,16 +97,21 @@ object Dedup {
   }
 
   /**
-   * SimHash near-dup: 64-bit fingerprint per doc; candidates collide
-   * on at least one of 8 disjoint 8-bit bands (pigeonhole: any pair
-   * within Hamming distance 7 shares an unchanged band, so recall at
-   * maxHamming <= 7 is exact, not probabilistic); candidates pass a
+   * SimHash near-dup: 64-bit fingerprint over the doc's word-trigram
+   * shingles (trigram features separate near-dups from the background
+   * far better than unigrams on a small-vocab corpus: planted pairs
+   * land at Hamming <= ~13 while random pairs center at ~32).
+   * Candidates collide on at least one of 8 disjoint 8-bit bands
+   * (pigeonhole guarantees recall for Hamming <= 7; the 8..maxHamming
+   * range is caught with high probability — SimHash recall is
+   * inherently probabilistic above the band bound, the price of a
+   * 64-bit fingerprint vs MinHash's 1KB signature); candidates pass a
    * bit_count Hamming gate and exact-Jaccard verification.
    */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 7, minJ: Double = 0.5): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 16, minJ: Double = 0.5): DataFrame = {
     val sh = shingled(docs)
     val fp = docs.select(col("doc_id").cast("long").as("id"),
-      simhash64(words(col("text"))).as("f"))
+      simhash64(shingles(words(col("text")), 3)).as("f"))
     val buckets = fp.select(col("id"), col("f"),
         explode(sequence(lit(0), lit(7))).as("band"))
       .withColumn("bv", expr("shiftright(f, cast(band * 8 as int)) & 255"))
