@@ -10,7 +10,7 @@ import org.apache.spark.unsafe.types.UTF8String
 case class HllEstimate(child: Expression) extends SketchInspect[Hll] {
   override def dataType: DataType = LongType
   override protected def parse(bytes: Array[Byte]): Hll = Hll.deserialize(bytes)
-  override protected def nullSafeEval(sketch: Any): Any = sketchOf(sketch).estimate
+  override protected def inspect(s: Hll): Any = s.estimate
   override protected def withNewChildInternal(c: Expression) = copy(c)
   override def prettyName: String = "hll_estimate"
 }
@@ -20,8 +20,8 @@ case class CmsEstimate(left: Expression, right: Expression)
     extends SketchProbe[CountMin] {
   override def dataType: DataType = LongType
   override protected def parse(bytes: Array[Byte]): CountMin = CountMin.deserialize(bytes)
-  override protected def nullSafeEval(sketch: Any, key: Any): Any =
-    sketchOf(sketch).estimate(key.asInstanceOf[UTF8String].getBytes)
+  override protected def probe(s: CountMin, key: Array[Byte], off: Int, len: Int): Any =
+    s.estimate(key, off, len)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   override def prettyName: String = "cms_estimate"
 }
@@ -29,20 +29,33 @@ case class CmsEstimate(left: Expression, right: Expression)
 case class CmsTotal(child: Expression) extends SketchInspect[CountMin] {
   override def dataType: DataType = LongType
   override protected def parse(bytes: Array[Byte]): CountMin = CountMin.deserialize(bytes)
-  override protected def nullSafeEval(sketch: Any): Any = sketchOf(sketch).total
+  override protected def inspect(s: CountMin): Any = s.total
   override protected def withNewChildInternal(c: Expression) = copy(c)
   override def prettyName: String = "cms_total"
 }
 
-abstract class DoubleArgSketchExpr[S <: AnyRef] extends BinaryExpression
-    with CodegenFallback with SketchMemo[S]
+abstract class DoubleArgSketchExpr[S <: AnyRef] extends BinaryExpression with SketchMemo[S] {
+  protected def compute(sketch: S, x: Double): Any
+
+  final def computeAny(sketchBytes: AnyRef, x: Double): Any =
+    compute(sketchOf(sketchBytes), x)
+
+  final override protected def nullSafeEval(sketch: Any, x: Any): Any =
+    computeAny(sketch.asInstanceOf[AnyRef], x.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val ref = ctx.addReferenceObj("expr", this, classOf[DoubleArgSketchExpr[_]].getName)
+    val boxed = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.boxedType(dataType)
+    nullSafeCodeGen(ctx, ev, (s, x) => s"${ev.value} = ($boxed) $ref.computeAny($s, $x);")
+  }
+}
 
 case class TDigestQuantile(left: Expression, right: Expression)
     extends DoubleArgSketchExpr[TDigest] {
   override def dataType: DataType = DoubleType
   override protected def parse(bytes: Array[Byte]): TDigest = TDigest.deserialize(bytes)
-  override protected def nullSafeEval(sketch: Any, q: Any): Any =
-    sketchOf(sketch).quantile(q.asInstanceOf[Double])
+  override protected def compute(s: TDigest, q: Double): Any = s.quantile(q)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   override def prettyName: String = "tdigest_quantile"
 }
@@ -51,8 +64,7 @@ case class TDigestCdf(left: Expression, right: Expression)
     extends DoubleArgSketchExpr[TDigest] {
   override def dataType: DataType = DoubleType
   override protected def parse(bytes: Array[Byte]): TDigest = TDigest.deserialize(bytes)
-  override protected def nullSafeEval(sketch: Any, x: Any): Any =
-    sketchOf(sketch).cdf(x.asInstanceOf[Double])
+  override protected def compute(s: TDigest, x: Double): Any = s.cdf(x)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   override def prettyName: String = "tdigest_cdf"
 }
@@ -61,8 +73,7 @@ case class KllQuantile(left: Expression, right: Expression)
     extends DoubleArgSketchExpr[Kll] {
   override def dataType: DataType = DoubleType
   override protected def parse(bytes: Array[Byte]): Kll = Kll.deserialize(bytes)
-  override protected def nullSafeEval(sketch: Any, q: Any): Any =
-    sketchOf(sketch).quantile(q.asInstanceOf[Double])
+  override protected def compute(s: Kll, q: Double): Any = s.quantile(q)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   override def prettyName: String = "kll_quantile"
 }
@@ -71,8 +82,7 @@ case class KllRank(left: Expression, right: Expression)
     extends DoubleArgSketchExpr[Kll] {
   override def dataType: DataType = DoubleType
   override protected def parse(bytes: Array[Byte]): Kll = Kll.deserialize(bytes)
-  override protected def nullSafeEval(sketch: Any, x: Any): Any =
-    sketchOf(sketch).rank(x.asInstanceOf[Double])
+  override protected def compute(s: Kll, x: Double): Any = s.rank(x)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   override def prettyName: String = "kll_rank"
 }
@@ -80,7 +90,7 @@ case class KllRank(left: Expression, right: Expression)
 case class KllN(child: Expression) extends SketchInspect[Kll] {
   override def dataType: DataType = LongType
   override protected def parse(bytes: Array[Byte]): Kll = Kll.deserialize(bytes)
-  override protected def nullSafeEval(sketch: Any): Any = sketchOf(sketch).n
+  override protected def inspect(s: Kll): Any = s.n
   override protected def withNewChildInternal(c: Expression) = copy(c)
   override def prettyName: String = "kll_n"
 }

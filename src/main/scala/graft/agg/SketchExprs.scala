@@ -32,10 +32,41 @@ trait SketchMemo[S <: AnyRef] {
   }
 }
 
-abstract class SketchProbe[S <: AnyRef] extends BinaryExpression
-    with CodegenFallback with SketchMemo[S] {
+/**
+ * Probes generate code (not CodegenFallback): a fallback expression
+ * forces the WHOLE probe stage out of whole-stage codegen — the stage
+ * that filters billions of rows in a batch `multi`/`check`. The
+ * generated code calls back into this instance via a reference object
+ * (standard Spark pattern), keeping the parse memo and a reusable key
+ * buffer so the per-row cost is hash + k bit reads, zero allocation.
+ */
+abstract class SketchProbe[S <: AnyRef] extends BinaryExpression with SketchMemo[S] {
   override def left: Expression // sketch binary
   override def right: Expression // key string
+
+  /** typed probe over (sketch, key bytes [off, off+len)) */
+  protected def probe(sketch: S, key: Array[Byte], off: Int, len: Int): Any
+
+  @transient private var keyBuf: Array[Byte] = _
+
+  final def probeAny(sketchBytes: AnyRef, key: UTF8String): Any = {
+    val len = key.numBytes()
+    if (keyBuf == null || keyBuf.length < len)
+      keyBuf = new Array[Byte](math.max(64, java.lang.Integer.highestOneBit(len) * 2))
+    key.writeToMemory(keyBuf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
+    probe(sketchOf(sketchBytes), keyBuf, 0, len)
+  }
+
+  final override protected def nullSafeEval(sketch: Any, key: Any): Any =
+    probeAny(sketch.asInstanceOf[AnyRef], key.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val ref = ctx.addReferenceObj("probe", this, classOf[SketchProbe[_]].getName)
+    val boxed = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.boxedType(dataType)
+    nullSafeCodeGen(ctx, ev, (s, k) =>
+      s"${ev.value} = ($boxed) $ref.probeAny($s, $k);")
+  }
 }
 
 /** `check <filter> <key>` -> Yes/No (`sbf.c:89-97`, `bloom.c:141-150`) */
@@ -43,8 +74,8 @@ case class BloomContains(left: Expression, right: Expression)
     extends SketchProbe[BloomFilter] {
   override def dataType: DataType = BooleanType
   override protected def parse(bytes: Array[Byte]): BloomFilter = BloomFilter.deserialize(bytes)
-  override protected def nullSafeEval(sketch: Any, key: Any): Any =
-    sketchOf(sketch).containsKey(key.asInstanceOf[UTF8String].getBytes)
+  override protected def probe(s: BloomFilter, key: Array[Byte], off: Int, len: Int): Any =
+    s.containsKey(key, off, len)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   override def prettyName: String = "bloom_contains"
 }
@@ -53,8 +84,8 @@ case class SbfContains(left: Expression, right: Expression)
     extends SketchProbe[ScalableBloom] {
   override def dataType: DataType = BooleanType
   override protected def parse(bytes: Array[Byte]): ScalableBloom = ScalableBloom.deserialize(bytes)
-  override protected def nullSafeEval(sketch: Any, key: Any): Any =
-    sketchOf(sketch).contains(key.asInstanceOf[UTF8String].getBytes)
+  override protected def probe(s: ScalableBloom, key: Array[Byte], off: Int, len: Int): Any =
+    s.contains(key, off, len)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   override def prettyName: String = "sbf_contains"
 }
@@ -64,20 +95,33 @@ case class LbfCount(left: Expression, right: Expression)
     extends SketchProbe[LayeredBloom] {
   override def dataType: DataType = IntegerType
   override protected def parse(bytes: Array[Byte]): LayeredBloom = LayeredBloom.deserialize(bytes)
-  override protected def nullSafeEval(sketch: Any, key: Any): Any =
-    sketchOf(sketch).count(key.asInstanceOf[UTF8String].getBytes)
+  override protected def probe(s: LayeredBloom, key: Array[Byte], off: Int, len: Int): Any =
+    s.count(key, off, len)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   override def prettyName: String = "lbf_count"
 }
 
-abstract class SketchInspect[S <: AnyRef] extends UnaryExpression
-    with CodegenFallback with SketchMemo[S]
+abstract class SketchInspect[S <: AnyRef] extends UnaryExpression with SketchMemo[S] {
+  protected def inspect(sketch: S): Any
+
+  final def inspectAny(sketchBytes: AnyRef): Any = inspect(sketchOf(sketchBytes))
+
+  final override protected def nullSafeEval(sketch: Any): Any =
+    inspectAny(sketch.asInstanceOf[AnyRef])
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val ref = ctx.addReferenceObj("inspect", this, classOf[SketchInspect[_]].getName)
+    val boxed = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.boxedType(dataType)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = ($boxed) $ref.inspectAny($s);")
+  }
+}
 
 /** header count — the reference's `size` info field */
 case class BloomCount(child: Expression) extends SketchInspect[BloomFilter] {
   override def dataType: DataType = LongType
   override protected def parse(bytes: Array[Byte]): BloomFilter = BloomFilter.deserialize(bytes)
-  override protected def nullSafeEval(sketch: Any): Any = sketchOf(sketch).count
+  override protected def inspect(s: BloomFilter): Any = s.count
   override protected def withNewChildInternal(c: Expression) = copy(c)
   override def prettyName: String = "bloom_count"
 }
@@ -86,7 +130,7 @@ case class BloomCount(child: Expression) extends SketchInspect[BloomFilter] {
 case class BloomEstimate(child: Expression) extends SketchInspect[BloomFilter] {
   override def dataType: DataType = LongType
   override protected def parse(bytes: Array[Byte]): BloomFilter = BloomFilter.deserialize(bytes)
-  override protected def nullSafeEval(sketch: Any): Any = sketchOf(sketch).estimateItems
+  override protected def inspect(s: BloomFilter): Any = s.estimateItems
   override protected def withNewChildInternal(c: Expression) = copy(c)
   override def prettyName: String = "bloom_estimate"
 }
@@ -94,7 +138,7 @@ case class BloomEstimate(child: Expression) extends SketchInspect[BloomFilter] {
 case class SbfSize(child: Expression) extends SketchInspect[ScalableBloom] {
   override def dataType: DataType = LongType
   override protected def parse(bytes: Array[Byte]): ScalableBloom = ScalableBloom.deserialize(bytes)
-  override protected def nullSafeEval(sketch: Any): Any = sketchOf(sketch).size
+  override protected def inspect(s: ScalableBloom): Any = s.size
   override protected def withNewChildInternal(c: Expression) = copy(c)
   override def prettyName: String = "sbf_size"
 }
@@ -102,7 +146,7 @@ case class SbfSize(child: Expression) extends SketchInspect[ScalableBloom] {
 case class SbfNumLayers(child: Expression) extends SketchInspect[ScalableBloom] {
   override def dataType: DataType = IntegerType
   override protected def parse(bytes: Array[Byte]): ScalableBloom = ScalableBloom.deserialize(bytes)
-  override protected def nullSafeEval(sketch: Any): Any = sketchOf(sketch).numLayers
+  override protected def inspect(s: ScalableBloom): Any = s.numLayers
   override protected def withNewChildInternal(c: Expression) = copy(c)
   override def prettyName: String = "sbf_num_layers"
 }
@@ -110,7 +154,7 @@ case class SbfNumLayers(child: Expression) extends SketchInspect[ScalableBloom] 
 case class SbfTotalCapacity(child: Expression) extends SketchInspect[ScalableBloom] {
   override def dataType: DataType = LongType
   override protected def parse(bytes: Array[Byte]): ScalableBloom = ScalableBloom.deserialize(bytes)
-  override protected def nullSafeEval(sketch: Any): Any = sketchOf(sketch).totalCapacity
+  override protected def inspect(s: ScalableBloom): Any = s.totalCapacity
   override protected def withNewChildInternal(c: Expression) = copy(c)
   override def prettyName: String = "sbf_total_capacity"
 }
@@ -119,7 +163,7 @@ case class SbfTotalCapacity(child: Expression) extends SketchInspect[ScalableBlo
 case class LbfSize(child: Expression) extends SketchInspect[LayeredBloom] {
   override def dataType: DataType = LongType
   override protected def parse(bytes: Array[Byte]): LayeredBloom = LayeredBloom.deserialize(bytes)
-  override protected def nullSafeEval(sketch: Any): Any = sketchOf(sketch).size
+  override protected def inspect(s: LayeredBloom): Any = s.size
   override protected def withNewChildInternal(c: Expression) = copy(c)
   override def prettyName: String = "lbf_size"
 }

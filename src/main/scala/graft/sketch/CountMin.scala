@@ -35,8 +35,13 @@ final class CountMin(val depth: Int, val width: Int, val counts: Array[Long],
     total += inc
   }
 
-  def estimate(key: Array[Byte]): Long = {
-    val (h0, h1) = Murmur3x64.hash128(key)
+  def estimate(key: Array[Byte]): Long = estimate(key, 0, key.length)
+
+  def estimate(key: Array[Byte], off: Int, len: Int): Long = {
+    if (hsScratch == null) hsScratch = new Array[Long](2)
+    Murmur3x64.hash128(key, off, len, 0L, hsScratch)
+    val h0 = hsScratch(0)
+    val h1 = hsScratch(1)
     var min = Long.MaxValue
     var i = 0
     while (i < depth) {
