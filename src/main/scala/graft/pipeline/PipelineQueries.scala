@@ -97,6 +97,36 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // watermarked event-time windows + Catalyst sketch agg in streaming;
+    // final upserts must equal the one-shot batch windowed aggregation
+    "stream_windowed_hll" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graftwin")
+      val in = tmp.resolve("in").toString
+      // time-ordered files: the file source replays them in path order,
+      // so event time advances like a real stream and the watermark
+      // never drops on-time data (a time-shuffled replay WOULD drop —
+      // that's the watermark doing its job)
+      s.read.parquet(s"$dir/events.parquet")
+        .repartitionByRange(8, col("ts"))
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(in)
+      val streamed = graft.streaming.WindowedSketch.windowedHll(
+        s, in, tmp.resolve("cp").toString)
+      graft.streaming.WindowedSketch.compareWindowedToBatch(s, in, streamed)
+    }),
+
+    // custom per-key sketch state (mapGroupsWithState): bloom of event
+    // types per user; bounded state, exact at this cardinality
+    "stream_user_state" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graftstate")
+      val in = tmp.resolve("in").toString
+      s.read.parquet(s"$dir/events.parquet").repartition(8)
+        .write.mode("overwrite").parquet(in)
+      val streamed = graft.streaming.WindowedSketch.userTypeState(
+        s, in, tmp.resolve("cp").toString)
+      graft.streaming.WindowedSketch.compareUserStateToBatch(s, in, streamed)
+    }),
+
     // kill/resume: build crashes (injected) after 1 checkpointed batch,
     // resumes from the lineage journal, and the folded result must be
     // bit-equivalent to a single-shot build (north rule resumability)
@@ -270,6 +300,15 @@ object PipelineQueries {
     "stream_sketch_incremental" ->
       ("SELECT source, TRUE AS multi_batch_ok, TRUE AS rows_ok, TRUE AS bloom_ok, TRUE AS hll_ok " +
         "FROM (SELECT DISTINCT source FROM documents) ORDER BY source"),
+
+    "stream_windowed_hll" ->
+      ("SELECT CAST(time_bucket(INTERVAL '6 hours', ts) AS VARCHAR) AS window_start, event_type, " +
+        "count(*) AS n_events, TRUE AS count_ok, TRUE AS hll_ok " +
+        "FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"),
+
+    "stream_user_state" ->
+      ("SELECT user_id, count(DISTINCT event_type) AS n_types_exact, TRUE AS state_ok " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
 
     "resumable_build" ->
       ("SELECT source, TRUE AS crashed_then_resumed, TRUE AS skipped_done_batches, " +

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import graft.agg.GraftFunctions._
+import graft.sketch.BloomFilter
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+
+/**
+ * Event-time streaming over the `events` table: watermarked windowed
+ * sketch aggregation, and a custom per-key sketch state via
+ * mapGroupsWithState — the two Structured Streaming shapes the
+ * engine supports beyond foreachBatch merge (SURVEY.md §2.5).
+ *
+ * Both drain a file source with Trigger.AvailableNow in update mode;
+ * foreachBatch upserts each emission into a result map, so the final
+ * value per key is the fully-aggregated state — asserted equal to the
+ * one-shot batch computation on the same input.
+ */
+object WindowedSketch {
+
+  /**
+   * Watermark + event-time window + Catalyst sketch aggregate:
+   * per (6h window, event_type): event count and HLL distinct users.
+   * The 10-minute watermark bounds state (drops late arrivals);
+   * TypedImperativeAggregate buffers checkpoint between micro-batches.
+   */
+  def windowedHll(spark: SparkSession, inDir: String, checkpointDir: String): DataFrame = {
+    val schema = spark.read.parquet(inDir).schema
+    val out = new java.util.concurrent.ConcurrentHashMap[(java.sql.Timestamp, String), (Array[Byte], Long)]()
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(inDir)
+      // source ts is TIMESTAMP_NTZ; watermarks need an instant — the
+      // session is pinned to UTC so the wall time is preserved
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(hll_agg(col("user_id").cast("string"), 14).as("users_hll"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("ws"), col("event_type"), col("users_hll"), col("n_events"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          out.put((r.getTimestamp(0), r.getString(1)),
+            (r.getAs[Array[Byte]](2), r.getLong(3)))
+        }
+      }
+      .start()
+    q.awaitTermination()
+
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    out.asScala.toSeq
+      .map { case ((ws, et), (hll, n)) => (ws, et, hll, n) }
+      .toDF("ws", "event_type", "users_hll", "n_events")
+  }
+
+  /** streaming == batch contract for the windowed aggregation */
+  def compareWindowedToBatch(spark: SparkSession, inDir: String, streamed: DataFrame): DataFrame = {
+    val batch = spark.read.parquet(inDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(hll_agg(col("user_id").cast("string"), 14).as("hll_b"),
+        count(lit(1)).as("n_b"))
+      .select(col("w.start").as("ws"), col("event_type"), col("hll_b"), col("n_b"))
+    streamed.join(batch, Seq("ws", "event_type"), "full_outer")
+      .select(col("ws").cast("string").as("window_start"), col("event_type"),
+        coalesce(col("n_b"), lit(-1L)).as("n_events"),
+        (col("n_events") === col("n_b")).as("count_ok"),
+        (hll_estimate(col("users_hll")) === hll_estimate(col("hll_b"))).as("hll_ok"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /**
+   * Custom sketch state per key: mapGroupsWithState holds a serialized
+   * bloom of event types per user — bounded state (sketch bytes, never
+   * row history), the pattern for per-entity dedup/novelty at 10^12
+   * scale. Emits (user_id, distinct-type count) per touched group per
+   * batch; the last emission is the final state.
+   */
+  def userTypeState(spark: SparkSession, inDir: String, checkpointDir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(inDir).schema
+    val out = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+
+    def updateState(userId: Long, rows: Iterator[(Long, String)],
+                    state: GroupState[Array[Byte]]): (Long, Long) = {
+      val bloom =
+        if (state.exists) BloomFilter.deserialize(state.get)
+        else BloomFilter.create(20000L, 1e-4)
+      rows.foreach { case (_, et) =>
+        bloom.addKey(et.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      state.update(bloom.serialize())
+      (userId, bloom.count)
+    }
+
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(inDir)
+      .select(col("user_id").cast("long"), col("event_type"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateState)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, Long)], _: Long) =>
+        batch.collect().foreach { case (u, c) => out.put(u, c) }
+      }
+      .start()
+    q.awaitTermination()
+
+    import scala.jdk.CollectionConverters._
+    out.asScala.toSeq.map { case (u, c) => (u, c) }.toDF("user_id", "n_types_sketch")
+  }
+
+  def compareUserStateToBatch(spark: SparkSession, inDir: String, streamed: DataFrame): DataFrame = {
+    val batch = spark.read.parquet(inDir)
+      .groupBy(col("user_id").cast("long").as("user_id"))
+      .agg(countDistinct(col("event_type")).as("n_exact"))
+    streamed.join(batch, Seq("user_id"), "full_outer")
+      .select(col("user_id"), coalesce(col("n_exact"), lit(-1L)).as("n_types_exact"),
+        (col("n_types_sketch") === col("n_exact")).as("state_ok"))
+      .orderBy("user_id")
+  }
+}

@@ -1,0 +1,162 @@
+package graft.sketch
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets.UTF_8
+
+/**
+ * ScalaCheck property tests for the merge algebra the distributed
+ * engine rests on (north rule: "all sketches satisfy merge
+ * associativity"): for ANY partitioning of ANY key multiset, merging
+ * partial sketches must equal the sequential build — associativity,
+ * commutativity, and (for idempotent structures) self-merge laws.
+ */
+class MergeLawsSpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(40).withInitialSeed(
+        org.scalacheck.rng.Seed(42L)), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val keys: Gen[List[String]] =
+    Gen.listOfN(400, Gen.oneOf(
+      Gen.alphaNumStr.map(s => "k" + s.take(12)),
+      Gen.choose(0, 50).map(i => s"hot$i"))) // duplicates on purpose
+
+  private val splits: Gen[(List[String], Int, Int)] = for {
+    ks <- keys
+    a <- Gen.choose(0, ks.length)
+    b <- Gen.choose(0, ks.length)
+  } yield (ks, math.min(a, b), math.max(a, b))
+
+  private def bloomOf(ks: Seq[String]): BloomFilter = {
+    val f = BloomFilter.create(2000L, 0.01)
+    ks.foreach(k => f.addKey(k.getBytes(UTF_8)))
+    f
+  }
+
+  private def bits(f: BloomFilter): Seq[Byte] = f.serialize().drop(512).toSeq
+
+  test("bloom OR-merge: any 3-way split, any association/order == sequential bits; idempotent") {
+    check(Prop.forAll(splits) { case (ks, i, j) =>
+      val (p1, rest) = ks.splitAt(i)
+      val (p2, p3) = rest.splitAt(j - i)
+      val seq = bits(bloomOf(ks))
+      bits(bloomOf(p1).orInPlace(bloomOf(p2)).orInPlace(bloomOf(p3))) == seq &&
+        bits(bloomOf(p1).orInPlace(bloomOf(p2).orInPlace(bloomOf(p3)))) == seq &&
+        bits(bloomOf(p3).orInPlace(bloomOf(p1)).orInPlace(bloomOf(p2))) == seq &&
+        bits(bloomOf(ks).orInPlace(bloomOf(ks))) == seq
+    })
+  }
+
+  private def hllOf(ks: Seq[String]): Hll = {
+    val h = Hll.create(10)
+    ks.foreach(k => h.update(k.getBytes(UTF_8)))
+    h
+  }
+
+  test("hll register-max merge: associative, commutative, idempotent (exact register equality)") {
+    check(Prop.forAll(splits) { case (ks, i, j) =>
+      val (p1, rest) = ks.splitAt(i)
+      val (p2, p3) = rest.splitAt(j - i)
+      val seq = hllOf(ks).registers.toSeq
+      hllOf(p1).merge(hllOf(p2)).merge(hllOf(p3)).registers.toSeq == seq &&
+        hllOf(p3).merge(hllOf(p2).merge(hllOf(p1))).registers.toSeq == seq &&
+        hllOf(ks).merge(hllOf(ks)).registers.toSeq == seq
+    })
+  }
+
+  private def cmsOf(ks: Seq[String]): CountMin = {
+    val c = CountMin.forGuarantee(0.01, 0.01)
+    ks.foreach(k => c.update(k.getBytes(UTF_8)))
+    c
+  }
+
+  test("cms cellwise-sum merge: associative, commutative, weight conserved (exact cells)") {
+    check(Prop.forAll(splits) { case (ks, i, j) =>
+      val (p1, rest) = ks.splitAt(i)
+      val (p2, p3) = rest.splitAt(j - i)
+      val seq = cmsOf(ks)
+      val m = cmsOf(p2).merge(cmsOf(p3)).merge(cmsOf(p1))
+      m.counts.toSeq == seq.counts.toSeq && m.total == ks.length
+    })
+  }
+
+  private val doubles: Gen[List[Double]] =
+    Gen.listOfN(300, Gen.choose(-1e6, 1e6))
+
+  test("kll merge: weight conserved; merged quantiles within combined rank-error envelope") {
+    check(Prop.forAll(doubles, Gen.choose(0, 299)) { (xs, cut) =>
+      xs.isEmpty || {
+        val i = cut % xs.length
+        val (a, b) = xs.splitAt(i)
+        val merged = {
+          val ka = Kll.create(200); a.foreach(ka.update(_))
+          val kb = Kll.create(200); b.foreach(kb.update(_))
+          ka.merge(kb)
+        }
+        val sorted = xs.sorted
+        merged.n == xs.length &&
+          Seq(0.1, 0.5, 0.9).forall { q =>
+            val rank = sorted.count(_ <= merged.quantile(q)).toDouble / sorted.length
+            math.abs(rank - q) <= 0.12
+          }
+      }
+    })
+  }
+
+  test("tdigest merge: weight conserved; merged median within rank-error envelope") {
+    check(Prop.forAll(doubles, Gen.choose(0, 299)) { (xs, cut) =>
+      xs.isEmpty || {
+        val i = cut % xs.length
+        val (a, b) = xs.splitAt(i)
+        val merged = {
+          val ta = TDigest.create(100.0); a.foreach(ta.update(_))
+          val tb = TDigest.create(100.0); b.foreach(tb.update(_))
+          ta.merge(tb)
+        }
+        val sorted = xs.sorted
+        val rank = sorted.count(_ <= merged.quantile(0.5)).toDouble / sorted.length
+        merged.totalWeight == xs.length.toDouble && math.abs(rank - 0.5) <= 0.1
+      }
+    })
+  }
+
+  test("sbf merge: membership of both sides preserved; size bounded by insert count") {
+    check(Prop.forAll(splits) { case (ks, i, _) =>
+      val (a, b) = ks.splitAt(i)
+      def sbfOf(xs: Seq[String]) = {
+        val s = ScalableBloom.create(100L, 0.01, 4, 0.9)
+        xs.foreach(k => s.add(k.getBytes(UTF_8)))
+        s
+      }
+      val merged = sbfOf(a).mergeInPlace(sbfOf(b))
+      ks.forall(k => merged.contains(k.getBytes(UTF_8))) && merged.size <= ks.length
+    })
+  }
+
+  test("lbf merge: multiplicity >= each side's count, <= true multiplicity sum") {
+    check(Prop.forAll(splits) { case (ks, i, _) =>
+      val (a, b) = ks.splitAt(i)
+      def lbfOf(xs: Seq[String]) = {
+        val l = LayeredBloom.create(1000L, 0.01)
+        xs.foreach(k => l.add(k.getBytes(UTF_8)))
+        l
+      }
+      val la = lbfOf(a); val lb = lbfOf(b)
+      val countsA = ks.distinct.map(k => k -> la.count(k.getBytes(UTF_8))).toMap
+      val countsB = ks.distinct.map(k => k -> lb.count(k.getBytes(UTF_8))).toMap
+      val merged = la.mergeInPlace(lb)
+      val trueMult = ks.groupBy(identity).view.mapValues(_.size)
+      ks.distinct.forall { k =>
+        val c = merged.count(k.getBytes(UTF_8))
+        c >= math.max(countsA(k), countsB(k)) && c >= 1
+      } && ks.distinct.forall { k =>
+        // FP layers can only inflate; bounded by total layer count
+        merged.count(k.getBytes(UTF_8)) <= merged.numLayers
+      }
+    })
+  }
+}
