@@ -127,6 +127,28 @@ object Bench {
     val tFull = math.min(timed(buildJob(spark, benchPath)), timed(buildJob(spark, benchPath)))
     val thrFull = (benchRows / tFull).toLong
 
+    // the reference's own bench workload (bench.c:82-133): N `set` then
+    // N `check` against one filter at server defaults (init cap 100k,
+    // p=1e-4, scale 4, r 0.9) — here as one distributed SBF build and
+    // one broadcast-probe scan
+    val probeKeys = sys.env.getOrElse("SPARK_GRAFT_PROBE_KEYS", "4000000").toLong
+    val keyDf = spark.range(0, probeKeys, 1, 256)
+      .select(concat(lit("key"), col("id")).as("k"))
+    def setPhase(): Unit = keyDf
+      .agg(sbf_agg(col("k"), 100000L, 1e-4, 4, 0.9).as("s"))
+      .write.format("noop").mode("overwrite").save()
+    val tSet = { setPhase(); math.min(timed(setPhase()), timed(setPhase())) }
+    // materialize the sketch once; the check phase measures probes only
+    val sketchBytes = keyDf.agg(sbf_agg(col("k"), 100000L, 1e-4, 4, 0.9).as("s"))
+      .head().getAs[Array[Byte]]("s")
+    def checkPhase(): Unit = keyDf
+      .select(sbf_contains(lit(sketchBytes), col("k")).as("hit"))
+      .write.format("noop").mode("overwrite").save()
+    val tCheck = { checkPhase(); math.min(timed(checkPhase()), timed(checkPhase())) }
+    val setPerSec = (probeKeys / tSet).toLong
+    val checkPerSec = (probeKeys / tCheck).toLong
+    System.err.println(s"[bench] set: $setPerSec keys/s, check: $checkPerSec keys/s")
+
     // ---- per-query wall clock at sf dir ----
     val results = (if (scalingOnly) Seq.empty[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]
       else SparkEntry.queries.toSeq.sortBy(_._1)).map { case (name, fn) =>
@@ -144,6 +166,7 @@ object Bench {
         s""""efficiency":${math.round(eff * 1000) / 1000.0}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sketch_build_tokens_per_sec":$thrFull,"sketch_build_cpus":$cpus,""" +
+      s""""set_keys_per_sec":$setPerSec,"check_keys_per_sec":$checkPerSec,""" +
       s""""scaling":$scaling,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -197,6 +197,37 @@ object PipelineQueries {
           col("n_rows"), col("sum_qty"))
         .orderBy("rf", "ls")),
 
+    // explicit skew handling: two-phase salted aggregation over a hot
+    // key (pre-aggregate on (key, salt), then combine) — the pattern
+    // for skewed NON-mergeable aggs where AQE alone can't help; result
+    // must equal the direct single-phase aggregation
+    "q_skew_salted" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderstatus").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          pmod(xxhash64(col("o_orderkey")), lit(16)).as("salt"))
+      val salted = o.groupBy("k", "salt")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+        .groupBy("k")
+        .agg(sum(col("n")).as("n_orders"), sum(col("c")).as("cents"))
+      val direct = o.groupBy("k")
+        .agg(count(lit(1)).as("n_d"), sum(col("cents")).as("c_d"))
+      salted.join(direct, Seq("k"))
+        .select(col("k").as("o_orderstatus"), col("n_orders"), col("cents"),
+          (col("n_orders") === col("n_d") && col("cents") === col("c_d")).as("two_phase_ok"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // JSON column handling: extract + aggregate over the props field
+    "q_json_props" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+
     "q_set_ops" -> ((s, dir) => {
       val c = s.read.parquet(s"$dir/customer.parquet").select(col("c_custkey").as("k"))
       val o = s.read.parquet(s"$dir/orders.parquet").select(col("o_custkey").as("k"))
@@ -322,6 +353,18 @@ object PipelineQueries {
       ("SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, " +
         "count(*) AS n_rows, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty " +
         "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY rf, ls"),
+
+    "q_skew_salted" ->
+      ("SELECT o_orderstatus, count(*) AS n_orders, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents, TRUE AS two_phase_ok " +
+        "FROM orders GROUP BY 1 ORDER BY 1"),
+
+    "q_json_props" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
+        "CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k, " +
+        "CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
 
     "q_set_ops" ->
       ("SELECT k, op FROM (" +
