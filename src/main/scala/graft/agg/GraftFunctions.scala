@@ -86,11 +86,12 @@ object GraftFunctions {
   }
   private def lit2Int(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
 
-  /** Registers `graft_*` functions for spark.sql use. */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
+  /** All `graft_*` SQL function builders (shared by session-level
+    * registration and the SparkSessionExtensions install path). */
+  lazy val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = {
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Expression] => Expression)]
     def add(name: String)(builder: Seq[Expression] => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, builder, "built-in")
+      acc += ((name, builder))
 
     add("graft_bloom_agg")(es => AggregateExpression(
       BloomAgg(Cast(es.head, StringType), lit2Long(es(1)), lit2Double(es(2))),
@@ -146,5 +147,14 @@ object GraftFunctions {
     addMerge("graft_cms_merge_agg")(CmsMergeAgg(_))
     addMerge("graft_tdigest_merge_agg")(TDigestMergeAgg(_))
     addMerge("graft_kll_merge_agg")(KllMergeAgg(_))
+    acc.toSeq
+  }
+
+  /** Registers `graft_*` functions on an existing session. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    sqlBuilders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

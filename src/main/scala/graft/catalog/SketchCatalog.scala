@@ -37,11 +37,6 @@ class SketchCatalog(
 
   import SketchCatalog._
 
-  final case class Counters(
-      var checkHits: Long = 0, var checkMisses: Long = 0,
-      var setHits: Long = 0, var setMisses: Long = 0,
-      var pageIns: Long = 0, var pageOuts: Long = 0)
-
   final class Entry(
       val name: String,
       val capacity: Long,
@@ -266,6 +261,12 @@ class SketchCatalog(
 }
 
 object SketchCatalog {
+
+  final case class Counters(
+      var checkHits: Long = 0, var checkMisses: Long = 0,
+      var setHits: Long = 0, var setMisses: Long = 0,
+      var pageIns: Long = 0, var pageOuts: Long = 0)
+
   /** `handler_constants.c:83-84` */
   final val ValidNamePattern = "^[^ \\t\\n\\r]{1,200}$"
 }
