@@ -75,6 +75,58 @@ object Multimodal {
       }
     }
   }
+
+  /** One sampled frame of a media payload. */
+  case class Frame(doc_id: Long, kind: String, frame_idx: Int,
+                   n_bytes: Int, checksum: Long)
+
+  /**
+   * Resize stage (STUB codec: rewrites the header dimensions; a real
+   * implementation would resample the payload). Typed map — the
+   * pipeline shape (schema in, schema out, no shuffle) is the real part.
+   */
+  def resize(spark: SparkSession, media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.map { row =>
+      val m = row.media.clone()
+      putInt(m, 4, w)
+      putInt(m, 8, h)
+      row.copy(media = m)
+    }
+  }
+
+  /**
+   * Frame sampling: split the payload into fixed 256-byte frames and
+   * keep every `every`-th one (a flatMap generator — one input row
+   * fans out to its sampled frames, the mapInPandas-explode shape).
+   * Only `video` rows are sampled; other kinds pass through as their
+   * single frame 0.
+   */
+  def sampleFrames(spark: SparkSession, media: Dataset[MediaRow], every: Int): Dataset[Frame] = {
+    import spark.implicits._
+    val frameSize = 256
+    media.flatMap { row =>
+      val payloadLen = row.media.length - 12
+      def frameChecksum(idx: Int): (Int, Long) = {
+        val start = 12 + idx * frameSize
+        val end = math.min(start + frameSize, row.media.length)
+        var c = 0L
+        var i = start
+        while (i < end) { c = (c + (row.media(i) & 0xff)) % 1000000007L; i += 1 }
+        (end - start, c)
+      }
+      if (row.kind != "video") {
+        val (n, c) = frameChecksum(0)
+        Seq(Frame(row.doc_id, row.kind, 0, math.min(n, payloadLen), c))
+      } else {
+        val nFrames = (payloadLen + frameSize - 1) / frameSize
+        (0 until nFrames by every).map { f =>
+          val (n, c) = frameChecksum(f)
+          Frame(row.doc_id, row.kind, f, n, c)
+        }
+      }
+    }
+  }
 }
 
 object MultimodalCodec {

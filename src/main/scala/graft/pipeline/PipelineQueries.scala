@@ -83,6 +83,22 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // resize stage (stub codec rewrites header dims) then decode —
+    // metadata must reflect the transform, payload untouched
+    "multimodal_transform" -> ((s, dir) => {
+      val media = Multimodal.resize(s, Multimodal.synthesize(s, docs(s, dir)), 32, 24)
+      Multimodal.decode(s, media).toDF()
+        .select(col("doc_id"), col("kind"), col("width"), col("height"),
+          col("n_payload_bytes"), col("checksum"))
+        .orderBy("doc_id")
+    }),
+
+    // frame sampling: every 2nd 256-byte frame of video payloads,
+    // single frame 0 for other kinds; per-frame checksums
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(s, Multimodal.synthesize(s, docs(s, dir)), 2)
+        .toDF().orderBy("doc_id", "frame_idx")),
+
     // ---- streaming ------------------------------------------------------
 
     "stream_sketch_incremental" -> ((s, dir) => {
@@ -331,6 +347,20 @@ object PipelineQueries {
     "stream_sketch_incremental" ->
       ("SELECT source, TRUE AS multi_batch_ok, TRUE AS rows_ok, TRUE AS bloom_ok, TRUE AS hll_ok " +
         "FROM (SELECT DISTINCT source FROM documents) ORDER BY source"),
+
+    "multimodal_transform" ->
+      ("SELECT doc_id, ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind, " +
+        "CAST(32 AS INT) AS width, CAST(24 AS INT) AS height, CAST(strlen(text) AS INT) AS n_payload_bytes, " +
+        "CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) % 1000000007 AS BIGINT) AS checksum " +
+        "FROM documents ORDER BY doc_id"),
+
+    "multimodal_frames" ->
+      ("WITH d AS (SELECT doc_id, ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind, text, strlen(text) AS len FROM documents), " +
+        "a AS (SELECT doc_id, kind, text, len, unnest(range(0, (len + 255) // 256, 2)) AS f FROM d WHERE kind = 'video' " +
+        "UNION ALL SELECT doc_id, kind, text, len, 0 AS f FROM d WHERE kind <> 'video') " +
+        "SELECT doc_id, kind, CAST(f AS INT) AS frame_idx, CAST(least(256, len - f * 256) AS INT) AS n_bytes, " +
+        "CAST(list_sum(list_transform(string_split(substring(text, CAST(f * 256 + 1 AS INT), CAST(least(256, len - f * 256) AS INT)), ''), c -> ascii(c))) % 1000000007 AS BIGINT) AS checksum " +
+        "FROM a ORDER BY doc_id, frame_idx"),
 
     "stream_windowed_hll" ->
       ("SELECT CAST(time_bucket(INTERVAL '6 hours', ts) AS VARCHAR) AS window_start, event_type, " +
