@@ -1,0 +1,240 @@
+package graft.catalog
+
+import graft.sketch.{BloomParams, LayeredBloom}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths}
+import scala.collection.mutable
+
+/**
+ * The Rust server's counting wire protocol (`/root/reference/src/main.rs`)
+ * over layered bloom filters: `check`/`set` return MULTIPLICITIES
+ * (consecutive containing layers) instead of Yes/No, `bulk`/`multi`
+ * return space-joined counts, and lifecycle works on `filter.<name>`
+ * directories (`main.rs:38`, `wrappers.rs:120-201`).
+ *
+ * Exact response-string parity with `interpret_request`
+ * (`main.rs:132-164`) and the golden protocol test (`main.rs:851-930`):
+ * message constants `main.rs:40-48`, arity rules per `process_*`
+ * (check/set exactly 2 args, multi/bulk >= 2, flush <= 1, create key=value
+ * parsing `main.rs:269-311`), counter semantics `main.rs:598-643`
+ * (hit = pre-insert multiplicity > 0), `list`/`info` field order
+ * `main.rs:460-535`, close = unload-without-delete with lazy reload
+ * (`wrappers.rs:238-283`), clear = deregister keeping files, create
+ * over existing files reloads them (`main.rs:316-330`).
+ *
+ * This is the wire-op surface; the distributed path for the same
+ * structure is `lbf_agg`/`lbf_count` (SURVEY.md §2.1).
+ */
+class RustBloomServer(
+    val dataDir: String,
+    val initialCapacity: Long = 100000L,
+    val defaultProbability: Double = 1e-4) {
+
+  import RustBloomServer._
+
+  private final class Entry(
+      val name: String,
+      val capacity: Long,
+      val probability: Double,
+      val bytes: Long,
+      var lbf: Option[LayeredBloom],
+      val counters: SketchCatalog.Counters = SketchCatalog.Counters()) {
+    def size: Long = lbf.map(_.size).getOrElse(loaded.size)
+    /** lazy fault-in, wrappers.rs:275-283 */
+    def loaded: LayeredBloom = lbf.getOrElse {
+      val l = LayeredBloom.deserialize(Files.readAllBytes(dataFile(name)))
+      lbf = Some(l)
+      l
+    }
+  }
+
+  private val filters = mutable.TreeMap.empty[String, Entry]
+
+  private def dir(name: String): Path = Paths.get(dataDir, s"filter.$name")
+  private def dataFile(name: String): Path = dir(name).resolve("data.lbf")
+
+  def interpret(input: String): String = {
+    val args = input.split("\\s+").filter(_.nonEmpty).toList
+    args match {
+      case Nil => NotImplemented
+      case cmd :: rest => cmd match {
+        case "bulk" | "b" => bulkCmd(rest)
+        case "check" | "c" => checkCmd(rest)
+        case "multi" | "m" => multiCmd(rest)
+        case "set" | "s" => setCmd(rest)
+        case "create" => createCmd(rest)
+        case "close" => closeCmd(rest)
+        case "clear" => clearCmd(rest)
+        case "drop" => dropCmd(rest)
+        case "flush" => flushCmd(rest)
+        case "info" => infoCmd(rest)
+        case "list" => listCmd(rest)
+        case _ => NotImplemented
+      }
+    }
+  }
+
+  // ---- key ops (main.rs:598-643) ----
+
+  private def doCheck(e: Entry, key: String): Int = {
+    val v = e.loaded.count(key.getBytes(UTF_8))
+    if (v > 0) e.counters.checkHits += 1 else e.counters.checkMisses += 1
+    v
+  }
+
+  private def doSet(e: Entry, key: String): Int = {
+    val pre = e.loaded.count(key.getBytes(UTF_8))
+    if (pre > 0) e.counters.setHits += 1 else e.counters.setMisses += 1
+    e.loaded.add(key.getBytes(UTF_8)) // appends a layer itself when needed
+  }
+
+  private def bulkCmd(args: List[String]): String = args match {
+    case name :: keys if keys.nonEmpty =>
+      filters.get(name) match {
+        case None => NoExist
+        case Some(e) => keys.map(doSet(e, _)).mkString(" ")
+      }
+    case _ => BadArgs
+  }
+
+  private def multiCmd(args: List[String]): String = args match {
+    case name :: keys if keys.nonEmpty =>
+      filters.get(name) match {
+        case None => NoExist
+        case Some(e) => keys.map(doCheck(e, _)).mkString(" ")
+      }
+    case _ => BadArgs
+  }
+
+  private def checkCmd(args: List[String]): String = args match {
+    case name :: key :: Nil =>
+      filters.get(name).fold(NoExist)(e => doCheck(e, key).toString)
+    case _ => BadArgs
+  }
+
+  private def setCmd(args: List[String]): String = args match {
+    case name :: key :: Nil =>
+      filters.get(name).fold(NoExist)(e => doSet(e, key).toString)
+    case _ => BadArgs
+  }
+
+  // ---- lifecycle ----
+
+  private def createCmd(args: List[String]): String = args match {
+    case Nil => BadArgs
+    case name :: params =>
+      if (filters.contains(name)) return Exists
+      var capacity = initialCapacity
+      var probability = defaultProbability
+      params.foreach {
+        case p if p.startsWith("capacity=") =>
+          p.stripPrefix("capacity=").toLongOption.foreach(capacity = _)
+        case p if p.startsWith("prob=") =>
+          p.stripPrefix("prob=").toDoubleOption.foreach(probability = _)
+        case p if p.startsWith("in_memory=") => // accepted, bitmap mode n/a on JVM
+        case _ => return BadArgs
+      }
+      val entry =
+        if (Files.exists(dataFile(name))) {
+          val lbf = LayeredBloom.deserialize(Files.readAllBytes(dataFile(name)))
+          new Entry(name, lbf.capacity, lbf.fpProbability,
+            BloomParams.sizeForCapacityProb(lbf.capacity, lbf.fpProbability), Some(lbf))
+        } else {
+          val lbf = LayeredBloom.create(capacity, probability)
+          Files.createDirectories(dir(name))
+          Files.write(dataFile(name), lbf.serialize())
+          new Entry(name, capacity, probability,
+            BloomParams.sizeForCapacityProb(capacity, probability), Some(lbf))
+        }
+      filters.put(name, entry)
+      Done
+  }
+
+  private def closeCmd(args: List[String]): String = args match {
+    case Nil => BadArgs
+    case name :: _ =>
+      filters.get(name).fold(NoExist) { e => e.lbf = None; Done }
+  }
+
+  private def clearCmd(args: List[String]): String = args match {
+    case Nil => BadArgs
+    case name :: _ =>
+      if (filters.remove(name).isDefined) Done else NoExist
+  }
+
+  private def dropCmd(args: List[String]): String = args match {
+    case Nil => BadArgs
+    case name :: _ =>
+      filters.remove(name) match {
+        case None => NoExist
+        case Some(_) =>
+          if (Files.exists(dir(name))) {
+            Files.list(dir(name)).forEach(Files.delete(_))
+            Files.delete(dir(name))
+          }
+          Done
+      }
+  }
+
+  private def flushCmd(args: List[String]): String = args match {
+    case Nil =>
+      filters.values.foreach(flushEntry)
+      Done
+    case name :: Nil =>
+      filters.get(name).fold(NoExist) { e => flushEntry(e); Done }
+    case _ => BadArgs
+  }
+
+  private def flushEntry(e: Entry): Unit = e.lbf.foreach { l =>
+    Files.createDirectories(dir(e.name))
+    Files.write(dataFile(e.name), l.serialize())
+  }
+
+  private def infoCmd(args: List[String]): String = args match {
+    case Nil => BadArgs
+    case name :: _ =>
+      filters.get(name).fold(NoExist) { e =>
+        val c = e.counters
+        Start +
+          s"capacity ${e.capacity}\r\n" +
+          s"checks ${c.checkHits + c.checkMisses}\r\n" +
+          s"check_hits ${c.checkHits}\r\n" +
+          s"check_misses ${c.checkMisses}\r\n" +
+          s"page_ins ${c.pageIns}\r\n" +
+          s"page_outs ${c.pageOuts}\r\n" +
+          s"probability ${fmt(e.probability)}\r\n" +
+          s"sets ${c.setHits + c.setMisses}\r\n" +
+          s"set_hits ${c.setHits}\r\n" +
+          s"set_misses ${c.setMisses}\r\n" +
+          s"size ${e.size}\r\n" +
+          s"storage ${e.bytes}\r\n" +
+          End
+      }
+  }
+
+  private def listCmd(args: List[String]): String = args match {
+    case Nil => listWithPrefix("")
+    case prefix :: Nil => listWithPrefix(prefix)
+    case _ => BadArgs
+  }
+
+  private def listWithPrefix(prefix: String): String =
+    Start + filters.valuesIterator
+      .filter(_.name.startsWith(prefix))
+      .map(e => s"${e.name} ${fmt(e.probability)} ${e.bytes} ${e.capacity} ${e.size}\r\n")
+      .mkString + End
+
+  private def fmt(p: Double): String =
+    java.math.BigDecimal.valueOf(p).stripTrailingZeros.toPlainString
+}
+
+object RustBloomServer {
+  // src/main.rs:40-48
+  final val Start = "START\r\n"
+  final val End = "END"
+  final val Done = "Done"
+  final val Exists = "Exists"
+  final val NoExist = "Filter does not exist"
+  final val NotImplemented = "Client Error: Command not supported"
+  final val BadArgs = "Client Error: Bad arguments"
+}

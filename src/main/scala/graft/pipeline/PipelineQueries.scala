@@ -202,6 +202,36 @@ object PipelineQueries {
         (kll_n(col("kll")) === col("n")).as("kll_ok"))
     }),
 
+    // the Rust server's golden wire trace (main.rs:851-930), replayed
+    // against our counting server; responses normalized (\r\n -> " / ")
+    "op_rust_wire_trace" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.catalog.RustBloomServer(
+        java.nio.file.Files.createTempDirectory("rustwire").toString)
+      val trace = Seq(
+        "create filter", "create filter",
+        "check filter first", "set filter first", "c filter first",
+        "s filter first", "c filter first", "s filter first", "c filter first",
+        "set filetr first", "check filetr first",
+        "set filter first second", "check filter", "set filter",
+        "multi filter first second third", "bulk filter first second third",
+        "b filter first second third", "m filter first second third",
+        "bulk filetr first second third", "multi filetr first second third",
+        "list fake_prefix", "list",
+        "info", "info filetr", "info filter",
+        "infor filter", "sette filter first",
+        "flush", "flush filter",
+        "close", "close filter", "create filter",
+        "clear filter", "create filter", "m filter first second third",
+        "drop", "drop filter", "drop filter")
+      trace.zipWithIndex
+        .map { case (cmd, i) =>
+          (i + 1, cmd, srv.interpret(cmd).replace("\r\n", " / "))
+        }
+        .toDF("step", "command", "response")
+        .orderBy("step")
+    }),
+
     // ---- relational coverage extras -------------------------------------
 
     "q_rollup" -> ((s, dir) =>
@@ -378,6 +408,48 @@ object PipelineQueries {
 
     "sketch_rollup" ->
       "SELECT TRUE AS bloom_ok, TRUE AS hll_ok, TRUE AS cms_ok, TRUE AS td_ok, TRUE AS kll_ok",
+
+    "op_rust_wire_trace" ->
+      ("SELECT * FROM (VALUES " +
+        "(1, 'create filter', 'Done'), " +
+        "(2, 'create filter', 'Exists'), " +
+        "(3, 'check filter first', '0'), " +
+        "(4, 'set filter first', '1'), " +
+        "(5, 'c filter first', '1'), " +
+        "(6, 's filter first', '2'), " +
+        "(7, 'c filter first', '2'), " +
+        "(8, 's filter first', '3'), " +
+        "(9, 'c filter first', '3'), " +
+        "(10, 'set filetr first', 'Filter does not exist'), " +
+        "(11, 'check filetr first', 'Filter does not exist'), " +
+        "(12, 'set filter first second', 'Client Error: Bad arguments'), " +
+        "(13, 'check filter', 'Client Error: Bad arguments'), " +
+        "(14, 'set filter', 'Client Error: Bad arguments'), " +
+        "(15, 'multi filter first second third', '3 0 0'), " +
+        "(16, 'bulk filter first second third', '4 1 1'), " +
+        "(17, 'b filter first second third', '5 2 2'), " +
+        "(18, 'm filter first second third', '5 2 2'), " +
+        "(19, 'bulk filetr first second third', 'Filter does not exist'), " +
+        "(20, 'multi filetr first second third', 'Filter does not exist'), " +
+        "(21, 'list fake_prefix', 'START / END'), " +
+        "(22, 'list', 'START / filter 0.0001 239627 100000 3 / END'), " +
+        "(23, 'info', 'Client Error: Bad arguments'), " +
+        "(24, 'info filetr', 'Filter does not exist'), " +
+        "(25, 'info filter', 'START / capacity 100000 / checks 10 / check_hits 7 / check_misses 3 / page_ins 0 / page_outs 0 / probability 0.0001 / sets 9 / set_hits 6 / set_misses 3 / size 3 / storage 239627 / END'), " +
+        "(26, 'infor filter', 'Client Error: Command not supported'), " +
+        "(27, 'sette filter first', 'Client Error: Command not supported'), " +
+        "(28, 'flush', 'Done'), " +
+        "(29, 'flush filter', 'Done'), " +
+        "(30, 'close', 'Client Error: Bad arguments'), " +
+        "(31, 'close filter', 'Done'), " +
+        "(32, 'create filter', 'Exists'), " +
+        "(33, 'clear filter', 'Done'), " +
+        "(34, 'create filter', 'Done'), " +
+        "(35, 'm filter first second third', '5 2 2'), " +
+        "(36, 'drop', 'Client Error: Bad arguments'), " +
+        "(37, 'drop filter', 'Done'), " +
+        "(38, 'drop filter', 'Filter does not exist')" +
+        ") AS t(step, command, response) ORDER BY step"),
 
     "q_rollup" ->
       ("SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, " +
