@@ -70,7 +70,7 @@ class SketchCatalog(
       return "Done"
     }
     val entry = new Entry(name, cap, p, inMemory,
-      Some(ScalableBloom.create(cap, p, scaleSize, probReduction)))
+      Some(ScalableBloom.create(cap, p, scaleSize, probReduction).materialize()))
     registry(name) = entry
     if (!inMemory) persist(entry)
     "Done"
@@ -155,6 +155,26 @@ class SketchCatalog(
         e.counters.setHits += added
         e.counters.setMisses += nKeys - added
         Right(result)
+    }
+
+  // ---- driver-side single-key ops (the wire-protocol surface; the
+  // distributed path is setKeys/checkKeys) ----
+  def setKeyLocal(name: String, key: String): Either[String, Boolean] =
+    registry.get(name) match {
+      case None => Left("Filter does not exist")
+      case Some(e) =>
+        val added = faultIn(e).add(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if (added) e.counters.setHits += 1 else e.counters.setMisses += 1
+        Right(added)
+    }
+
+  def checkKeyLocal(name: String, key: String): Either[String, Boolean] =
+    registry.get(name) match {
+      case None => Left("Filter does not exist")
+      case Some(e) =>
+        val present = faultIn(e).contains(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if (present) e.counters.checkHits += 1 else e.counters.checkMisses += 1
+        Right(present)
     }
 
   // ---- `check` / `multi`: distributed membership probe ----

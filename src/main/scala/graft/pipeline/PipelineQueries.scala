@@ -202,6 +202,34 @@ object PipelineQueries {
         (kll_n(col("kll")) === col("n")).as("kll_ok"))
     }),
 
+    // the C daemon's line protocol (conn_handler.c), replayed over a
+    // composite of its integ-test goldens; responses normalized
+    // (trailing \n stripped, inner \n -> " / ")
+    "op_c_wire_trace" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.catalog.CWireServer(new graft.catalog.SketchCatalog(s,
+        java.nio.file.Files.createTempDirectory("cwire").toString))
+      val trace = Seq(
+        "list", "create foobar", "create foobar", "create " + ("foo" * 100),
+        "set foobar test", "set foobar test", "check foobar test", "check foobar other",
+        "multi foobar test test1 test2", "bulk foobar test blah",
+        "b foobar x y", "s foobar x", "m foobar x y", "c foobar x",
+        "set foobar", "check foobar", "set nosuch key", "multi nosuch a b",
+        "frobnicate foobar", "create", "create badcap capacity=500", "create badp prob=0.5",
+        "create foobar2", "create test4", "list foo",
+        "clear foobar2", "close foobar2", "clear foobar2", "create foobar2",
+        "drop foobar2", "drop foobar2",
+        "flush", "flush foobar", "flush nosuch",
+        "info foobar", "drop foobar", "drop test4", "list")
+      trace.zipWithIndex
+        .map { case (cmd, i) =>
+          (i + 1, if (cmd.length > 40) cmd.take(20) + "..." else cmd,
+            srv.interpret(cmd).stripSuffix("\n").replace("\n", " / "))
+        }
+        .toDF("step", "command", "response")
+        .orderBy("step")
+    }),
+
     // the Rust server's golden wire trace (main.rs:851-930), replayed
     // against our counting server; responses normalized (\r\n -> " / ")
     "op_rust_wire_trace" -> ((s, dir) => {
@@ -408,6 +436,48 @@ object PipelineQueries {
 
     "sketch_rollup" ->
       "SELECT TRUE AS bloom_ok, TRUE AS hll_ok, TRUE AS cms_ok, TRUE AS td_ok, TRUE AS kll_ok",
+
+    "op_c_wire_trace" ->
+      ("SELECT * FROM (VALUES " +
+        "(1, 'list', 'START / END'), " +
+        "(2, 'create foobar', 'Done'), " +
+        "(3, 'create foobar', 'Exists'), " +
+        "(4, 'create foofoofoofoof...', 'Client Error: Bad filter name'), " +
+        "(5, 'set foobar test', 'Yes'), " +
+        "(6, 'set foobar test', 'No'), " +
+        "(7, 'check foobar test', 'Yes'), " +
+        "(8, 'check foobar other', 'No'), " +
+        "(9, 'multi foobar test test1 test2', 'Yes No No'), " +
+        "(10, 'bulk foobar test blah', 'No Yes'), " +
+        "(11, 'b foobar x y', 'Yes Yes'), " +
+        "(12, 's foobar x', 'No'), " +
+        "(13, 'm foobar x y', 'Yes Yes'), " +
+        "(14, 'c foobar x', 'Yes'), " +
+        "(15, 'set foobar', 'Client Error: Must provide filter name and key'), " +
+        "(16, 'check foobar', 'Client Error: Must provide filter name and key'), " +
+        "(17, 'set nosuch key', 'Filter does not exist'), " +
+        "(18, 'multi nosuch a b', 'Filter does not exist'), " +
+        "(19, 'frobnicate foobar', 'Client Error: Command not supported'), " +
+        "(20, 'create', 'Client Error: Must provide filter name'), " +
+        "(21, 'create badcap capacity=500', 'Client Error: Bad arguments'), " +
+        "(22, 'create badp prob=0.5', 'Client Error: Bad arguments'), " +
+        "(23, 'create foobar2', 'Done'), " +
+        "(24, 'create test4', 'Done'), " +
+        "(25, 'list foo', 'START / foobar 0.000100 300046 100000 4 / foobar2 0.000100 300046 100000 0 / END'), " +
+        "(26, 'clear foobar2', 'Filter is not proxied. Close it first.'), " +
+        "(27, 'close foobar2', 'Done'), " +
+        "(28, 'clear foobar2', 'Done'), " +
+        "(29, 'create foobar2', 'Done'), " +
+        "(30, 'drop foobar2', 'Done'), " +
+        "(31, 'drop foobar2', 'Filter does not exist'), " +
+        "(32, 'flush', 'Done'), " +
+        "(33, 'flush foobar', 'Done'), " +
+        "(34, 'flush nosuch', 'Filter does not exist'), " +
+        "(35, 'info foobar', 'START / capacity 100000 / checks 8 / check_hits 5 / check_misses 3 / in_memory 1 / page_ins 0 / page_outs 0 / probability 0.000100 / sets 7 / set_hits 4 / set_misses 3 / size 4 / storage 300046 / END'), " +
+        "(36, 'drop foobar', 'Done'), " +
+        "(37, 'drop test4', 'Done'), " +
+        "(38, 'list', 'START / END')" +
+        ") AS t(step, command, response) ORDER BY step"),
 
     "op_rust_wire_trace" ->
       ("SELECT * FROM (VALUES " +

@@ -50,6 +50,11 @@ final class ScalableBloom(
   /** the insertion target: the newest (highest-rung, last) layer */
   private def activeFilter: BloomFilter = layers.last._2
 
+  /** Materialize layer 0 eagerly — the reference daemon's create path
+    * constructs the SBF with its first filter (`sbf.c` init), so
+    * byte-size/list output is non-zero immediately after `create`. */
+  def materialize(): this.type = { if (layers.isEmpty) grow(); this }
+
   private def grow(): Unit = {
     val next = topRung + 1
     layers += ((next, BloomFilter.create(rungParams(next))))
