@@ -126,6 +126,16 @@ object PipelineQueries {
         .repartitionByRange(8, col("ts"))
         .sortWithinPartitions("ts")
         .write.mode("overwrite").parquet(in)
+      // the file source replays in MODIFICATION-TIME order, and parallel
+      // write tasks finish in arbitrary order — pin mtimes to path order
+      // so the replay follows event time (range partition 0 = earliest)
+      val parts = java.nio.file.Files.list(java.nio.file.Paths.get(in)).iterator()
+      val sorted = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+      while (parts.hasNext) { val p = parts.next(); if (p.toString.endsWith(".parquet")) sorted += p }
+      sorted.sortBy(_.getFileName.toString).zipWithIndex.foreach { case (p, i) =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
       val streamed = graft.streaming.WindowedSketch.windowedHll(
         s, in, tmp.resolve("cp").toString)
       graft.streaming.WindowedSketch.compareWindowedToBatch(s, in, streamed)
