@@ -105,7 +105,85 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"))
     val exactTop = bruteTopK(emb, nQueries, k).select(col("q_id"), col("n_id"))
-    val hits = lshTop.intersect(exactTop)
+    recallCheck(lshTop, exactTop, recallFloor)
+  }
+
+  /**
+   * IVF (inverted-file) ANN: a deterministic coarse quantizer —
+   * centroids seeded from the first `nCells` vectors, refined by
+   * `lloydIters` Lloyd iterations run as DataFrame jobs (assign =
+   * row-local argmin over vec_dot distances; update = per-(cell, dim)
+   * average) — partitions the corpus into posting lists; a query
+   * probes its `nProbe` nearest cells and exactly re-ranks their
+   * members. At 100 TB the posting lists are the partition layout
+   * (cluster-prune instead of scan), which is why IVF is the
+   * standard scale path for embedding search.
+   */
+  def ivfTopK(emb: DataFrame, nQueries: Int, k: Int, nCells: Int = 16,
+              lloydIters: Int = 3, nProbe: Int = 4,
+              recallFloor: Double = 0.05): DataFrame = {
+    val nDims = 64
+    val e = vectors(emb)
+
+    def sqNorm(c: Array[Double]): Double = c.foldLeft(0.0)((a, x) => a + x * x)
+    def centroidLit(c: Array[Double]): Column = typedlit(c.toSeq)
+    // nearest centroid by L2: argmin(-2 v.c + |c|^2) (|v|^2 constant per row)
+    def cellCol(cents: Seq[Array[Double]]): Column = {
+      val dists = array(cents.map(c =>
+        VecFunctions.vec_dot(col("v"), centroidLit(c)) * -2.0 + sqNorm(c)): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+
+    var centroids: Seq[Array[Double]] = e.filter(col("vec_id") < nCells)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Double](1).toArray).toSeq
+    for (_ <- 1 to lloydIters) {
+      val means = e.withColumn("cell", cellCol(centroids))
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          val c = new Array[Double](nDims)
+          rows.foreach(r => c(r.getInt(1)) = r.getDouble(2))
+          cell -> c
+        }
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
+    }
+
+    val posting = e.withColumn("cell", cellCol(centroids))
+    val queryVecs = e.filter(col("vec_id") < nQueries).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val probeCells = queryVecs.flatMap { case (qId, qv) =>
+      centroids.zipWithIndex
+        .map { case (c, i) =>
+          (i, -2.0 * c.zip(qv).map { case (a, b) => a * b }.sum + sqNorm(c))
+        }
+        .sortBy { case (i, d) => (d, i) }
+        .take(nProbe)
+        .map { case (i, _) => (qId, i) }
+    }.toSeq.toDF("q_id", "cell")
+
+    val cand = posting.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("v"))
+      .join(broadcast(e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))), Seq("q_id"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    val ivfTop = cand
+      .select(col("q_id"), col("n_id"), Dedup.cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"))
+    val exactTop = bruteTopK(emb, nQueries, k).select(col("q_id"), col("n_id"))
+    recallCheck(ivfTop, exactTop, recallFloor)
+  }
+
+  private def recallCheck(approxTop: DataFrame, exactTop: DataFrame,
+                          recallFloor: Double): DataFrame = {
+    val hits = approxTop.intersect(exactTop)
       .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
     exactTop.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
       .join(hits, Seq("q_id"), "left")

@@ -72,6 +72,9 @@ object PipelineQueries {
     "ann_lsh_topk" -> ((s, dir) =>
       Ann.lshTopK(emb(s, dir), nQueries = 10, k = 10).orderBy("q_id")),
 
+    "ann_ivf_topk" -> ((s, dir) =>
+      Ann.ivfTopK(emb(s, dir), nQueries = 10, k = 10, recallFloor = 0.3).orderBy("q_id")),
+
     // ---- multimodal -----------------------------------------------------
 
     "multimodal_decode" -> ((s, dir) => {
@@ -402,6 +405,9 @@ object PipelineQueries {
         "WHERE a.vec_id < 10)) WHERE rank <= 10 ORDER BY q_id, rank"),
 
     "ann_lsh_topk" ->
+      ("SELECT vec_id AS q_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 10 ORDER BY q_id"),
+
+    "ann_ivf_topk" ->
       ("SELECT vec_id AS q_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 10 ORDER BY q_id"),
 
     "multimodal_decode" ->

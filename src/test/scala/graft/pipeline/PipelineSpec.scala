@@ -111,6 +111,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.forall(_.getBoolean(1)), "per-query recall floor")
   }
 
+  test("IVF ANN: deterministic Lloyd quantizer, probe-and-rerank recall >= 0.3 per query") {
+    val out = Ann.ivfTopK(emb, 10, 10, recallFloor = 0.3).collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getBoolean(1)), "per-query IVF recall floor")
+  }
+
   test("multimodal: synthesized GMM1 payload decodes to header metadata + checksum of payload bytes") {
     val decoded = Multimodal.decode(spark, Multimodal.synthesize(spark, docs))
       .collect().map(d => d.doc_id -> d).toMap
