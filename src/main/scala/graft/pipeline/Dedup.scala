@@ -153,6 +153,41 @@ object Dedup {
     dot(va, vb) / (sqrt(dot(va, va)) * sqrt(dot(vb, vb)))
   }
 
+  /**
+   * Dedup completion: connected components over the near-dup pair
+   * graph, keeping the lowest doc_id of each component as the
+   * representative — the final keep/drop decision of a dedup
+   * pipeline. Implemented as DataFrame min-label propagation to a
+   * fixpoint (each iteration: label = min(own, neighbors' labels));
+   * near-dup graphs have tiny diameter, so this converges in a few
+   * shuffles even at corpus scale (GraphX offers the same algorithm
+   * RDD-side; we stay in DataFrames per the engine contract).
+   */
+  def nearDupClusters(docs: DataFrame, minJ: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, 3, minJ).select("id_a", "id_b")
+    val edges = pairs
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    while (!converged) {
+      val next = edges
+        .join(labels.select(col("id").as("id_b"), col("label").as("nl")), Seq("id_b"))
+        .groupBy(col("id_a").as("id")).agg(min(col("nl")).as("minN"))
+        .join(labels, Seq("id"))
+        .select(col("id"), least(col("label"), col("minN")).as("label"))
+        .cache()
+      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"),
+      (col("id") === col("label")).as("keep"))
+  }
+
   /** Exact-Jaccard verification of candidate pairs against shingle sets. */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame, minJ: Double): DataFrame =
     cand

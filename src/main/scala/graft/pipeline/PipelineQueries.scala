@@ -61,6 +61,9 @@ object PipelineQueries {
       Dedup.simhashPairs(docs(s, dir), maxHamming = 16, minJ = 0.5)
         .orderBy("id_a", "id_b")),
 
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(docs(s, dir), 0.5).orderBy("doc_id")),
+
     "dedup_embedding_cosine" -> ((s, dir) =>
       Dedup.cosinePairs(emb(s, dir), minCos = 0.44).orderBy("id_a", "id_b")),
 
@@ -393,6 +396,12 @@ object PipelineQueries {
     "dedup_ngram_jaccard" -> JaccardPairs,
     "dedup_minhash_lsh" -> JaccardPairs,
     "dedup_simhash" -> JaccardPairs,
+
+    "dedup_clusters" ->
+      (s"WITH e AS (SELECT id_a AS a, id_b AS b FROM ($JaccardPairs) UNION SELECT id_b, id_a FROM ($JaccardPairs)), " +
+        "reach AS (WITH RECURSIVE r(a, b) AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a) SELECT * FROM r) " +
+        "SELECT a AS doc_id, least(a, min(b)) AS cluster_rep, a = least(a, min(b)) AS keep " +
+        "FROM reach GROUP BY a ORDER BY doc_id"),
 
     "dedup_embedding_cosine" ->
       (s"SELECT id_a, id_b, round(c, 6) AS cos FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, $Cos AS c " +
