@@ -318,6 +318,36 @@ object PipelineQueries {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy("event_type")),
 
+    // 3-table join + filter + agg + top-k (TPC-H Q3 shape)
+    "q3_shipping" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("long").as("rev_cents"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(col("rev_cents")).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_orderdate").cast("string").as("o_date"),
+          col("revenue_cents"))
+    }),
+
+    // EXISTS-style semi join: customers with at least one urgent order
+    "q_semi_join" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val urgent = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority").startsWith("1"))
+        .select(col("o_custkey"))
+      c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
     "q_set_ops" -> ((s, dir) => {
       val c = s.read.parquet(s"$dir/customer.parquet").select(col("c_custkey").as("k"))
       val o = s.read.parquet(s"$dir/orders.parquet").select(col("o_custkey").as("k"))
@@ -562,6 +592,19 @@ object PipelineQueries {
         "CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k, " +
         "CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k " +
         "FROM events GROUP BY 1 ORDER BY 1"),
+
+    "q3_shipping" ->
+      ("SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_date, CAST(revenue_cents AS BIGINT) AS revenue_cents FROM (" +
+        "SELECT o_orderkey, o_orderdate, sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS revenue_cents " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment = 'BUILDING' " +
+        "GROUP BY o_orderkey, o_orderdate ORDER BY revenue_cents DESC, o_orderkey LIMIT 10)"),
+
+    "q_semi_join" ->
+      ("SELECT c_custkey, c_mktsegment FROM customer " +
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority LIKE '1%') " +
+        "ORDER BY c_custkey"),
 
     "q_set_ops" ->
       ("SELECT k, op FROM (" +

@@ -80,6 +80,27 @@ class PipelineSpec extends AnyFunSuite {
     viaIndex.foreach { case (k, j) => assert(math.abs(j - brute(k)) < 1e-6) }
   }
 
+  test("stop-shingle cap (scale path) loses no pairs at the threshold on this corpus") {
+    val uncapped = pairSet(Dedup.ngramJaccardPairs(docs, 3, 0.5))
+    val capped = pairSet(Dedup.ngramJaccardPairs(docs, 3, 0.5, maxShingleDocs = 8))
+    assert(capped == uncapped, "J>=0.5 pairs share many shingles; dropping hot ones must not lose them")
+  }
+
+  test("near-dup clusters: reps are cluster minima, every paired doc appears, keep flags consistent") {
+    val pairs = pairSet(Dedup.ngramJaccardPairs(docs, 3, 0.5))
+    val clusters = Dedup.nearDupClusters(docs, 0.5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val pairedDocs = pairs.flatMap(p => Seq(p._1, p._2))
+    assert(clusters.keySet == pairedDocs)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a)._1 == clusters(b)._1, s"pair ($a,$b) must share a cluster rep")
+    }
+    clusters.foreach { case (id, (rep, keep)) =>
+      assert(rep <= id)
+      assert(keep == (rep == id))
+    }
+  }
+
   test("cosine kernel matches hand computation; cosine pairs are symmetric-free (a<b) and thresholded") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
