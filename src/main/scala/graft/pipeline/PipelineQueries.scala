@@ -159,6 +159,34 @@ object PipelineQueries {
       graft.streaming.WindowedSketch.compareUserStateToBatch(s, in, streamed)
     }),
 
+    // snapshot/time-travel sketch table: v1 = sketches of half the
+    // corpus, v2 = full corpus; reading v1 after v2 exists must see the
+    // old estimates (immutable snapshots), v2 must equal a direct build
+    "sketch_table_snapshots" -> ((s, dir) => {
+      val io = new graft.catalog.SketchTableIO(s,
+        java.nio.file.Files.createTempDirectory("snaps").toString)
+      def build(d: DataFrame) = d
+        .select(col("source"), explode(col("tokens")).as("token"))
+        .groupBy("source")
+        .agg(hll_agg(col("token").cast("string"), 14).as("hll"), count(lit(1)).as("n"))
+      val all = TokenTable.load(s, dir)
+      val half = all.filter(col("doc_id").cast("long") < 250)
+      io.commit(build(half), Map("docs" -> half.count()))
+      io.commit(build(all), Map("docs" -> all.count()))
+      val v1 = io.read(1).select(col("source"),
+        hll_estimate(col("hll")).as("e1"), col("n").as("n1"))
+      val v2 = io.read(2).select(col("source"),
+        hll_estimate(col("hll")).as("e2"), col("n").as("n2"))
+      val direct = build(all).select(col("source"),
+        hll_estimate(col("hll")).as("ed"), col("n").as("nd"))
+      v1.join(v2, Seq("source")).join(direct, Seq("source"))
+        .select(col("source"),
+          lit(io.versions == Seq(1L, 2L)).as("versions_ok"),
+          (col("n1") < col("n2")).as("snapshot_isolated"),
+          (col("e2") === col("ed") && col("n2") === col("nd")).as("latest_matches_direct"))
+        .orderBy("source")
+    }),
+
     // kill/resume: build crashes (injected) after 1 checkpointed batch,
     // resumes from the lineage journal, and the folded result must be
     // bit-equivalent to a single-shot build (north rule resumability)
@@ -483,6 +511,10 @@ object PipelineQueries {
     "stream_user_state" ->
       ("SELECT user_id, count(DISTINCT event_type) AS n_types_exact, TRUE AS state_ok " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
+
+    "sketch_table_snapshots" ->
+      ("SELECT source, TRUE AS versions_ok, TRUE AS snapshot_isolated, TRUE AS latest_matches_direct " +
+        "FROM (SELECT DISTINCT source FROM documents) ORDER BY source"),
 
     "resumable_build" ->
       ("SELECT source, TRUE AS crashed_then_resumed, TRUE AS skipped_done_batches, " +
