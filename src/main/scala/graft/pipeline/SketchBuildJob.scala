@@ -60,7 +60,7 @@ object SketchBuildJob {
     batches.foreach { case (batch, files) =>
       if (!done.contains(batch)) {
         val t0 = System.nanoTime()
-        val tokens = spark.read.parquet(files: _*)
+        val tokens = spark.read.parquet(files.toIndexedSeq: _*)
           .select(col("source"), explode(col("tokens")).as("token"))
         val partial = tokens.groupBy("source").agg(
           bloom_agg(col("token").cast("string"), capacity, fpProb).as("bloom"),
