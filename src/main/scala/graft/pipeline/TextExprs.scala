@@ -3,7 +3,7 @@ package graft.pipeline
 import graft.hash.Murmur3x64
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.ColumnShim
@@ -20,6 +20,20 @@ import org.apache.spark.unsafe.types.UTF8String
  * partitionings, and reruns — required for resumable jobs.
  */
 
+
+/** Reference-object codegen for unary text-sketch expressions: keeps
+  * the enclosing scan projection inside WholeStageCodegen (a
+  * CodegenFallback child would interpret the whole stage). */
+trait UnaryRefCodegen { self: UnaryExpression =>
+  def evalRef(input: AnyRef): AnyRef
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("expr", this, classOf[UnaryRefCodegen].getName)
+    val boxed = CodeGenerator.boxedType(dataType)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ($boxed) $ref.evalRef($c);")
+  }
+}
+
 /**
  * MinHash signature of a set of shingle strings.
  *
@@ -32,7 +46,8 @@ import org.apache.spark.unsafe.types.UTF8String
  * signed Long order with empty-set sentinel Long.MaxValue.
  */
 case class MinHashSig(child: Expression, numPerms: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryRefCodegen {
+  override def evalRef(input: AnyRef): AnyRef = nullSafeEval(input).asInstanceOf[AnyRef]
   require(numPerms > 0 && numPerms <= 4096, s"numPerms out of range: $numPerms")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -73,7 +88,8 @@ case class MinHashSig(child: Expression, numPerms: Int)
  * built-in `bit_count(a ^ b)` — no custom expression needed there.
  */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryRefCodegen {
+  override def evalRef(input: AnyRef): AnyRef = nullSafeEval(input).asInstanceOf[AnyRef]
 
   override def dataType: DataType = LongType
 
@@ -122,7 +138,8 @@ case class SimHash64(child: Expression)
  * array_distinct).
  */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryRefCodegen {
+  override def evalRef(input: AnyRef): AnyRef = nullSafeEval(input).asInstanceOf[AnyRef]
   require(n >= 1, s"shingle width $n")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
