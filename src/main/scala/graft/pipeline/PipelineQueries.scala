@@ -159,6 +159,18 @@ object PipelineQueries {
       graft.streaming.WindowedSketch.compareUserStateToBatch(s, in, streamed)
     }),
 
+    // same contract on the transformWithState API (explicit ValueState
+    // schema over the RocksDB store) — Spark 4's arbitrary-state operator
+    "stream_tws_user_state" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("grafttws")
+      val in = tmp.resolve("in").toString
+      s.read.parquet(s"$dir/events.parquet").repartition(8)
+        .write.mode("overwrite").parquet(in)
+      val streamed = graft.streaming.WindowedSketch.userTypeStateTws(
+        s, in, tmp.resolve("cp").toString)
+      graft.streaming.WindowedSketch.compareUserStateToBatch(s, in, streamed)
+    }),
+
     // snapshot/time-travel sketch table: v1 = sketches of half the
     // corpus, v2 = full corpus; reading v1 after v2 exists must see the
     // old estimates (immutable snapshots), v2 must equal a direct build
@@ -509,6 +521,10 @@ object PipelineQueries {
         "FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"),
 
     "stream_user_state" ->
+      ("SELECT user_id, count(DISTINCT event_type) AS n_types_exact, TRUE AS state_ok " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+
+    "stream_tws_user_state" ->
       ("SELECT user_id, count(DISTINCT event_type) AS n_types_exact, TRUE AS state_ok " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
 

@@ -4,7 +4,9 @@ import graft.agg.GraftFunctions._
 import graft.sketch.BloomFilter
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 /**
  * Event-time streaming over the `events` table: watermarked windowed
@@ -106,6 +108,60 @@ object WindowedSketch {
       .as[(Long, String)]
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateState)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, Long)], _: Long) =>
+        batch.collect().foreach { case (u, c) => out.put(u, c) }
+      }
+      .start()
+    q.awaitTermination()
+
+    import scala.jdk.CollectionConverters._
+    out.asScala.toSeq.map { case (u, c) => (u, c) }.toDF("user_id", "n_types_sketch")
+  }
+
+  /**
+   * The same per-user sketch state on the transformWithState API
+   * (Spark 4's arbitrary-state operator, requires the RocksDB state
+   * store): a ValueState[Array[Byte]] holds the serialized bloom —
+   * state schema is explicit and TTL-able, the production shape for
+   * long-running novelty/dedup state.
+   */
+  private class UserTypeProcessor
+      extends StatefulProcessor[Long, (Long, String), (Long, Long)] {
+    @transient private var bloomState: ValueState[Array[Byte]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      bloomState = getHandle.getValueState[Array[Byte]]("bloom", Encoders.BINARY, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+                                 timerValues: TimerValues): Iterator[(Long, Long)] = {
+      val bloom =
+        if (bloomState.exists()) BloomFilter.deserialize(bloomState.get())
+        else BloomFilter.create(20000L, 1e-4)
+      rows.foreach { case (_, et) =>
+        bloom.addKey(et.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      bloomState.update(bloom.serialize())
+      Iterator.single((key, bloom.count))
+    }
+  }
+
+  def userTypeStateTws(spark: SparkSession, inDir: String, checkpointDir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val schema = spark.read.parquet(inDir).schema
+    val out = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(inDir)
+      .select(col("user_id").cast("long"), col("event_type"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new UserTypeProcessor, TimeMode.None(), OutputMode.Update())
       .writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
