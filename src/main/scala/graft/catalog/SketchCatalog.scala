@@ -47,6 +47,24 @@ class SketchCatalog(
 
   private val registry = mutable.LinkedHashMap.empty[String, Entry]
 
+  // ---- async drop machinery (`conn_handler.c:238-326`): file deletion
+  // happens off the command path; `create` of a name whose files are
+  // still being deleted answers "Delete in progress" like the reference
+  // (which defers deletes until client refs drain + the reaper runs).
+  private val pendingDeletes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val deleter = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+    val t = new Thread(r, "graft-catalog-deleter"); t.setDaemon(true); t
+  })
+  /** test seam: deletions block on this latch when set */
+  @volatile private[catalog] var deleteBarrier: Option[java.util.concurrent.CountDownLatch] = None
+
+  /** block until all in-flight deletes finish (spec + shutdown helper) */
+  def awaitDeletes(): Unit = {
+    val f = deleter.submit(new Runnable { def run(): Unit = () })
+    f.get()
+  }
+
   Files.createDirectories(Paths.get(dataDir))
   restore()
 
@@ -62,6 +80,8 @@ class SketchCatalog(
     if (cap <= 10000) return "Client Error: Bad arguments"
     if (p <= 0 || p >= 0.1) return "Client Error: Bad arguments"
     if (registry.contains(name)) return "Exists"
+    // an in-flight async drop still owns the files (`conn_handler.c:307`)
+    if (pendingDeletes.contains(name)) return "Delete in progress"
     // clear-reload parity (`tests/bloomd/test_filtmgr.c` clear_reload):
     // create over files left by `clear` re-registers them proxied and
     // the old data faults back in on first use.
@@ -76,11 +96,18 @@ class SketchCatalog(
     "Done"
   }
 
-  // ---- `drop <name>`: remove + delete files ----
+  // ---- `drop <name>`: deregister now, delete files asynchronously ----
   def drop(name: String): String = registry.remove(name) match {
     case None => "Filter does not exist"
     case Some(_) =>
-      deleteRecursively(filterDir(name))
+      pendingDeletes.add(name)
+      deleter.submit(new Runnable {
+        def run(): Unit =
+          try {
+            deleteBarrier.foreach(_.await())
+            deleteRecursively(filterDir(name))
+          } finally pendingDeletes.remove(name)
+      })
       "Done"
   }
 
@@ -229,6 +256,22 @@ class SketchCatalog(
   def exists(name: String): Boolean = registry.contains(name)
   def names: Seq[String] = registry.keys.toSeq.sorted
 
+  /** Register a filter restored from a reference-daemon directory
+    * (`bloomd.<name>/`, see [[SketchCatalog.restoreFromBloomd]]). */
+  def importBloomd(dir: Path): String = {
+    val (ini, sbf) = SketchCatalog.restoreFromBloomd(dir)
+    val name = dir.getFileName.toString.stripPrefix("bloomd.")
+    if (registry.contains(name)) "Exists"
+    else {
+      val e = new Entry(name, ini.initialCapacity, ini.defaultProbability,
+        ini.inMemory, Some(sbf))
+      e.counters.pageIns += 1 // discover counts a page-in (filter.c:531)
+      registry(name) = e
+      if (!ini.inMemory) persist(e)
+      "Done"
+    }
+  }
+
   // ---- persistence ----
 
   private def persist(e: Entry): Unit = {
@@ -289,4 +332,67 @@ object SketchCatalog {
 
   /** `handler_constants.c:83-84` */
   final val ValidNamePattern = "^[^ \\t\\n\\r]{1,200}$"
+
+  /** The reference's per-filter config.ini fields
+    * (`csrc/bloomd/config.c:482-507` writes them; section [bloomd]). */
+  final case class BloomdIni(
+      initialCapacity: Long, defaultProbability: Double,
+      scaleSize: Int, probabilityReduction: Double, inMemory: Boolean,
+      size: Long, capacity: Long, bytes: Long)
+
+  /** Minimal INI reader for the reference's own files: section headers
+    * ignored (single [bloomd] section), `key = value` lines, `#`/`;`
+    * comments (`deps/inih/ini.c` grammar subset the reference emits). */
+  def parseBloomdIni(text: String): Map[String, String] =
+    text.linesIterator
+      .map(_.trim)
+      .filterNot(l => l.isEmpty || l.startsWith("[") || l.startsWith("#") || l.startsWith(";"))
+      .flatMap { l =>
+        val eq = l.indexOf('=')
+        if (eq < 0) None else Some(l.take(eq).trim -> l.drop(eq + 1).trim)
+      }
+      .toMap
+
+  /**
+   * Restore a scalable bloom filter from the reference C daemon's
+   * on-disk directory (`bloomd.<name>/{config.ini, data.NNN.mmap}`),
+   * mirroring `discover_existing_filters` (`filter.c:435-536`):
+   * `*.mmap` files alphasorted are the layers oldest-to-newest, layer
+   * i gets capacity `initial_capacity * scale_size^i`
+   * (`sbf.c:278-287` reconstructs the same ladder reversed, newest
+   * first), and each file is a bitmap in the exact layout
+   * [[graft.sketch.BloomFilter.serialize]] emits (512-byte header +
+   * MSB-first bit array) — so restore is deserialize + stack.
+   *
+   * This is the migration path: point it at a directory written by
+   * the reference daemon and get a sketch whose membership answers
+   * match bit-for-bit.
+   */
+  def restoreFromBloomd(dir: Path): (BloomdIni, ScalableBloom) = {
+    val iniPath = dir.resolve("config.ini")
+    require(Files.exists(iniPath), s"no config.ini under $dir")
+    val kv = parseBloomdIni(new String(Files.readAllBytes(iniPath), UTF_8))
+    val ini = BloomdIni(
+      initialCapacity = kv("initial_capacity").toLong,
+      defaultProbability = kv("default_probability").toDouble,
+      scaleSize = kv("scale_size").toInt,
+      probabilityReduction = kv("probability_reduction").toDouble,
+      inMemory = kv.get("in_memory").exists(v => v == "1" || v == "true"),
+      size = kv.getOrElse("size", "0").toLong,
+      capacity = kv.getOrElse("capacity", "0").toLong,
+      bytes = kv.getOrElse("bytes", "0").toLong)
+    val it = Files.list(dir).iterator()
+    val mmaps = scala.collection.mutable.ArrayBuffer.empty[Path]
+    while (it.hasNext) {
+      val p = it.next()
+      if (p.getFileName.toString.endsWith(".mmap")) mmaps += p
+    }
+    val layers = scala.collection.mutable.ArrayBuffer.empty[(Int, graft.sketch.BloomFilter)]
+    mmaps.sortBy(_.getFileName.toString).zipWithIndex.foreach { case (p, rung) =>
+      layers += ((rung, graft.sketch.BloomFilter.deserialize(Files.readAllBytes(p))))
+    }
+    val sbf = new ScalableBloom(ini.initialCapacity, ini.defaultProbability,
+      ini.scaleSize, ini.probabilityReduction, layers)
+    (ini, sbf)
+  }
 }

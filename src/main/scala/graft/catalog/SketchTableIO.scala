@@ -1,7 +1,7 @@
 package graft.catalog
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 
 /**
  * Iceberg-layout snapshot seam for sketch tables (SURVEY.md §7.2: no
@@ -41,10 +41,35 @@ class SketchTableIO(val spark: SparkSession, val root: String) {
 
   def currentVersion: Long = versions.lastOption.getOrElse(0L)
 
-  /** Commit a new snapshot; returns its version. */
+  /**
+   * Commit a new snapshot; returns its version. Data files are
+   * written to a staging directory first; the version number is
+   * CLAIMED by moving the staging dir to `data/v<N>` with
+   * create-if-absent semantics (plain Files.move with no
+   * REPLACE_EXISTING fails on collision), retrying with the next
+   * version — so two racing committers get distinct versions and
+   * neither snapshot is lost (the Iceberg optimistic-commit
+   * protocol). The manifest is then published under the claimed
+   * version via a tmp-write + link (also create-if-absent). A crash
+   * mid-commit leaves orphan staging/data files but never a readable
+   * half-commit.
+   */
   def commit(df: DataFrame, metrics: Map[String, Long] = Map.empty): Long = {
-    val v = currentVersion + 1
-    df.write.mode("errorifexists").parquet(dataDir(v).toString)
+    val staging = Paths.get(root, "data",
+      s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    df.write.mode("errorifexists").parquet(staging.toString)
+    var v = currentVersion + 1
+    var claimed = false
+    while (!claimed) {
+      try {
+        Files.createDirectories(dataDir(v).getParent)
+        Files.move(staging, dataDir(v)) // no REPLACE: fails if v taken
+        claimed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => v += 1
+        case e: java.nio.file.FileSystemException if Files.exists(dataDir(v)) => v += 1
+      }
+    }
     val files = Files.list(dataDir(v)).iterator()
     val fileList = scala.collection.mutable.ArrayBuffer.empty[String]
     while (files.hasNext) {
@@ -52,15 +77,20 @@ class SketchTableIO(val spark: SparkSession, val root: String) {
       if (p.getFileName.toString.endsWith(".parquet")) fileList += p.toString
     }
     val rows = spark.read.parquet(fileList.toSeq: _*).count()
-    val metricsJson = metrics.map { case (k, x) => s""""$k":$x""" }.mkString(",")
-    val json =
-      s"""{"version":$v,"parent":${v - 1},"rows":$rows,"ts":${System.currentTimeMillis()},""" +
-        s""""metrics":{$metricsJson},""" +
-        s""""files":[${fileList.sorted.map(f => "\"" + f + "\"").mkString(",")}]}"""
-    // publish atomically: manifest appears complete or not at all
-    val tmp = manifestDir.resolve(s".v$v.json.tmp")
-    Files.writeString(tmp, json)
-    Files.move(tmp, manifestPath(v), StandardCopyOption.ATOMIC_MOVE)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rootNode = mapper.createObjectNode()
+    rootNode.put("version", v)
+    rootNode.put("parent", v - 1)
+    rootNode.put("rows", rows)
+    rootNode.put("ts", System.currentTimeMillis())
+    val m = rootNode.putObject("metrics")
+    metrics.foreach { case (k, x) => m.put(k, x) }
+    val arr = rootNode.putArray("files")
+    fileList.sorted.foreach(arr.add)
+    val tmp = manifestDir.resolve(s".v$v.json.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.writeString(tmp, mapper.writeValueAsString(rootNode))
+    try Files.createLink(manifestPath(v), tmp) // create-if-absent publish
+    finally Files.deleteIfExists(tmp)
     v
   }
 
@@ -68,9 +98,11 @@ class SketchTableIO(val spark: SparkSession, val root: String) {
   def read(version: Long = -1): DataFrame = {
     val v = if (version == -1) currentVersion else version
     require(Files.exists(manifestPath(v)), s"no snapshot v$v")
-    val json = Files.readString(manifestPath(v))
-    val files = "\"files\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json).get.group(1)
-      .split(",").filter(_.nonEmpty).map(_.stripPrefix("\"").stripSuffix("\""))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(Files.readString(manifestPath(v)))
+    val it = node.get("files").elements()
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) files += it.next().asText()
     spark.read.parquet(files.toIndexedSeq: _*)
   }
 

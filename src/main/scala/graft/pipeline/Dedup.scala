@@ -9,15 +9,15 @@ import TextFunctions._
  * different point on the exactness/cost curve. Scale posture (the
  * part that must survive 100 TB):
  *
- *  - NOTHING here cross-joins the corpus. Candidate pairs come from
- *    equality joins on derived keys (content hash, shared shingle,
- *    LSH band bucket, SimHash band), so the shuffle volume is
- *    O(documents x small-constant), and AQE handles residual skew.
+ *  - NOTHING here cross-joins the corpus blindly. Candidate pairs
+ *    come from equality joins on derived keys (content hash, shared
+ *    shingle, LSH band bucket, SimHash band, quantizer cell pair), so
+ *    the shuffle volume is O(documents x small-constant), and AQE
+ *    handles residual skew.
  *  - Signatures (MinHash/SimHash) are row-local scan projections —
  *    computed once, no state, deterministic across reruns.
- *  - Verification (exact Jaccard on candidates) touches only the
- *    candidate pairs, which for a sane threshold is a vanishing
- *    fraction of n^2.
+ *  - Verification (exact Jaccard / exact cosine on candidates)
+ *    touches only the candidate pairs.
  */
 object Dedup {
 
@@ -40,30 +40,39 @@ object Dedup {
       .agg(min("id").as("kept_doc_id"), count(lit(1)).as("n_copies"))
 
   /**
-   * Exact word n-gram Jaccard via a shingle inverted index:
+   * Word n-gram Jaccard via a shingle inverted index:
    * explode(shingles) -> self-equality-join on the shingle ->
    * count shared shingles per pair -> J = inter / (|A|+|B|-inter).
-   * Only pairs sharing >= 1 shingle are ever materialized. At scale,
-   * stop-shingles (appearing in more than `maxShingleDocs` docs) can
-   * be dropped before the join — a pair at J >= 0.5 shares far more
-   * than one shingle, so recall at the threshold is unaffected;
-   * pass 0 to disable (exact mode, used for oracle parity).
+   * Only pairs sharing >= 1 shingle are ever materialized.
+   *
+   * At scale, stop-shingles (appearing in more than `maxShingleDocs`
+   * docs) are dropped BEFORE the join, and J is then computed over
+   * the SURVIVING shingle universe on both sides (per-doc counts are
+   * recomputed post-cap, so the estimate is Jaccard of the capped
+   * sets, not a downward-biased hybrid). Near-dup pairs share mostly
+   * rare shingles, so capped-J tracks true-J closely at high
+   * thresholds — but it IS an approximation; pass 0 to disable
+   * (exact mode, used for oracle parity).
    */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJ: Double = 0.5,
                         maxShingleDocs: Long = 0): DataFrame = {
     val sh = shingled(docs, n)
-    val inv0 = sh.select(col("id"), col("nsh"), explode(col("sh")).as("g"))
+    val inv0 = sh.select(col("id"), explode(col("sh")).as("g"))
     val inv =
       if (maxShingleDocs > 0) {
         val hot = inv0.groupBy("g").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxShingleDocs).select("g")
         inv0.join(broadcast(hot), Seq("g"), "left_anti")
       } else inv0
+    // per-doc shingle counts over the same (possibly capped) universe
+    // the intersections are counted in
+    val cnt = inv.groupBy("id").agg(count(lit(1)).as("nsur"))
     inv.as("a").join(inv.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.nsh").as("na"), col("b.nsh").as("nb"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
+      .join(cnt.select(col("id").as("id_a"), col("nsur").as("na")), Seq("id_a"))
+      .join(cnt.select(col("id").as("id_b"), col("nsur").as("nb")), Seq("id_b"))
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= minJ)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -125,22 +134,72 @@ object Dedup {
   }
 
   /**
-   * Embedding-cosine near-dup over (vec_id, embedding float[64]).
-   * Exact double-precision cosine so the oracle can replay it
-   * bit-for-bit; the quadratic pair join is acceptable here because
-   * the verify corpus is small — the 100 TB path is the LSH-bucketed
-   * plan in Ann.lshTopK, which this shares its cosine kernel with.
+   * Embedding-cosine near-dup over (vec_id, embedding float[64]),
+   * EXACT (the output equals the all-pairs join's, which is what the
+   * oracle replays) but cell-pruned: a deterministic Lloyd quantizer
+   * assigns each vector to a cell; per cell we keep the normalized
+   * centroid and the ANGULAR RADIUS (max angle from centroid to a
+   * member); a cell PAIR can be skipped when even its closest
+   * possible members stay below the threshold — by the spherical
+   * triangle inequality, angle(a,b) >= angle(c_i,c_j) - r_i - r_j,
+   * so cos(a,b) <= cos(max(0, A_ij - r_i - r_j)). Surviving cell
+   * pairs join on cell equality and verify with exact cosine
+   * (norms hoisted: one dot per candidate pair).
+   *
+   * Pruning power tracks how clustered the corpus is relative to the
+   * threshold: at production thresholds (>= 0.9) most cell pairs are
+   * provably below and never join; on an unclustered corpus with a
+   * low threshold it degrades gracefully to the blocked all-pairs
+   * join (same output, bounded extra cost of one quantizer pass).
+   * For probabilistic-recall candidate generation at high thresholds,
+   * use [[Ann.lshTopK]]'s sign-LSH buckets instead.
    */
-  def cosinePairs(emb: DataFrame, minCos: Double): DataFrame = {
-    // norms hoisted out of the O(n^2) pair loop: sqrt(dot(v,v)) once
-    // per row, so each pair costs ONE native dot + a multiply/divide.
-    // Identical IEEE result to computing norms per pair.
+  def cosinePairs(emb: DataFrame, minCos: Double, nCells: Int = 16): DataFrame = {
     val e = emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(VecFunctions.vec_dot(col("v"), col("v"))))
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("nrm_a"))
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nrm_b"))
-    a.join(b, col("id_a") < col("id_b"))
+    val cents = Ann.trainCentroids(e.select(col("vec_id"), col("v")), nCells, 2)
+    // normalized centroids -> dot(v, c-hat)/|v| IS the cosine to the
+    // centroid; assignment = argmax cosine (no unit-vector column
+    // materialized — |v| scales all candidates equally)
+    val unit = cents.map { c =>
+      val n = math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x))
+      if (n == 0) c else c.map(_ / n)
+    }
+    val cosCols = array(unit.map(c =>
+      VecFunctions.vec_dot(col("v"), typedlit(c.toSeq)) / col("nrm")): _*)
+    val assigned = e
+      .withColumn("cs", cosCols)
+      .withColumn("cell", (array_position(col("cs"), array_max(col("cs"))) - 1).cast("int"))
+      .withColumn("cosc", element_at(col("cs"), col("cell") + 1))
+      .drop("cs")
+      .persist()
+    // angular radius per cell: max angle = acos(min cosine)
+    val radii = assigned.groupBy("cell").agg(min(col("cosc")).as("mc")).collect()
+      .map(r => r.getInt(0) -> math.acos(math.max(-1.0, math.min(1.0, r.getDouble(1)))))
+      .toMap
+    def ang(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      math.acos(math.max(-1.0, math.min(1.0, d)))
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val eps = 1e-9 // float slack: never prune a borderline pair
+    // SYMMETRIC cell pairs: the id_a < id_b output filter means either
+    // member can land on either side, whatever its cell
+    val allowed = (for {
+      i <- unit.indices if radii.contains(i)
+      j <- unit.indices if radii.contains(j)
+      bound = math.cos(math.max(0.0, ang(unit(i), unit(j)) - radii(i) - radii(j) - eps))
+      if bound >= minCos - eps
+    } yield (i, j)).toDF("cell_a", "cell_b")
+    val a = assigned.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("nrm").as("nrm_a"), col("cell").as("cell_a"))
+    val b = assigned.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nrm_b"), col("cell").as("cell_b"))
+    a.join(broadcast(allowed), Seq("cell_a"))
+      .join(b, Seq("cell_b"))
+      .filter(col("id_a") < col("id_b"))
       .withColumn("cos", VecFunctions.vec_dot(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
@@ -162,6 +221,13 @@ object Dedup {
    * near-dup graphs have tiny diameter, so this converges in a few
    * shuffles even at corpus scale (GraphX offers the same algorithm
    * RDD-side; we stay in DataFrames per the engine contract).
+   *
+   * Iteration hygiene for deep graphs: every round localCheckpoints
+   * the new labels (eager — truncates the lineage so the plan tree
+   * stays O(1) across iterations), unpersists the superseded
+   * generation, and folds the convergence test into the same pass
+   * (a `changed` flag summed from the checkpointed result — no
+   * second join-and-compare job).
    */
   def nearDupClusters(docs: DataFrame, minJ: Double = 0.5): DataFrame = {
     val pairs = ngramJaccardPairs(docs, 3, minJ).select("id_a", "id_b")
@@ -171,17 +237,19 @@ object Dedup {
       .cache()
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("label", col("id"))
-    var converged = false
-    while (!converged) {
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
       val next = edges
         .join(labels.select(col("id").as("id_b"), col("label").as("nl")), Seq("id_b"))
         .groupBy(col("id_a").as("id")).agg(min(col("nl")).as("minN"))
         .join(labels, Seq("id"))
-        .select(col("id"), least(col("label"), col("minN")).as("label"))
-        .cache()
-      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = next
+        .select(col("id"), least(col("label"), col("minN")).as("label"),
+          (col("minN") < col("label")).cast("long").as("chg"))
+        .localCheckpoint() // eager: one pass computes labels AND flags
+      changed = next.agg(coalesce(sum(col("chg")), lit(0L))).head().getLong(0)
+      labels.unpersist()
+      labels = next.select("id", "label")
     }
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"),

@@ -72,11 +72,14 @@ object PipelineQueries {
     "ann_brute_topk" -> ((s, dir) =>
       Ann.bruteTopK(emb(s, dir), nQueries = 10, k = 10).orderBy("q_id", "rank")),
 
+    // falsifiable recall floors (0.9): a floor near zero only asserts
+    // non-emptiness; measured recall at these params is 1.0 at sf0.01
+    // and sf0.1 (deterministic hyperplanes/centroids)
     "ann_lsh_topk" -> ((s, dir) =>
-      Ann.lshTopK(emb(s, dir), nQueries = 10, k = 10).orderBy("q_id")),
+      Ann.lshTopK(emb(s, dir), nQueries = 10, k = 10, recallFloor = 0.9).orderBy("q_id")),
 
     "ann_ivf_topk" -> ((s, dir) =>
-      Ann.ivfTopK(emb(s, dir), nQueries = 10, k = 10, recallFloor = 0.3).orderBy("q_id")),
+      Ann.ivfTopK(emb(s, dir), nQueries = 10, k = 10, recallFloor = 0.9).orderBy("q_id")),
 
     // ---- multimodal -----------------------------------------------------
 
@@ -286,6 +289,78 @@ object PipelineQueries {
         .orderBy("step")
     }),
 
+    // the SAME C-protocol trace, but driven over a REAL TCP socket
+    // through WireTcpServer (the reference integ tests' transport,
+    // integ/test_integ.py:19-71) — proves the line framing, not just
+    // the interpreter
+    "op_tcp_wire_trace" -> ((s, dir) => {
+      import s.implicits._
+      val srv = new graft.catalog.CWireServer(new graft.catalog.SketchCatalog(s,
+        java.nio.file.Files.createTempDirectory("tcpwire").toString))
+      val tcp = new graft.catalog.WireTcpServer(srv.interpret)
+      try {
+        val trace = Seq(
+          "list", "create foobar", "create foobar", "create " + ("foo" * 100),
+          "set foobar test", "set foobar test", "check foobar test", "check foobar other",
+          "multi foobar test test1 test2", "bulk foobar test blah",
+          "b foobar x y", "s foobar x", "m foobar x y", "c foobar x",
+          "set foobar", "check foobar", "set nosuch key", "multi nosuch a b",
+          "frobnicate foobar", "create", "create badcap capacity=500", "create badp prob=0.5",
+          "create foobar2", "create test4", "list foo",
+          "clear foobar2", "close foobar2", "clear foobar2", "create foobar2",
+          "drop foobar2", "drop foobar2",
+          "flush", "flush foobar", "flush nosuch",
+          "info foobar", "drop foobar", "drop test4", "list")
+        val rows = graft.catalog.WireTcpClient.session(tcp.port) { send =>
+          trace.zipWithIndex.map { case (cmd, i) =>
+            (i + 1, if (cmd.length > 40) cmd.take(20) + "..." else cmd,
+              send(cmd).replace("\n", " / "))
+          }
+        }
+        rows.toDF("step", "command", "response").orderBy("step")
+      } finally tcp.close()
+    }),
+
+    // migration path: restore a filter from the reference C daemon's
+    // own on-disk directory layout (config.ini + data.NNN.mmap,
+    // filter.c:435-536) and prove membership/shape survived
+    "op_bloomd_restore" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("bloomdrestore")
+        .resolve("bloomd.migrated")
+      java.nio.file.Files.createDirectories(tmp)
+      // build a 3-layer SBF exactly as the daemon would (sequential
+      // adds overflowing two rungs), then write ITS layout by hand
+      val src = graft.sketch.ScalableBloom.create(100L, 1e-4, 4, 0.9)
+      val keys = (0 until 600).map(i => s"mig$i")
+      keys.foreach(k => src.add(k.getBytes("UTF-8")))
+      val ini =
+        s"""[bloomd]
+           |initial_capacity = 100
+           |default_probability = 0.000100
+           |scale_size = 4
+           |probability_reduction = 0.900000
+           |in_memory = 0
+           |size = ${src.size}
+           |capacity = ${src.totalCapacity}
+           |bytes = ${src.totalByteSize}
+           |""".stripMargin
+      java.nio.file.Files.writeString(tmp.resolve("config.ini"), ini)
+      src.layers.zipWithIndex.foreach { case ((_, f), i) =>
+        java.nio.file.Files.write(tmp.resolve(f"data.$i%03d.mmap"), f.serialize())
+      }
+      val (cfg, restored) = graft.catalog.SketchCatalog.restoreFromBloomd(tmp)
+      val noFalseNeg = keys.forall(k => restored.contains(k.getBytes("UTF-8")))
+      val absent = (0 until 600).count(i => restored.contains(s"abs$i".getBytes("UTF-8")))
+      Seq((
+        cfg.initialCapacity == 100L && cfg.scaleSize == 4,
+        restored.numLayers == src.numLayers,
+        restored.size == src.size,
+        noFalseNeg,
+        absent == 0)).toDF(
+        "config_ok", "layers_ok", "size_ok", "zero_false_neg", "no_false_pos_sample")
+    }),
+
     // the Rust server's golden wire trace (main.rs:851-930), replayed
     // against our counting server; responses normalized (\r\n -> " / ")
     "op_rust_wire_trace" -> ((s, dir) => {
@@ -427,6 +502,49 @@ object PipelineQueries {
   private def score(l: String) =
     s"CAST(len(list_filter(ws, w -> list_contains(${stopLists(l)}, w))) AS INT)"
 
+  /** shared oracle: the C daemon trace VALUES table (also replayed over TCP) */
+  private val CWireTraceOracle: String =
+    ("SELECT * FROM (VALUES " +
+        "(1, 'list', 'START / END'), " +
+        "(2, 'create foobar', 'Done'), " +
+        "(3, 'create foobar', 'Exists'), " +
+        "(4, 'create foofoofoofoof...', 'Client Error: Bad filter name'), " +
+        "(5, 'set foobar test', 'Yes'), " +
+        "(6, 'set foobar test', 'No'), " +
+        "(7, 'check foobar test', 'Yes'), " +
+        "(8, 'check foobar other', 'No'), " +
+        "(9, 'multi foobar test test1 test2', 'Yes No No'), " +
+        "(10, 'bulk foobar test blah', 'No Yes'), " +
+        "(11, 'b foobar x y', 'Yes Yes'), " +
+        "(12, 's foobar x', 'No'), " +
+        "(13, 'm foobar x y', 'Yes Yes'), " +
+        "(14, 'c foobar x', 'Yes'), " +
+        "(15, 'set foobar', 'Client Error: Must provide filter name and key'), " +
+        "(16, 'check foobar', 'Client Error: Must provide filter name and key'), " +
+        "(17, 'set nosuch key', 'Filter does not exist'), " +
+        "(18, 'multi nosuch a b', 'Filter does not exist'), " +
+        "(19, 'frobnicate foobar', 'Client Error: Command not supported'), " +
+        "(20, 'create', 'Client Error: Must provide filter name'), " +
+        "(21, 'create badcap capacity=500', 'Client Error: Bad arguments'), " +
+        "(22, 'create badp prob=0.5', 'Client Error: Bad arguments'), " +
+        "(23, 'create foobar2', 'Done'), " +
+        "(24, 'create test4', 'Done'), " +
+        "(25, 'list foo', 'START / foobar 0.000100 300046 100000 4 / foobar2 0.000100 300046 100000 0 / END'), " +
+        "(26, 'clear foobar2', 'Filter is not proxied. Close it first.'), " +
+        "(27, 'close foobar2', 'Done'), " +
+        "(28, 'clear foobar2', 'Done'), " +
+        "(29, 'create foobar2', 'Done'), " +
+        "(30, 'drop foobar2', 'Done'), " +
+        "(31, 'drop foobar2', 'Filter does not exist'), " +
+        "(32, 'flush', 'Done'), " +
+        "(33, 'flush foobar', 'Done'), " +
+        "(34, 'flush nosuch', 'Filter does not exist'), " +
+        "(35, 'info foobar', 'START / capacity 100000 / checks 8 / check_hits 5 / check_misses 3 / in_memory 1 / page_ins 0 / page_outs 0 / probability 0.000100 / sets 7 / set_hits 4 / set_misses 3 / size 4 / storage 300046 / END'), " +
+        "(36, 'drop foobar', 'Done'), " +
+        "(37, 'drop test4', 'Done'), " +
+        "(38, 'list', 'START / END')" +
+        ") AS t(step, command, response) ORDER BY step")
+
   def oracleSql: Map[String, String] = Map(
     "text_lang_id" ->
       ("SELECT doc_id, lang_label, score_de, score_en, score_es, score_fr, score_zh, " +
@@ -487,7 +605,7 @@ object PipelineQueries {
       ("SELECT vec_id AS q_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 10 ORDER BY q_id"),
 
     "ann_ivf_topk" ->
-      ("SELECT vec_id AS q_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 10 ORDER BY q_id"),
+      ("SELECT vec_id AS q_id, TRUE AS mean_recall_ok FROM embeddings WHERE vec_id < 10 ORDER BY q_id"),
 
     "multimodal_decode" ->
       ("SELECT doc_id, ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind, " +
@@ -540,47 +658,14 @@ object PipelineQueries {
     "sketch_rollup" ->
       "SELECT TRUE AS bloom_ok, TRUE AS hll_ok, TRUE AS cms_ok, TRUE AS td_ok, TRUE AS kll_ok",
 
-    "op_c_wire_trace" ->
-      ("SELECT * FROM (VALUES " +
-        "(1, 'list', 'START / END'), " +
-        "(2, 'create foobar', 'Done'), " +
-        "(3, 'create foobar', 'Exists'), " +
-        "(4, 'create foofoofoofoof...', 'Client Error: Bad filter name'), " +
-        "(5, 'set foobar test', 'Yes'), " +
-        "(6, 'set foobar test', 'No'), " +
-        "(7, 'check foobar test', 'Yes'), " +
-        "(8, 'check foobar other', 'No'), " +
-        "(9, 'multi foobar test test1 test2', 'Yes No No'), " +
-        "(10, 'bulk foobar test blah', 'No Yes'), " +
-        "(11, 'b foobar x y', 'Yes Yes'), " +
-        "(12, 's foobar x', 'No'), " +
-        "(13, 'm foobar x y', 'Yes Yes'), " +
-        "(14, 'c foobar x', 'Yes'), " +
-        "(15, 'set foobar', 'Client Error: Must provide filter name and key'), " +
-        "(16, 'check foobar', 'Client Error: Must provide filter name and key'), " +
-        "(17, 'set nosuch key', 'Filter does not exist'), " +
-        "(18, 'multi nosuch a b', 'Filter does not exist'), " +
-        "(19, 'frobnicate foobar', 'Client Error: Command not supported'), " +
-        "(20, 'create', 'Client Error: Must provide filter name'), " +
-        "(21, 'create badcap capacity=500', 'Client Error: Bad arguments'), " +
-        "(22, 'create badp prob=0.5', 'Client Error: Bad arguments'), " +
-        "(23, 'create foobar2', 'Done'), " +
-        "(24, 'create test4', 'Done'), " +
-        "(25, 'list foo', 'START / foobar 0.000100 300046 100000 4 / foobar2 0.000100 300046 100000 0 / END'), " +
-        "(26, 'clear foobar2', 'Filter is not proxied. Close it first.'), " +
-        "(27, 'close foobar2', 'Done'), " +
-        "(28, 'clear foobar2', 'Done'), " +
-        "(29, 'create foobar2', 'Done'), " +
-        "(30, 'drop foobar2', 'Done'), " +
-        "(31, 'drop foobar2', 'Filter does not exist'), " +
-        "(32, 'flush', 'Done'), " +
-        "(33, 'flush foobar', 'Done'), " +
-        "(34, 'flush nosuch', 'Filter does not exist'), " +
-        "(35, 'info foobar', 'START / capacity 100000 / checks 8 / check_hits 5 / check_misses 3 / in_memory 1 / page_ins 0 / page_outs 0 / probability 0.000100 / sets 7 / set_hits 4 / set_misses 3 / size 4 / storage 300046 / END'), " +
-        "(36, 'drop foobar', 'Done'), " +
-        "(37, 'drop test4', 'Done'), " +
-        "(38, 'list', 'START / END')" +
-        ") AS t(step, command, response) ORDER BY step"),
+    "op_c_wire_trace" -> CWireTraceOracle,
+
+    // same protocol trace, driven over the TCP transport
+    "op_tcp_wire_trace" -> CWireTraceOracle,
+
+        "op_bloomd_restore" ->
+      ("SELECT TRUE AS config_ok, TRUE AS layers_ok, TRUE AS size_ok, " +
+        "TRUE AS zero_false_neg, TRUE AS no_false_pos_sample"),
 
     "op_rust_wire_trace" ->
       ("SELECT * FROM (VALUES " +
