@@ -43,7 +43,13 @@ class SketchCatalog(
       val probability: Double,
       val inMemory: Boolean,
       var sketch: Option[ScalableBloom], // None = proxied (closed)
-      val counters: Counters = Counters())
+      val counters: Counters = Counters()) {
+    /** touched since the last cold sweep (`filter_manager.c:352,386`) */
+    @volatile var hot: Boolean = false
+    /** has unpersisted writes (the reference's flush skips filters whose
+      * size didn't change, `filter.c:164-184` — same effect) */
+    @volatile var dirty: Boolean = false
+  }
 
   private val registry = mutable.LinkedHashMap.empty[String, Entry]
 
@@ -91,6 +97,7 @@ class SketchCatalog(
     }
     val entry = new Entry(name, cap, p, inMemory,
       Some(ScalableBloom.create(cap, p, scaleSize, probReduction).materialize()))
+    entry.hot = true // creation counts as a touch for the cold sweep
     registry(name) = entry
     if (!inMemory) persist(entry)
     "Done"
@@ -145,14 +152,71 @@ class SketchCatalog(
   }
 
   /** proxied filters fault back in on first use (`filter.c:365-381`) */
-  private def faultIn(e: Entry): ScalableBloom = e.sketch match {
-    case Some(s) => s
-    case None =>
-      val blob = Files.readAllBytes(filterDir(e.name).resolve("sketch.bin"))
-      val s = ScalableBloom.deserialize(blob)
-      e.sketch = Some(s)
-      e.counters.pageIns += 1
-      s
+  private def faultIn(e: Entry): ScalableBloom = {
+    e.hot = true
+    e.sketch match {
+      case Some(s) => s
+      case None =>
+        val blob = Files.readAllBytes(filterDir(e.name).resolve("sketch.bin"))
+        val s = ScalableBloom.deserialize(blob)
+        e.sketch = Some(s)
+        e.counters.pageIns += 1
+        s
+    }
+  }
+
+  // ---- background maintenance (`csrc/bloomd/background.c:100-180`):
+  // a flush sweep persists DIRTY in-memory filters every
+  // flush_interval; a cold sweep pages out filters untouched since the
+  // last sweep (hot-flag protocol) every cold_interval. Exposed as a
+  // manual `backgroundSweep` (deterministic tests) plus interval
+  // threads. Serialized with the command surface via this-lock.
+  def backgroundSweep(flush: Boolean = true, cold: Boolean = true): (Int, Int) =
+    this.synchronized {
+      var flushed = 0
+      var pagedOut = 0
+      if (flush) registry.values.foreach { e =>
+        if (e.dirty && !e.inMemory && e.sketch.isDefined) {
+          persist(e); flushed += 1
+        }
+      }
+      if (cold) registry.values.foreach { e =>
+        if (!e.hot && !e.inMemory && e.sketch.isDefined) {
+          if (e.dirty) persist(e)
+          e.sketch = None
+          e.counters.pageOuts += 1
+          pagedOut += 1
+        }
+        e.hot = false // next sweep sees touches since THIS sweep
+      }
+      (flushed, pagedOut)
+    }
+
+  @volatile private var bgThreads: Seq[Thread] = Nil
+  @volatile private var bgStop = false
+
+  /** start the flush/cold interval threads (the daemon's background.c) */
+  def startBackground(flushIntervalMs: Long, coldIntervalMs: Long): Unit = {
+    stopBackground()
+    bgStop = false
+    def loop(name: String, interval: Long, f: () => Unit): Thread = {
+      val t = new Thread(() => {
+        while (!bgStop) {
+          try Thread.sleep(interval) catch { case _: InterruptedException => }
+          if (!bgStop) f()
+        }
+      }, name)
+      t.setDaemon(true); t.start(); t
+    }
+    bgThreads = Seq(
+      loop("graft-bg-flush", flushIntervalMs, () => backgroundSweep(flush = true, cold = false)),
+      loop("graft-bg-cold", coldIntervalMs, () => backgroundSweep(flush = false, cold = true)))
+  }
+
+  def stopBackground(): Unit = {
+    bgStop = true
+    bgThreads.foreach(_.interrupt())
+    bgThreads = Nil
   }
 
   // ---- `set` / `bulk`: distributed insert of a key column ----
@@ -179,6 +243,7 @@ class SketchCatalog(
         val nKeys = keyed.count()
         val added = incoming.size
         sk.mergeInPlace(incoming)
+        if (added > 0) e.dirty = true
         e.counters.setHits += added
         e.counters.setMisses += nKeys - added
         Right(result)
@@ -191,7 +256,7 @@ class SketchCatalog(
       case None => Left("Filter does not exist")
       case Some(e) =>
         val added = faultIn(e).add(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        if (added) e.counters.setHits += 1 else e.counters.setMisses += 1
+        if (added) { e.dirty = true; e.counters.setHits += 1 } else e.counters.setMisses += 1
         Right(added)
     }
 
@@ -266,6 +331,7 @@ class SketchCatalog(
       val e = new Entry(name, ini.initialCapacity, ini.defaultProbability,
         ini.inMemory, Some(sbf))
       e.counters.pageIns += 1 // discover counts a page-in (filter.c:531)
+      e.hot = true
       registry(name) = e
       if (!ini.inMemory) persist(e)
       "Done"
@@ -280,6 +346,7 @@ class SketchCatalog(
     val cfg = s"""{"name":"${e.name}","capacity":${e.capacity},"probability":${e.probability},"in_memory":${e.inMemory}}"""
     Files.write(dir.resolve("config.json"), cfg.getBytes(UTF_8))
     e.sketch.foreach(s => Files.write(dir.resolve("sketch.bin"), s.serialize()))
+    e.dirty = false
   }
 
   private def onDiskBytes(name: String): Long = {

@@ -1,0 +1,52 @@
+package graft.catalog
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Snapshot-commit protocol: optimistic version claiming + manifest
+  * publishing must not lose snapshots under collisions. */
+class SketchTableIOSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("commit claims the next free version when a data dir is squatted") {
+    import spark.implicits._
+    val io = new SketchTableIO(spark, Files.createTempDirectory("tio").toString)
+    val v1 = io.commit(Seq((1, "a")).toDF("id", "s"))
+    assert(v1 == 1L)
+    // simulate a racing committer that claimed v2's data dir but
+    // hasn't (or never will have) published its manifest
+    Files.createDirectories(java.nio.file.Paths.get(io.root, "data", "v2"))
+    val v3 = io.commit(Seq((2, "b")).toDF("id", "s"))
+    assert(v3 == 3L)
+    assert(io.versions == Seq(1L, 3L))
+    assert(io.read(1).count() == 1)
+    assert(io.read(3).as[(Int, String)].collect().toSet == Set((2, "b")))
+  }
+
+  test("manifests survive paths that would break naive parsing") {
+    import spark.implicits._
+    // a root containing JSON-hostile characters: ',' and ']'
+    val weird = Files.createTempDirectory("tio,w]eird").toString
+    val io = new SketchTableIO(spark, weird)
+    val v = io.commit(Seq((7, "x")).toDF("id", "s"), Map("docs" -> 1L))
+    assert(io.read(v).count() == 1)
+    val m = io.manifest(v)
+    assert(m.contains("\"docs\":1"))
+  }
+
+  test("sequential commits read back their own snapshots (time travel)") {
+    import spark.implicits._
+    val io = new SketchTableIO(spark, Files.createTempDirectory("tio3").toString)
+    io.commit(Seq((1, "one")).toDF("id", "s"))
+    io.commit(Seq((1, "one"), (2, "two")).toDF("id", "s"))
+    assert(io.read(1).count() == 1)
+    assert(io.read(2).count() == 2)
+    assert(io.read().count() == 2) // latest
+  }
+}

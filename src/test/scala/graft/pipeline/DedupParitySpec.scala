@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * The cell-pruned exact cosine join must return EXACTLY the all-pairs
+ * result (pruning only removes provably-below-threshold cell pairs);
+ * the capped n-gram Jaccard must compute J over the surviving
+ * universe on both sides.
+ */
+class DedupParitySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def allPairsReference(minCos: Double) = {
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(VecFunctions.vec_dot(col("v"), col("v"))))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", VecFunctions.vec_dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  test("cell-pruned cosinePairs equals the all-pairs join at several thresholds") {
+    for (t <- Seq(0.35, 0.44, 0.5)) {
+      val pruned = Dedup.cosinePairs(emb, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val full = allPairsReference(t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pruned == full, s"threshold $t")
+      assert(full.nonEmpty || t > 0.45) // the gate thresholds are non-trivial
+    }
+  }
+
+  test("capped Jaccard computes J over the surviving universe (no na/nb bias)") {
+    import spark.implicits._
+    // d1/d2 share the hot shingle plus all rare ones; cap removes the
+    // hot shingle from BOTH the intersection and the per-doc counts
+    val docs = Seq(
+      (1L, "hot hot2 hot3 r1a r1b r1c r1d r1e"),
+      (2L, "hot hot2 hot3 r1a r1b r1c r1d r1x"),
+      (3L, "hot hot2 hot3 z1 z2 z3 z4 z5"),
+      (4L, "hot hot2 hot3 y1 y2 y3 y4 y5"),
+      (5L, "hot hot2 hot3 w1 w2 w3 w4 w5")
+    ).toDF("doc_id", "text")
+    // trigram shingles: "hot hot2 hot3" appears in all 5 docs
+    val capped = Dedup.ngramJaccardPairs(docs, n = 3, minJ = 0.2, maxShingleDocs = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // doc1: 6 shingles, minus the hot one -> 5 surviving; doc2 same;
+    // surviving intersection = 3 ("hot2 hot3 r1a", "hot3 r1a r1b" is
+    // doc-dependent... compute expected from the definition instead
+    val sh = docs.select(col("doc_id"),
+      TextFunctions.shingles(TextFunctions.words(col("text")), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val hot = sh.values.flatten.groupBy(identity).collect {
+      case (g, occ) if occ.size > 4 => g
+    }.toSet
+    val surv = sh.map { case (id, s) => id -> (s -- hot) }
+    val expected = (for {
+      a <- surv.keys; b <- surv.keys if a < b
+      inter = (surv(a) & surv(b)).size
+      j = inter.toDouble / (surv(a).size + surv(b).size - inter)
+      if j >= 0.2
+    } yield (a, b) -> (math.round(j * 1e6) / 1e6)).toMap
+    assert(capped == expected)
+  }
+}
