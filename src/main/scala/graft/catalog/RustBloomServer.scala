@@ -230,6 +230,28 @@ class RustBloomServer(
 
   private def fmt(p: Double): String =
     java.math.BigDecimal.valueOf(p).stripTrailingZeros.toPlainString
+
+  /** Register a filter restored from the Rust daemon's own directory
+    * layout (see [[RustBloomServer.restoreFromRustDir]]), counters
+    * included. Persists in this server's native blob format. */
+  def importRustDir(src: Path): String = {
+    val (kv, lbf) = RustBloomServer.restoreFromRustDir(src)
+    val name = kv("filter_name")
+    if (filters.contains(name)) return Exists
+    val e = new Entry(name, lbf.capacity, lbf.fpProbability,
+      kv.get("bytes").flatMap(_.toLongOption)
+        .getOrElse(BloomParams.sizeForCapacityProb(lbf.capacity, lbf.fpProbability)),
+      Some(lbf))
+    e.counters.checkHits = kv.getOrElse("check_hits", "0").toLong
+    e.counters.checkMisses = kv.getOrElse("check_misses", "0").toLong
+    e.counters.setHits = kv.getOrElse("set_hits", "0").toLong
+    e.counters.setMisses = kv.getOrElse("set_misses", "0").toLong
+    e.counters.pageIns = kv.getOrElse("page_ins", "0").toLong
+    e.counters.pageOuts = kv.getOrElse("page_outs", "0").toLong
+    filters.put(name, e)
+    flushEntry(e)
+    Done
+  }
 }
 
 object RustBloomServer {
@@ -241,4 +263,33 @@ object RustBloomServer {
   final val NoExist = "Filter does not exist"
   final val NotImplemented = "Client Error: Command not supported"
   final val BadArgs = "Client Error: Bad arguments"
+
+  /**
+   * Restore a layered bloom filter from the Rust daemon's on-disk
+   * directory (`filter.<name>/{<name>.ini, N.bmp}`,
+   * `src/wrappers.rs:120-235` + `src/config.rs:135-276`): the ini's
+   * [config] section carries filter_name, capacity, probability,
+   * k_num, in_memory, bytes, size, and comma-joined bitmap_filenames /
+   * filter_sizes; [counters] carries the six counter fields. Layer
+   * bitmaps load in the LISTED order (index 0 = layer 0) and use the
+   * libbloom bitmap layout (512-byte header + MSB-first bits) that
+   * [[graft.sketch.BloomFilter.serialize]] emits. bitmap_filenames
+   * are absolute paths on the machine that wrote them — they resolve
+   * by FILE NAME inside the migrated directory.
+   */
+  def restoreFromRustDir(dir: Path): (Map[String, String], LayeredBloom) = {
+    val name = dir.getFileName.toString.stripPrefix("filter.")
+    val iniPath = dir.resolve(s"$name.ini")
+    require(Files.exists(iniPath), s"no $name.ini under $dir")
+    val kv = SketchCatalog.parseBloomdIni(new String(Files.readAllBytes(iniPath), UTF_8))
+    val layerFiles = kv.getOrElse("bitmap_filenames", "")
+      .split(",").filter(_.nonEmpty)
+      .map(f => dir.resolve(Paths.get(f).getFileName.toString))
+    val layers = scala.collection.mutable.ArrayBuffer.empty[graft.sketch.BloomFilter]
+    layerFiles.foreach { p =>
+      layers += graft.sketch.BloomFilter.deserialize(Files.readAllBytes(p))
+    }
+    val lbf = new LayeredBloom(kv("capacity").toLong, kv("probability").toDouble, layers)
+    (kv + ("filter_name" -> kv.getOrElse("filter_name", name)), lbf)
+  }
 }

@@ -321,6 +321,16 @@ class SketchCatalog(
   def exists(name: String): Boolean = registry.contains(name)
   def names: Seq[String] = registry.keys.toSeq.sorted
 
+  /** `filtmgr_list_cold_filters` analog
+    * (`filter_manager.c:731-794`): names not touched since the last
+    * cold listing/sweep; reading the list clears the hot flags, so
+    * consecutive calls define the sweep windows. */
+  def listCold(): Seq[String] = this.synchronized {
+    val cold = registry.values.filterNot(_.hot).map(_.name).toSeq.sorted
+    registry.values.foreach(_.hot = false)
+    cold
+  }
+
   /** Register a filter restored from a reference-daemon directory
     * (`bloomd.<name>/`, see [[SketchCatalog.restoreFromBloomd]]). */
   def importBloomd(dir: Path): String = {

@@ -81,6 +81,15 @@ object PipelineQueries {
     "ann_ivf_topk" -> ((s, dir) =>
       Ann.ivfTopK(emb(s, dir), nQueries = 10, k = 10, recallFloor = 0.9).orderBy("q_id")),
 
+    // raw approximate paths (no recall harness): what a user's query
+    // actually costs — rows-only gate (no SQL oracle can replay LSH
+    // buckets / quantizer cells); quality is gated by the _topk pair
+    "ann_lsh_topk_raw" -> ((s, dir) =>
+      Ann.lshTopKRaw(emb(s, dir), nQueries = 10, k = 10).orderBy("q_id", "n_id")),
+
+    "ann_ivf_topk_raw" -> ((s, dir) =>
+      Ann.ivfTopKRaw(emb(s, dir), nQueries = 10, k = 10).orderBy("q_id", "n_id")),
+
     // ---- multimodal -----------------------------------------------------
 
     "multimodal_decode" -> ((s, dir) => {
