@@ -205,6 +205,38 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /**
+   * Probabilistic-recall embedding near-dup for PRODUCTION thresholds
+   * (minCos >= ~0.9): candidates collide in >= 1 sign-LSH table
+   * (equality self-join on (table, bucket) — never all-pairs), exact
+   * cosine verifies. At cos 0.99 a pair collides per 8-bit table with
+   * p ~ 0.976, so 16 tables miss with p ~ 2e-26 — recall is 1 in any
+   * practical sense. At LOW thresholds (this corpus's 0.44) sign-LSH
+   * is provably useless (p_bit ~ 0.65: every parameterization either
+   * misses pairs or joins more than all-pairs), which is why the
+   * exact gate uses [[cosinePairs]]'s cell pruning instead.
+   */
+  def cosinePairsLsh(emb: DataFrame, minCos: Double,
+                     tables: Int = 16, bitsPerTable: Int = 8): DataFrame = {
+    val e = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(VecFunctions.vec_dot(col("v"), col("v"))))
+    val buckets = e.select(col("vec_id"),
+      posexplode(VecFunctions.lsh_buckets(col("v"), tables, bitsPerTable))
+        .as(Seq("t", "bk")))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.t") === col("b.t") && col("a.bk") === col("b.bk") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("nrm_a")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nrm_b")), Seq("id_b"))
+      .withColumn("cos", VecFunctions.vec_dot(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
   /** dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))), left-fold order. */
   def cosine(va: org.apache.spark.sql.Column, vb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =

@@ -67,6 +67,12 @@ object PipelineQueries {
     "dedup_embedding_cosine" -> ((s, dir) =>
       Dedup.cosinePairs(emb(s, dir), minCos = 0.44).orderBy("id_a", "id_b")),
 
+    // the composed curation pipeline: quality gate -> exact dedup ->
+    // near-dup cluster dedup -> language/size metadata, end to end;
+    // the oracle replays every stage in SQL
+    "pipeline_curation" -> ((s, dir) =>
+      Curation.curate(docs(s, dir), minJ = 0.5).orderBy("doc_id")),
+
     // ---- similarity search ----------------------------------------------
 
     "ann_brute_topk" -> ((s, dir) =>
@@ -157,6 +163,49 @@ object PipelineQueries {
       val streamed = graft.streaming.WindowedSketch.windowedHll(
         s, in, tmp.resolve("cp").toString)
       graft.streaming.WindowedSketch.compareWindowedToBatch(s, in, streamed)
+    }),
+
+    // streaming exact dedup: dropDuplicates state across micro-batches;
+    // originals replay strictly before their duplicates (two write
+    // phases with pinned mtimes), so first-arrived == lowest doc_id ==
+    // the batch operator's keep rule, exactly
+    "stream_dedup_exact" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graftsdedup")
+      val in = tmp.resolve("in").toString
+      val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      def pinMtimes(base: Long, exclude: Set[String]): Set[String] = {
+        val parts = java.nio.file.Files.list(java.nio.file.Paths.get(in)).iterator()
+        val ps = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+        while (parts.hasNext) {
+          val p = parts.next()
+          if (p.toString.endsWith(".parquet") && !exclude.contains(p.toString)) ps += p
+        }
+        ps.sortBy(_.getFileName.toString).zipWithIndex.foreach { case (p, i) =>
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(base + i * 60000L))
+        }
+        exclude ++ ps.map(_.toString)
+      }
+      d.repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(in)
+      val phase1 = pinMtimes(1000000000000L, Set.empty)
+      d.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        .repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id")
+        .write.mode("append").parquet(in)
+      pinMtimes(2000000000000L, phase1) // only the NEW (dup) files move later
+      val dup = d.union(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      // one file per trigger: the corpus can contain internal exact
+      // duplicates, and two clique members in different files of the
+      // SAME micro-batch would race on who reaches the dedup state
+      // first — file-at-a-time replay makes arrival order total
+      val streamed = graft.streaming.StreamDedup.dedupExact(
+        s, in, tmp.resolve("cp").toString, maxFilesPerTrigger = 1)
+      val batchKept = Dedup.exactDedup(dup)
+      streamed.join(batchKept, Seq("fp"))
+        .select(col("fp"), col("kept_doc_id"),
+          (col("doc_id") === col("kept_doc_id")).as("stream_matches_batch"),
+          (col("n_batches") > 1).as("multi_batch_ok"))
+        .orderBy("kept_doc_id")
     }),
 
     // custom per-key sketch state (mapGroupsWithState): bloom of event
@@ -590,6 +639,29 @@ object PipelineQueries {
         "FROM (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, text FROM documents) " +
         "GROUP BY md5(text) ORDER BY kept_doc_id"),
 
+    "pipeline_curation" ->
+      ("WITH q AS (SELECT doc_id, text, lang, ws FROM " +
+        s"(SELECT doc_id, text, lang, $W AS ws FROM documents) " +
+        "WHERE len(ws) BETWEEN 5 AND 2000 " +
+        "AND len(list_distinct(ws))::DOUBLE / len(ws) >= 0.05 " +
+        "AND list_sum(list_transform(ws, w -> len(w)))::BIGINT / len(ws) BETWEEN 1.0 AND 20.0), " +
+        "k AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)), " +
+        "d AS (SELECT q.* FROM q JOIN k USING (doc_id)), " +
+        s"shd AS (SELECT doc_id, $Sh AS sh FROM (SELECT doc_id, ws FROM d)), " +
+        "p AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM shd a JOIN shd b ON a.doc_id < b.doc_id " +
+        "WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5), " +
+        "e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p), " +
+        "reach AS (WITH RECURSIVE r(a, b) AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a) SELECT * FROM r), " +
+        "reps AS (SELECT a AS doc_id, least(a, min(b)) AS rep FROM reach GROUP BY a), " +
+        "kept AS (SELECT d.doc_id, d.ws FROM d LEFT JOIN reps ON d.doc_id = reps.doc_id " +
+        "WHERE reps.doc_id IS NULL OR reps.rep = d.doc_id) " +
+        "SELECT doc_id, CASE WHEN m = 0 THEN 'und' WHEN s_de = m THEN 'de' WHEN s_en = m THEN 'en' " +
+        "WHEN s_es = m THEN 'es' WHEN s_fr = m THEN 'fr' ELSE 'zh' END AS lang_pred, " +
+        "CAST(len(ws) AS INT) AS n_words FROM (" +
+        "SELECT doc_id, ws, s_de, s_en, s_es, s_fr, s_zh, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m FROM (" +
+        s"SELECT doc_id, ws, ${score("de")} AS s_de, ${score("en")} AS s_en, ${score("es")} AS s_es, " +
+        s"${score("fr")} AS s_fr, ${score("zh")} AS s_zh FROM kept)) ORDER BY doc_id"),
+
     "dedup_ngram_jaccard" -> JaccardPairs,
     "dedup_minhash_lsh" -> JaccardPairs,
     "dedup_simhash" -> JaccardPairs,
@@ -646,6 +718,12 @@ object PipelineQueries {
       ("SELECT CAST(time_bucket(INTERVAL '6 hours', ts) AS VARCHAR) AS window_start, event_type, " +
         "count(*) AS n_events, TRUE AS count_ok, TRUE AS hll_ok " +
         "FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"),
+
+    "stream_dedup_exact" ->
+      ("SELECT md5(text) AS fp, min(doc_id) AS kept_doc_id, " +
+        "TRUE AS stream_matches_batch, TRUE AS multi_batch_ok " +
+        "FROM (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, text FROM documents) " +
+        "GROUP BY md5(text) ORDER BY kept_doc_id"),
 
     "stream_user_state" ->
       ("SELECT user_id, count(DISTINCT event_type) AS n_types_exact, TRUE AS state_ok " +

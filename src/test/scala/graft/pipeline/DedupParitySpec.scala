@@ -42,6 +42,24 @@ class DedupParitySpec extends AnyFunSuite {
     }
   }
 
+  test("LSH-mode cosine dedup finds all planted near-dups at a production threshold") {
+    // plant near-dups: each corpus vector plus a deterministically
+    // perturbed copy (cos ~ 0.9999) under vec_id + 10000
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val planted = base.select((col("vec_id") + 10000).as("vec_id"),
+      transform(col("v"), x => x * 1.0001 + 0.001).as("v"))
+    val corpus = base.union(planted).select(col("vec_id"), col("v").as("embedding"))
+    val n = base.count()
+    val lsh = Dedup.cosinePairsLsh(corpus, minCos = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted pair found (recall 1 at this threshold)...
+    (0L until n).foreach(i => assert(lsh.contains((i, i + 10000)), s"missing planted pair $i"))
+    // ...and LSH-mode equals the exact cell-pruned operator here
+    val exact = Dedup.cosinePairs(corpus.toDF(), minCos = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
   test("capped Jaccard computes J over the surviving universe (no na/nb bias)") {
     import spark.implicits._
     // d1/d2 share the hot shingle plus all rare ones; cap removes the
