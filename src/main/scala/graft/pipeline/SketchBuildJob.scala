@@ -16,7 +16,12 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
  *   scan(batch files) -> explode(tokens) -> groupBy(source)
  *     -> bloom_agg + hll_agg + count
  *     -> write parts/batch=N (atomic: parquet job commit)
- *     -> append lineage JSONL {batch, files, rows, tokens, wall_ms, ts}
+ *     -> append lineage JSONL {batch, files, rows, wall_ms, ts,
+ *        partitions:[{p, records, bytes, run_ms}, ...]} — the
+ *        per-partition task metrics (scan-side records/bytes/runtime
+ *        from the Spark listener bus), so the journal carries both
+ *        WHAT was processed (file lineage) and HOW (per-partition
+ *        work), the north rule's lineage + metrics contract
  *
  * A crash between batches loses nothing; a crash inside a batch loses
  * only that batch's work (its parquet commit never happened, and its
@@ -60,18 +65,50 @@ object SketchBuildJob {
     batches.foreach { case (batch, files) =>
       if (!done.contains(batch)) {
         val t0 = System.nanoTime()
-        val tokens = spark.read.parquet(files.toIndexedSeq: _*)
-          .select(col("source"), explode(col("tokens")).as("token"))
-        val partial = tokens.groupBy("source").agg(
-          bloom_agg(col("token").cast("string"), capacity, fpProb).as("bloom"),
-          hll_agg(col("token").cast("string"), 14).as("hll"),
-          count(lit(1)).as("n_tokens"))
-        // data first (atomic via parquet job commit), journal second
-        partial.write.mode("overwrite").parquet(s"$partsDir/batch=$batch")
+        // per-partition task metrics for this batch's jobs
+        val partMetrics = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, Long)]()
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = te.taskMetrics
+            if (m != null && m.inputMetrics.recordsRead > 0)
+              partMetrics.add((te.taskInfo.index, m.inputMetrics.recordsRead,
+                m.inputMetrics.bytesRead, m.executorRunTime))
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        try {
+          val tokens = spark.read.parquet(files.toIndexedSeq: _*)
+            .select(col("source"), explode(col("tokens")).as("token"))
+          val partial = tokens.groupBy("source").agg(
+            bloom_agg(col("token").cast("string"), capacity, fpProb).as("bloom"),
+            hll_agg(col("token").cast("string"), 14).as("hll"),
+            count(lit(1)).as("n_tokens"))
+          // data first (atomic via parquet job commit), journal second
+          partial.write.mode("overwrite").parquet(s"$partsDir/batch=$batch")
+        } finally {
+          // listener events are posted async; wait until the metric
+          // stream stabilizes (two consecutive identical sizes)
+          var prev = -1
+          var same = 0
+          var waited = 0
+          while (same < 2 && waited < 2000) {
+            Thread.sleep(50); waited += 50
+            val n = partMetrics.size()
+            if (n == prev) same += 1 else { same = 0; prev = n }
+          }
+          spark.sparkContext.removeSparkListener(listener)
+        }
         val wallMs = (System.nanoTime() - t0) / 1000000
+        import scala.jdk.CollectionConverters._
+        val parts = partMetrics.asScala.toSeq.sortBy(_._1)
+        val rows = parts.map(_._2).sum
+        val partsJson = parts.map { case (p, r, b, ms) =>
+          s"""{"p":$p,"records":$r,"bytes":$b,"run_ms":$ms}"""
+        }.mkString("[", ",", "]")
         val fileList = files.map(f => "\"" + f.replace("\\", "\\\\") + "\"").mkString("[", ",", "]")
         val line = s"""{"batch":$batch,"status":"done","files":$fileList,""" +
-          s""""wall_ms":$wallMs,"ts":${System.currentTimeMillis()}}""" + "\n"
+          s""""rows":$rows,"wall_ms":$wallMs,"ts":${System.currentTimeMillis()},""" +
+          s""""partitions":$partsJson}""" + "\n"
         Files.writeString(lineagePath, line,
           StandardOpenOption.CREATE, StandardOpenOption.APPEND)
         ran += 1
