@@ -481,6 +481,30 @@ object PipelineQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // the reference's production use-case expressed relationally: a
+    // bloom sketch of the dim-side keys PRUNES the fact scan before
+    // the exact join (bloomd guards Riak lookups the same way; Spark's
+    // runtime bloom-filter join is the built-in analog). False
+    // positives only pass rows the exact semi-join then drops, so the
+    // result equals the plain join — the no-false-negative invariant
+    // doing real relational work
+    "q_bloom_prejoin" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val sketch = cust
+        .agg(bloom_agg(col("c_custkey").cast("string"), 100000L, 1e-4).as("sk"))
+        .head().getAs[Array[Byte]]("sk")
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val pruned = orders.filter(
+        bloom_contains(lit(sketch), col("o_custkey").cast("string")))
+      pruned.join(broadcast(cust), pruned("o_custkey") === cust("c_custkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     // JSON column handling: extract + aggregate over the props field
     "q_json_props" -> ((s, dir) =>
       s.read.parquet(s"$dir/events.parquet")
@@ -805,6 +829,13 @@ object PipelineQueries {
       ("SELECT o_orderstatus, count(*) AS n_orders, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents, TRUE AS two_phase_ok " +
         "FROM orders GROUP BY 1 ORDER BY 1"),
+
+    "q_bloom_prejoin" ->
+      ("SELECT o_orderpriority, count(*) AS n_orders, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM orders WHERE EXISTS (SELECT 1 FROM customer " +
+        "WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING') " +
+        "GROUP BY 1 ORDER BY 1"),
 
     "q_json_props" ->
       ("SELECT event_type, count(*) AS n, " +
