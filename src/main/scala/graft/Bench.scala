@@ -176,14 +176,14 @@ object Bench {
     def setPhase(): Unit = keyDf
       .agg(sbf_agg(col("k"), 100000L, 1e-4, 4, 0.9).as("s"))
       .write.format("noop").mode("overwrite").save()
-    val tSet = { setPhase(); Seq(timed(setPhase()), timed(setPhase()), timed(setPhase())).min }
+    val tSet = { setPhase(); (1 to 5).map(_ => timed(setPhase())).min }
     // materialize the sketch once; the check phase measures probes only
     val sketchBytes = keyDf.agg(sbf_agg(col("k"), 100000L, 1e-4, 4, 0.9).as("s"))
       .head().getAs[Array[Byte]]("s")
     def checkPhase(): Unit = keyDf
       .select(sbf_contains(lit(sketchBytes), col("k")).as("hit"))
       .write.format("noop").mode("overwrite").save()
-    val tCheck = { checkPhase(); Seq(timed(checkPhase()), timed(checkPhase()), timed(checkPhase())).min }
+    val tCheck = { checkPhase(); (1 to 5).map(_ => timed(checkPhase())).min }
     val setPerSec = (probeKeys / tSet).toLong
     val checkPerSec = (probeKeys / tCheck).toLong
     System.err.println(s"[bench] set: $setPerSec keys/s, check: $checkPerSec keys/s")

@@ -159,6 +159,29 @@ object SparkEntry {
         .orderBy(col("doc_id").cast("long"))
     }),
 
+    // the SQL surface end-to-end: the same engine driven entirely by
+    // SQL text through the graft_* function registry (the
+    // spark.sql.extensions install path exercised by GraftExtensions)
+    "q_sql_surface" -> ((s, dir) => {
+      graft.agg.GraftFunctions.register(s)
+      TokenTable.tokens(s, dir).createOrReplaceTempView("graft_toks")
+      s.sql("""
+        WITH sk AS (
+          SELECT source,
+                 graft_bloom_agg(token, 100000, 0.0001) AS bloom,
+                 graft_hll_agg(token, 14) AS hll,
+                 graft_cms_agg(token, 0.0001, 0.01) AS cms,
+                 COUNT(*) AS n,
+                 COUNT(DISTINCT token) AS nd,
+                 MIN(token) AS probe_tok
+          FROM graft_toks GROUP BY source)
+        SELECT source, n,
+               graft_bloom_contains(bloom, probe_tok) AS bloom_ok,
+               ABS(graft_hll_estimate(hll) - nd) <= GREATEST(2.0, nd * 3 * 1.04 / SQRT(16384)) AS hll_ok,
+               graft_cms_total(cms) = n AS cms_ok
+        FROM sk ORDER BY source""")
+    }),
+
     // HLL companion: distinct docs per source within published error
     // (linear-counting regime at this scale -> tolerance max(2, 3*se*n))
     "hll_distinct_docs" -> ((s, dir) => {
@@ -309,6 +332,10 @@ object SparkEntry {
         "(19, 'info of dropped', 'Filter does not exist'), " +
         "(20, 'list is empty', '0')" +
         ") AS t(step, op, result) ORDER BY step"),
+    "q_sql_surface" ->
+      (s"SELECT source, count(*) AS n, TRUE AS bloom_ok, TRUE AS hll_ok, TRUE AS cms_ok " +
+        s"FROM $tokensFrom GROUP BY source ORDER BY source"),
+
     "hll_distinct_docs" ->
       ("SELECT source, count(DISTINCT doc_id) AS n_exact, TRUE AS hll_ok " +
         "FROM documents GROUP BY source ORDER BY source"),

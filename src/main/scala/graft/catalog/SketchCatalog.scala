@@ -231,16 +231,20 @@ class SketchCatalog(
         val beforeBlob = sk.serialize()
         val keyCol = keys.columns.head
         val keyed = keys.select(col(keyCol).as("key")).na.drop()
-        // contains-check against current state first, like sbf_add
+        // contains-check against current state first, like sbf_add.
+        // (The blob rides the plan as a Literal — Spark broadcasts the
+        // task binary once per stage, so a catalog-sized blob ships
+        // once per executor, not per task.)
         val result = keyed.select(col("key"),
           (!sbf_contains(lit(beforeBlob), col("key"))).as("added"))
-        val newKeys = result.filter(col("added")).select("key")
-        val built = newKeys
-          .agg(sbf_agg(col("key"), e.capacity, e.probability,
-            scaleSize, probReduction).as("s"))
-          .head().getAs[Array[Byte]]("s")
-        val incoming = ScalableBloom.deserialize(built)
-        val nKeys = keyed.count()
+        // ONE distributed pass computes both the delta sketch (null
+        // keys are skipped by the aggregate) and the total key count
+        val row = result.agg(
+          sbf_agg(when(col("added"), col("key")), e.capacity, e.probability,
+            scaleSize, probReduction).as("s"),
+          count(lit(1)).as("n")).head()
+        val incoming = ScalableBloom.deserialize(row.getAs[Array[Byte]]("s"))
+        val nKeys = row.getAs[Long]("n")
         val added = incoming.size
         sk.mergeInPlace(incoming)
         if (added > 0) e.dirty = true
@@ -278,8 +282,12 @@ class SketchCatalog(
         val keyCol = keys.columns.head
         val res = keys.select(col(keyCol),
           sbf_contains(lit(blob), col(keyCol)).as("present"))
-        val hits = res.filter(col("present")).count()
-        val total = res.count()
+        // (hits, total) in one aggregation pass
+        val row = res.agg(
+          sum(when(col("present"), 1L).otherwise(0L)).as("hits"),
+          count(lit(1)).as("total")).head()
+        val hits = Option(row.getAs[Long]("hits")).getOrElse(0L)
+        val total = row.getAs[Long]("total")
         e.counters.checkHits += hits
         e.counters.checkMisses += total - hits
         Right(res)
