@@ -159,9 +159,17 @@ object Ann {
   // session-scoped exact-answer fixture: keyed by the corpus's input
   // files, so both approximate gates (and repeated bench runs) reuse
   // one exact pass; the collected result is nQueries*k id pairs.
-  // In-memory DataFrames (no input files) are never cached.
+  // In-memory DataFrames (no input files) are never cached, and the
+  // cache is cleared past 32 corpora (driver-memory bound).
   private val exactCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[(Long, Long)]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[(Long, Long)]]() {
+      override def computeIfAbsent(
+          k: (String, Int, Int),
+          f: java.util.function.Function[_ >: (String, Int, Int), _ <: Array[(Long, Long)]]): Array[(Long, Long)] = {
+        if (size() > 32) clear()
+        super.computeIfAbsent(k, f)
+      }
+    }
 
   def exactTopPairs(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val spark = emb.sparkSession

@@ -173,6 +173,9 @@ object Dedup {
       .withColumn("cell", (array_position(col("cs"), array_max(col("cs"))) - 1).cast("int"))
       .withColumn("cosc", element_at(col("cs"), col("cell") + 1))
       .drop("cs")
+      // persisted because both join sides and the radii pass read it;
+      // MEMORY_AND_DISK blocks are LRU-evictable, so long sessions
+      // degrade to recompute rather than OOM
       .persist()
     // angular radius per cell: max angle = acos(min cosine)
     val radii = assigned.groupBy("cell").agg(min(col("cosc")).as("mc")).collect()

@@ -186,11 +186,11 @@ object PipelineQueries {
         }
         exclude ++ ps.map(_.toString)
       }
-      d.repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id")
+      d.repartitionByRange(2, col("doc_id")).sortWithinPartitions("doc_id")
         .write.mode("overwrite").parquet(in)
       val phase1 = pinMtimes(1000000000000L, Set.empty)
       d.select((col("doc_id") + 10000).as("doc_id"), col("text"))
-        .repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id")
+        .repartitionByRange(2, col("doc_id")).sortWithinPartitions("doc_id")
         .write.mode("append").parquet(in)
       pinMtimes(2000000000000L, phase1) // only the NEW (dup) files move later
       val dup = d.union(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
