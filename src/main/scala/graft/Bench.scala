@@ -139,6 +139,19 @@ object Bench {
   // ------------------------------------------------------------------ main
 
   def main(args: Array[String]): Unit = {
+    if (args.length >= 5 && args(0) == "leg") { // dev mode: one timed leg
+      val paths = fileSubset(args(2), args(3).toDouble)
+      val cpus0 = args(1).toInt
+      val s = session(cpus0); s.sparkContext.setLogLevel("WARN")
+      val rows = s.read.parquet(paths: _*).count()
+      buildJob(s, paths) // warmup
+      (1 to args(4).toInt).foreach { i =>
+        val t = timed(buildJob(s, paths))
+        println(f"LEG local[$cpus0] run$i: $t%.2f s, ${rows / t / 1e6}%.1f M tokens/s ($rows rows)")
+      }
+      s.stop()
+      return
+    }
     if (args.length >= 3 && args(0) == "mat") { // dev mode: materialize only
       val s = session(32); s.sparkContext.setLogLevel("WARN")
       val (p, n) = materialize(s, args(1), args(2).toLong)
