@@ -26,6 +26,14 @@ import scala.collection.mutable
  *
  * Response strings match `handler_constants.c:6-64` (without trailing
  * newlines — transport framing, not semantics).
+ *
+ * Concurrency: the command surface and the background sweeps serialize
+ * on the catalog's monitor (the role of the reference's per-filter
+ * rwlocks + manager locks) — without it a cold sweep could unload a
+ * sketch between a command's fault-in and its mutation, losing the
+ * write. The DISTRIBUTED probe/insert jobs run inside the lock; that
+ * is the wire-op surface's semantics (one command at a time), not the
+ * data path's — bulk pipelines use the aggregates directly.
  */
 class SketchCatalog(
     val spark: SparkSession,
@@ -79,7 +87,7 @@ class SketchCatalog(
   // ---- `create <name> [capacity=] [prob=] [in_memory=]` ----
   // validation per csrc/bloomd/config.c:260-376 (sane_* bounds)
   def create(name: String, capacity: Long = -1, prob: Double = -1,
-             inMemory: Boolean = false): String = {
+             inMemory: Boolean = false): String = this.synchronized {
     if (!name.matches(ValidNamePattern)) return "Client Error: Bad filter name"
     val cap = if (capacity == -1) initialCapacity else capacity
     val p = if (prob == -1) defaultProbability else prob
@@ -104,7 +112,7 @@ class SketchCatalog(
   }
 
   // ---- `drop <name>`: deregister now, delete files asynchronously ----
-  def drop(name: String): String = registry.remove(name) match {
+  def drop(name: String): String = this.synchronized { registry.remove(name) match {
     case None => "Filter does not exist"
     case Some(_) =>
       pendingDeletes.add(name)
@@ -117,29 +125,34 @@ class SketchCatalog(
       })
       "Done"
   }
+  }
 
   // ---- `close <name>`: persist + unload, stay registered (proxied) ----
-  def close(name: String): String = registry.get(name) match {
-    case None => "Filter does not exist"
-    case Some(e) =>
-      if (e.sketch.isDefined) {
-        if (!e.inMemory) persist(e)
-        e.sketch = None
-        e.counters.pageOuts += 1
-      }
-      "Done"
+  def close(name: String): String = this.synchronized {
+    registry.get(name) match {
+      case None => "Filter does not exist"
+      case Some(e) =>
+        if (e.sketch.isDefined) {
+          if (!e.inMemory) persist(e)
+          e.sketch = None
+          e.counters.pageOuts += 1
+        }
+        "Done"
+    }
   }
 
   // ---- `clear <name>`: forget a PROXIED filter, keep its files ----
-  def clear(name: String): String = registry.get(name) match {
-    case None => "Filter does not exist"
-    case Some(e) =>
-      if (e.sketch.isDefined) "Filter is not proxied. Close it first."
-      else { registry.remove(name); "Done" }
+  def clear(name: String): String = this.synchronized {
+    registry.get(name) match {
+      case None => "Filter does not exist"
+      case Some(e) =>
+        if (e.sketch.isDefined) "Filter is not proxied. Close it first."
+        else { registry.remove(name); "Done" }
+    }
   }
 
   // ---- `flush [name]` ----
-  def flush(name: String = null): String = {
+  def flush(name: String = null): String = this.synchronized {
     if (name == null) {
       registry.values.foreach(e => if (!e.inMemory && e.sketch.isDefined) persist(e))
       "Done"
@@ -224,7 +237,7 @@ class SketchCatalog(
   // (`filter_manager.c:369-391`); set_hits counts new adds, set_misses
   // the duplicates (`filter.c:299-316`).
   def setKeys(name: String, keys: DataFrame): Either[String, DataFrame] =
-    registry.get(name) match {
+    this.synchronized { registry.get(name) match {
       case None => Left("Filter does not exist")
       case Some(e) =>
         val sk = faultIn(e)
@@ -251,31 +264,31 @@ class SketchCatalog(
         e.counters.setHits += added
         e.counters.setMisses += nKeys - added
         Right(result)
-    }
+    } }
 
   // ---- driver-side single-key ops (the wire-protocol surface; the
   // distributed path is setKeys/checkKeys) ----
   def setKeyLocal(name: String, key: String): Either[String, Boolean] =
-    registry.get(name) match {
+    this.synchronized { registry.get(name) match {
       case None => Left("Filter does not exist")
       case Some(e) =>
         val added = faultIn(e).add(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         if (added) { e.dirty = true; e.counters.setHits += 1 } else e.counters.setMisses += 1
         Right(added)
-    }
+    } }
 
   def checkKeyLocal(name: String, key: String): Either[String, Boolean] =
-    registry.get(name) match {
+    this.synchronized { registry.get(name) match {
       case None => Left("Filter does not exist")
       case Some(e) =>
         val present = faultIn(e).contains(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         if (present) e.counters.checkHits += 1 else e.counters.checkMisses += 1
         Right(present)
-    }
+    } }
 
   // ---- `check` / `multi`: distributed membership probe ----
   def checkKeys(name: String, keys: DataFrame): Either[String, DataFrame] =
-    registry.get(name) match {
+    this.synchronized { registry.get(name) match {
       case None => Left("Filter does not exist")
       case Some(e) =>
         val blob = faultIn(e).serialize()
@@ -291,10 +304,10 @@ class SketchCatalog(
         e.counters.checkHits += hits
         e.counters.checkMisses += total - hits
         Right(res)
-    }
+    } }
 
   // ---- `list [prefix]`: lexicographic (ART order) ----
-  def list(prefix: String = ""): DataFrame = {
+  def list(prefix: String = ""): DataFrame = this.synchronized {
     import spark.implicits._
     registry.values.toSeq
       .filter(_.name.startsWith(prefix))
@@ -309,7 +322,7 @@ class SketchCatalog(
   }
 
   // ---- `info <name>`: 13 fields (`conn_handler.c:447-476`) ----
-  def info(name: String): Either[String, DataFrame] = registry.get(name) match {
+  def info(name: String): Either[String, DataFrame] = this.synchronized { registry.get(name) match {
     case None => Left("Filter does not exist")
     case Some(e) =>
       import spark.implicits._
@@ -324,7 +337,7 @@ class SketchCatalog(
         .toDF("capacity", "checks", "check_hits", "check_misses", "in_memory",
           "page_ins", "page_outs", "probability", "sets", "set_hits",
           "set_misses", "size", "storage"))
-  }
+  } }
 
   def exists(name: String): Boolean = registry.contains(name)
   def names: Seq[String] = registry.keys.toSeq.sorted
@@ -341,7 +354,7 @@ class SketchCatalog(
 
   /** Register a filter restored from a reference-daemon directory
     * (`bloomd.<name>/`, see [[SketchCatalog.restoreFromBloomd]]). */
-  def importBloomd(dir: Path): String = {
+  def importBloomd(dir: Path): String = this.synchronized {
     val (ini, sbf) = SketchCatalog.restoreFromBloomd(dir)
     val name = dir.getFileName.toString.stripPrefix("bloomd.")
     if (registry.contains(name)) "Exists"
