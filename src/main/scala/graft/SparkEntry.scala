@@ -86,18 +86,15 @@ object SparkEntry {
     // LBF multiplicity: merged count within [1, inserted multiplicity].
     // The layered filter is a SMALL-COUNT structure — one layer per
     // repeat of a key (`src/lbf.rs`), cost and storage O(max count) —
-    // so the build inserts each (source, token) min(m_true, 5) times
-    // (the Rust server's own tests count to ~3). Building with raw
-    // corpus multiplicities (~10^3 on this small-vocab corpus) would
-    // mean thousands of layers: O(count) per insert, megabyte blobs —
-    // outside the structure's regime, and the round-1 bench proved it
-    // (303 s once the noop sink stopped Catalyst from pruning the agg).
+    // so lbf_agg itself caps layer growth (maxCount, default 5; the
+    // Rust server's own tests count to ~3). The build here feeds RAW
+    // corpus multiplicities (~10^3 on this small-vocab corpus) and the
+    // operator enforces its regime — without the cap this was a 303 s
+    // build (thousands of layers, megabyte blobs), measured in round 1.
     "lbf_multiplicity" -> ((s, dir) => {
       val toks = TokenTable.tokens(s, dir)
       val truth = toks.groupBy("source", "token").agg(count(lit(1)).as("m_true"))
-      val capped = truth.select(col("source"), col("token"),
-          explode(sequence(lit(1L), least(col("m_true"), lit(5L)))).as("rep"))
-      val sketches = capped.groupBy("source")
+      val sketches = toks.groupBy("source")
         .agg(lbf_agg(col("token").cast("string"), 100000L, 1e-4).as("sketch"))
       truth.join(broadcast(sketches), Seq("source"))
         .select(col("source"), col("token"), col("m_true"),

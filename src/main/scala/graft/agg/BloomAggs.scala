@@ -98,16 +98,29 @@ case class SbfAgg(
   override def prettyName: String = "sbf_agg"
 }
 
-/** Layered (counting) bloom — the Rust server's per-filter structure. */
+/** Layered (counting) bloom — the Rust server's per-filter structure.
+  *
+  * The layered filter is a SMALL-COUNT structure: one layer per repeat
+  * of a key (`src/lbf.rs`), so insert cost and blob size are O(max
+  * multiplicity). `maxCount` enforces that regime IN the operator:
+  * repeats beyond it are skipped (the count check is O(current count),
+  * bounded by the cap). The default 5 matches the Rust server's own
+  * test regime (~3); pass 0 to uncap when true multiplicities are
+  * known small. Without the cap, a 10^3-multiplicity corpus means
+  * thousands of layers and a 300 s build — measured, not theoretical.
+  * OR-merge of capped partials never exceeds the cap (count = layers
+  * containing the key; OR can't add layers beyond either side's). */
 case class LbfAgg(
     child: Expression,
     capacity: Long,
     fpProb: Double,
+    maxCount: Long = 5L,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0) extends KeyedSketchAgg[LayeredBloom] {
 
   override def createAggregationBuffer(): LayeredBloom = LayeredBloom.create(capacity, fpProb)
-  override protected def updateKey(buf: LayeredBloom, key: Array[Byte], len: Int): Unit = buf.add(key, 0, len)
+  override protected def updateKey(buf: LayeredBloom, key: Array[Byte], len: Int): Unit =
+    if (maxCount <= 0 || buf.count(key, 0, len) < maxCount) buf.add(key, 0, len)
   override def merge(a: LayeredBloom, b: LayeredBloom): LayeredBloom = a.mergeInPlace(b)
   override def eval(buf: LayeredBloom): Any = buf.serialize()
   override def serialize(buf: LayeredBloom): Array[Byte] = buf.serialize()

@@ -31,8 +31,10 @@ object GraftFunctions {
               scaleSize: Int = 4, probReduction: Double = 0.9): Column =
     agg(SbfAgg(ex(key.cast("string")), initialCapacity, fpProb, scaleSize, probReduction))
 
-  def lbf_agg(key: Column, capacity: Long, fpProb: Double): Column =
-    agg(LbfAgg(ex(key.cast("string")), capacity, fpProb))
+  /** `maxCount` bounds layer growth (O(count) inserts — see LbfAgg
+    * scaladoc); 0 = uncapped, default 5 = the structure's regime. */
+  def lbf_agg(key: Column, capacity: Long, fpProb: Double, maxCount: Long = 5L): Column =
+    agg(LbfAgg(ex(key.cast("string")), capacity, fpProb, maxCount))
 
   def hll_agg(key: Column, precision: Int = 14): Column =
     agg(HllAgg(ex(key.cast("string")), precision))
@@ -104,7 +106,8 @@ object GraftFunctions {
         if (es.length > 4) lit2Double(es(4)) else 0.9),
       org.apache.spark.sql.catalyst.expressions.aggregate.Complete, isDistinct = false))
     add("graft_lbf_agg")(es => AggregateExpression(
-      LbfAgg(Cast(es.head, StringType), lit2Long(es(1)), lit2Double(es(2))),
+      LbfAgg(Cast(es.head, StringType), lit2Long(es(1)), lit2Double(es(2)),
+        if (es.length > 3) lit2Long(es(3)) else 5L),
       org.apache.spark.sql.catalyst.expressions.aggregate.Complete, isDistinct = false))
     add("graft_bloom_contains")(es => BloomContains(es.head, Cast(es(1), StringType)))
     add("graft_sbf_contains")(es => SbfContains(es.head, Cast(es(1), StringType)))

@@ -50,6 +50,20 @@ class RustBloomServer(
 
   private val filters = mutable.TreeMap.empty[String, Entry]
 
+  // the Rust server's two-level locking (`main.rs:70,166-200`):
+  // `RwLock<HashMap<name, RwLock<BloomFilter>>>` — key ops take the
+  // MAP read lock (concurrent commands on different filters proceed),
+  // lifecycle ops the map write lock; each filter is then exclusive
+  // per command because even `check` needs `&mut BloomFilter`
+  // (`main.rs:598`, counters + touch) — here synchronized(entry)
+  private val mapLock = new java.util.concurrent.locks.ReentrantReadWriteLock()
+  private def mapRead[A](f: => A): A = {
+    val l = mapLock.readLock(); l.lock(); try f finally l.unlock()
+  }
+  private def mapWrite[A](f: => A): A = {
+    val l = mapLock.writeLock(); l.lock(); try f finally l.unlock()
+  }
+
   private def dir(name: String): Path = Paths.get(dataDir, s"filter.$name")
   private def dataFile(name: String): Path = dir(name).resolve("data.lbf")
 
@@ -58,23 +72,24 @@ class RustBloomServer(
     args match {
       case Nil => NotImplemented
       case cmd :: rest => cmd match {
-        case "bulk" | "b" => bulkCmd(rest)
-        case "check" | "c" => checkCmd(rest)
-        case "multi" | "m" => multiCmd(rest)
-        case "set" | "s" => setCmd(rest)
-        case "create" => createCmd(rest)
-        case "close" => closeCmd(rest)
-        case "clear" => clearCmd(rest)
-        case "drop" => dropCmd(rest)
-        case "flush" => flushCmd(rest)
-        case "info" => infoCmd(rest)
-        case "list" => listCmd(rest)
+        case "bulk" | "b" => mapRead(bulkCmd(rest))
+        case "check" | "c" => mapRead(checkCmd(rest))
+        case "multi" | "m" => mapRead(multiCmd(rest))
+        case "set" | "s" => mapRead(setCmd(rest))
+        case "create" => mapWrite(createCmd(rest))
+        case "close" => mapWrite(closeCmd(rest))
+        case "clear" => mapWrite(clearCmd(rest))
+        case "drop" => mapWrite(dropCmd(rest))
+        case "flush" => mapWrite(flushCmd(rest))
+        case "info" => mapWrite(infoCmd(rest))
+        case "list" => mapWrite(listCmd(rest))
         case _ => NotImplemented
       }
     }
   }
 
-  // ---- key ops (main.rs:598-643) ----
+  // ---- key ops (main.rs:598-643); callers hold the map read lock,
+  // the entry monitor is the filter's own write lock ----
 
   private def doCheck(e: Entry, key: String): Int = {
     val v = e.loaded.count(key.getBytes(UTF_8))
@@ -92,7 +107,7 @@ class RustBloomServer(
     case name :: keys if keys.nonEmpty =>
       filters.get(name) match {
         case None => NoExist
-        case Some(e) => keys.map(doSet(e, _)).mkString(" ")
+        case Some(e) => e.synchronized(keys.map(doSet(e, _)).mkString(" "))
       }
     case _ => BadArgs
   }
@@ -101,20 +116,20 @@ class RustBloomServer(
     case name :: keys if keys.nonEmpty =>
       filters.get(name) match {
         case None => NoExist
-        case Some(e) => keys.map(doCheck(e, _)).mkString(" ")
+        case Some(e) => e.synchronized(keys.map(doCheck(e, _)).mkString(" "))
       }
     case _ => BadArgs
   }
 
   private def checkCmd(args: List[String]): String = args match {
     case name :: key :: Nil =>
-      filters.get(name).fold(NoExist)(e => doCheck(e, key).toString)
+      filters.get(name).fold(NoExist)(e => e.synchronized(doCheck(e, key)).toString)
     case _ => BadArgs
   }
 
   private def setCmd(args: List[String]): String = args match {
     case name :: key :: Nil =>
-      filters.get(name).fold(NoExist)(e => doSet(e, key).toString)
+      filters.get(name).fold(NoExist)(e => e.synchronized(doSet(e, key)).toString)
     case _ => BadArgs
   }
 

@@ -27,13 +27,20 @@ import scala.collection.mutable
  * Response strings match `handler_constants.c:6-64` (without trailing
  * newlines — transport framing, not semantics).
  *
- * Concurrency: the command surface and the background sweeps serialize
- * on the catalog's monitor (the role of the reference's per-filter
- * rwlocks + manager locks) — without it a cold sweep could unload a
- * sketch between a command's fault-in and its mutation, losing the
- * write. The DISTRIBUTED probe/insert jobs run inside the lock; that
- * is the wire-op surface's semantics (one command at a time), not the
- * data path's — bulk pipelines use the aggregates directly.
+ * Concurrency model = the reference's (`filter_manager.c:335-391`):
+ * a manager-level lock (the catalog monitor) guards REGISTRY structure
+ * (create/drop/clear/list/restore), and each filter carries its own
+ * read-write lock — `check`/`multi` take the READ lock (concurrent
+ * checks on one filter proceed in parallel, exactly
+ * `pthread_rwlock_rdlock` in filtmgr_check_keys), `set`/`bulk` take
+ * the WRITE lock, and close/flush/background sweeps take the write
+ * lock of the filters they persist or unload. Lock order is always
+ * monitor -> entry (never the reverse), and entry-internal state
+ * (sketch presence, counters, hot/dirty flags) is additionally guarded
+ * by the entry's own monitor so read-locked fault-ins don't race each
+ * other. A command that resolved its entry before a concurrent `drop`
+ * completes against the in-memory sketch — linearized before the drop,
+ * the same outcome the reference's ref-counted deferred delete gives.
  */
 class SketchCatalog(
     val spark: SparkSession,
@@ -57,6 +64,27 @@ class SketchCatalog(
     /** has unpersisted writes (the reference's flush skips filters whose
       * size didn't change, `filter.c:164-184` — same effect) */
     @volatile var dirty: Boolean = false
+    /** the reference's per-filter `rwlock` (`filter_manager.c:341,375`):
+      * checks share the read side, sets/persists/unloads take the write side */
+    val rwlock = new java.util.concurrent.locks.ReentrantReadWriteLock()
+  }
+
+  /** a resolved filter vanished mid-command (file deleted by an async
+    * drop between resolution and fault-in) — surfaces as the
+    * reference's "Filter does not exist" */
+  private final class FilterGone extends RuntimeException
+
+  private def resolve(name: String): Option[Entry] =
+    this.synchronized(registry.get(name))
+
+  private def withRead[A](e: Entry)(f: => A): A = {
+    val l = e.rwlock.readLock(); l.lock()
+    try f finally l.unlock()
+  }
+
+  private def withWrite[A](e: Entry)(f: => A): A = {
+    val l = e.rwlock.writeLock(); l.lock()
+    try f finally l.unlock()
   }
 
   private val registry = mutable.LinkedHashMap.empty[String, Entry]
@@ -127,17 +155,21 @@ class SketchCatalog(
   }
   }
 
-  // ---- `close <name>`: persist + unload, stay registered (proxied) ----
-  def close(name: String): String = this.synchronized {
-    registry.get(name) match {
-      case None => "Filter does not exist"
-      case Some(e) =>
+  // ---- `close <name>`: persist + unload, stay registered (proxied).
+  // Entry WRITE lock (not the catalog monitor) does the work, like the
+  // reference's filtmgr_unmap_filter: a long-running set on this
+  // filter delays only this close, never commands on other filters ----
+  def close(name: String): String = resolve(name) match {
+    case None => "Filter does not exist"
+    case Some(e) => withWrite(e) {
+      e.synchronized {
         if (e.sketch.isDefined) {
           if (!e.inMemory) persist(e)
           e.sketch = None
           e.counters.pageOuts += 1
         }
-        "Done"
+      }
+      "Done"
     }
   }
 
@@ -145,32 +177,41 @@ class SketchCatalog(
   def clear(name: String): String = this.synchronized {
     registry.get(name) match {
       case None => "Filter does not exist"
-      case Some(e) =>
+      case Some(e) => e.synchronized {
         if (e.sketch.isDefined) "Filter is not proxied. Close it first."
         else { registry.remove(name); "Done" }
+      }
     }
   }
 
-  // ---- `flush [name]` ----
-  def flush(name: String = null): String = this.synchronized {
+  // ---- `flush [name]`: per-entry write lock while persisting ----
+  def flush(name: String = null): String = {
     if (name == null) {
-      registry.values.foreach(e => if (!e.inMemory && e.sketch.isDefined) persist(e))
+      val snapshot = this.synchronized(registry.values.toSeq)
+      snapshot.foreach(e => withWrite(e) {
+        e.synchronized { if (!e.inMemory && e.sketch.isDefined) persist(e) }
+      })
       "Done"
-    } else registry.get(name) match {
+    } else resolve(name) match {
       case None => "Filter does not exist"
-      case Some(e) =>
-        if (!e.inMemory && e.sketch.isDefined) persist(e)
+      case Some(e) => withWrite(e) {
+        e.synchronized { if (!e.inMemory && e.sketch.isDefined) persist(e) }
         "Done"
+      }
     }
   }
 
-  /** proxied filters fault back in on first use (`filter.c:365-381`) */
-  private def faultIn(e: Entry): ScalableBloom = {
+  /** proxied filters fault back in on first use (`filter.c:365-381`);
+    * entry-monitor-guarded so concurrent read-locked checks fault in
+    * exactly once */
+  private def faultIn(e: Entry): ScalableBloom = e.synchronized {
     e.hot = true
     e.sketch match {
       case Some(s) => s
       case None =>
-        val blob = Files.readAllBytes(filterDir(e.name).resolve("sketch.bin"))
+        val blob =
+          try Files.readAllBytes(filterDir(e.name).resolve("sketch.bin"))
+          catch { case _: java.io.IOException => throw new FilterGone }
         val s = ScalableBloom.deserialize(blob)
         e.sketch = Some(s)
         e.counters.pageIns += 1
@@ -184,16 +225,19 @@ class SketchCatalog(
   // last sweep (hot-flag protocol) every cold_interval. Exposed as a
   // manual `backgroundSweep` (deterministic tests) plus interval
   // threads. Serialized with the command surface via this-lock.
-  def backgroundSweep(flush: Boolean = true, cold: Boolean = true): (Int, Int) =
-    this.synchronized {
-      var flushed = 0
-      var pagedOut = 0
-      if (flush) registry.values.foreach { e =>
+  def backgroundSweep(flush: Boolean = true, cold: Boolean = true): (Int, Int) = {
+    val snapshot = this.synchronized(registry.values.toSeq)
+    var flushed = 0
+    var pagedOut = 0
+    if (flush) snapshot.foreach { e =>
+      withWrite(e) { e.synchronized {
         if (e.dirty && !e.inMemory && e.sketch.isDefined) {
           persist(e); flushed += 1
         }
-      }
-      if (cold) registry.values.foreach { e =>
+      } }
+    }
+    if (cold) snapshot.foreach { e =>
+      withWrite(e) { e.synchronized {
         if (!e.hot && !e.inMemory && e.sketch.isDefined) {
           if (e.dirty) persist(e)
           e.sketch = None
@@ -201,9 +245,10 @@ class SketchCatalog(
           pagedOut += 1
         }
         e.hot = false // next sweep sees touches since THIS sweep
-      }
-      (flushed, pagedOut)
+      } }
     }
+    (flushed, pagedOut)
+  }
 
   @volatile private var bgThreads: Seq[Thread] = Nil
   @volatile private var bgStop = false
@@ -237,9 +282,9 @@ class SketchCatalog(
   // (`filter_manager.c:369-391`); set_hits counts new adds, set_misses
   // the duplicates (`filter.c:299-316`).
   def setKeys(name: String, keys: DataFrame): Either[String, DataFrame] =
-    this.synchronized { registry.get(name) match {
+    resolve(name) match {
       case None => Left("Filter does not exist")
-      case Some(e) =>
+      case Some(e) => try withWrite(e) {
         val sk = faultIn(e)
         val beforeBlob = sk.serialize()
         val keyCol = keys.columns.head
@@ -259,38 +304,48 @@ class SketchCatalog(
         val incoming = ScalableBloom.deserialize(row.getAs[Array[Byte]]("s"))
         val nKeys = row.getAs[Long]("n")
         val added = incoming.size
-        sk.mergeInPlace(incoming)
-        if (added > 0) e.dirty = true
-        e.counters.setHits += added
-        e.counters.setMisses += nKeys - added
+        e.synchronized {
+          sk.mergeInPlace(incoming)
+          if (added > 0) e.dirty = true
+          e.counters.setHits += added
+          e.counters.setMisses += nKeys - added
+        }
         Right(result)
-    } }
+      } catch { case _: FilterGone => Left("Filter does not exist") }
+    }
 
   // ---- driver-side single-key ops (the wire-protocol surface; the
   // distributed path is setKeys/checkKeys) ----
   def setKeyLocal(name: String, key: String): Either[String, Boolean] =
-    this.synchronized { registry.get(name) match {
+    resolve(name) match {
       case None => Left("Filter does not exist")
-      case Some(e) =>
+      case Some(e) => try withWrite(e) {
         val added = faultIn(e).add(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        if (added) { e.dirty = true; e.counters.setHits += 1 } else e.counters.setMisses += 1
+        e.synchronized {
+          if (added) { e.dirty = true; e.counters.setHits += 1 } else e.counters.setMisses += 1
+        }
         Right(added)
-    } }
+      } catch { case _: FilterGone => Left("Filter does not exist") }
+    }
 
   def checkKeyLocal(name: String, key: String): Either[String, Boolean] =
-    this.synchronized { registry.get(name) match {
+    resolve(name) match {
       case None => Left("Filter does not exist")
-      case Some(e) =>
+      case Some(e) => try withRead(e) {
         val present = faultIn(e).contains(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        if (present) e.counters.checkHits += 1 else e.counters.checkMisses += 1
+        e.synchronized {
+          if (present) e.counters.checkHits += 1 else e.counters.checkMisses += 1
+        }
         Right(present)
-    } }
+      } catch { case _: FilterGone => Left("Filter does not exist") }
+    }
 
-  // ---- `check` / `multi`: distributed membership probe ----
+  // ---- `check` / `multi`: distributed membership probe (READ lock —
+  // concurrent checks on one filter run in parallel, filtmgr_check_keys) ----
   def checkKeys(name: String, keys: DataFrame): Either[String, DataFrame] =
-    this.synchronized { registry.get(name) match {
+    resolve(name) match {
       case None => Left("Filter does not exist")
-      case Some(e) =>
+      case Some(e) => try withRead(e) {
         val blob = faultIn(e).serialize()
         val keyCol = keys.columns.head
         val res = keys.select(col(keyCol),
@@ -301,10 +356,13 @@ class SketchCatalog(
           count(lit(1)).as("total")).head()
         val hits = Option(row.getAs[Long]("hits")).getOrElse(0L)
         val total = row.getAs[Long]("total")
-        e.counters.checkHits += hits
-        e.counters.checkMisses += total - hits
+        e.synchronized {
+          e.counters.checkHits += hits
+          e.counters.checkMisses += total - hits
+        }
         Right(res)
-    } }
+      } catch { case _: FilterGone => Left("Filter does not exist") }
+    }
 
   // ---- `list [prefix]`: lexicographic (ART order) ----
   def list(prefix: String = ""): DataFrame = this.synchronized {
@@ -312,12 +370,12 @@ class SketchCatalog(
     registry.values.toSeq
       .filter(_.name.startsWith(prefix))
       .sortBy(_.name)
-      .map { e =>
+      .map { e => e.synchronized {
         val s = e.sketch // do NOT fault in for list (reference lists proxied too)
         val bytes = s.map(_.totalByteSize).getOrElse(onDiskBytes(e.name))
         val size = s.map(_.size).getOrElse(onDiskSize(e.name))
         (e.name, e.probability, bytes, e.capacity, size)
-      }
+      } }
       .toDF("name", "probability", "bytes", "capacity", "size")
   }
 
@@ -326,10 +384,12 @@ class SketchCatalog(
     case None => Left("Filter does not exist")
     case Some(e) =>
       import spark.implicits._
-      val c = e.counters
-      val proxied = e.sketch.isEmpty
-      val storage = e.sketch.map(_.totalByteSize).getOrElse(onDiskBytes(e.name))
-      val size = e.sketch.map(_.size).getOrElse(onDiskSize(e.name))
+      val (c, proxied, storage, size) = e.synchronized {
+        val cc = e.counters.copy()
+        (cc, e.sketch.isEmpty,
+          e.sketch.map(_.totalByteSize).getOrElse(onDiskBytes(e.name)),
+          e.sketch.map(_.size).getOrElse(onDiskSize(e.name)))
+      }
       Right(Seq((
         e.capacity, c.checkHits + c.checkMisses, c.checkHits, c.checkMisses,
         if (proxied) 0 else 1, c.pageIns, c.pageOuts, e.probability,
@@ -339,8 +399,8 @@ class SketchCatalog(
           "set_misses", "size", "storage"))
   } }
 
-  def exists(name: String): Boolean = registry.contains(name)
-  def names: Seq[String] = registry.keys.toSeq.sorted
+  def exists(name: String): Boolean = this.synchronized { registry.contains(name) }
+  def names: Seq[String] = this.synchronized { registry.keys.toSeq.sorted }
 
   /** `filtmgr_list_cold_filters` analog
     * (`filter_manager.c:731-794`): names not touched since the last

@@ -89,7 +89,14 @@ class SketchTableIO(val spark: SparkSession, val root: String) {
     fileList.sorted.foreach(arr.add)
     val tmp = manifestDir.resolve(s".v$v.json.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     Files.writeString(tmp, mapper.writeValueAsString(rootNode))
-    try Files.createLink(manifestPath(v), tmp) // create-if-absent publish
+    // create-if-absent publish; some filesystems (network/overlay
+    // mounts) don't support hard links — the per-version data-dir
+    // claim already made v unique, so an atomic move is a safe fallback
+    try Files.createLink(manifestPath(v), tmp)
+    catch {
+      case _: UnsupportedOperationException =>
+        Files.move(tmp, manifestPath(v), java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
     finally Files.deleteIfExists(tmp)
     v
   }

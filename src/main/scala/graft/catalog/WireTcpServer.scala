@@ -22,11 +22,13 @@ import java.util.concurrent.Executors
  * carry their own framing, the Rust one's don't).
  *
  * The handler function is the seam: `new WireTcpServer(cWire.interpret)`
- * or `new WireTcpServer(rustServer.interpret)`. Commands from all
- * connections are serialized through a lock, matching the effective
- * semantics of the reference's per-filter locking for this
- * driver-side registry (the DISTRIBUTED data path is the DataFrame
- * API, not this wire surface).
+ * or `new WireTcpServer(rustServer.interpret)`. Connections run
+ * CONCURRENTLY (worker thread per connection, no transport-level
+ * lock): the consistency semantics live where the reference puts them
+ * — in the registry's manager lock and per-filter read-write locks
+ * (`SketchCatalog`, mirroring `filter_manager.c:335-391`), so
+ * concurrent `check`s on one filter proceed in parallel while `set`s
+ * and lifecycle ops serialize against them.
  */
 final class WireTcpServer(handler: String => String, port0: Int = 0) {
 
@@ -37,7 +39,6 @@ final class WireTcpServer(handler: String => String, port0: Int = 0) {
     t.setDaemon(true)
     t
   })
-  private val lock = new Object
 
   def port: Int = server.getLocalPort
 
@@ -61,7 +62,7 @@ final class WireTcpServer(handler: String => String, port0: Int = 0) {
       var line = in.readLine() // strips \n; we strip the optional \r
       while (line != null && !closed) {
         val cmd = line.stripSuffix("\r")
-        val resp = lock.synchronized(handler(cmd))
+        val resp = handler(cmd)
         out.write(if (resp.endsWith("\n")) resp else resp + "\n")
         out.flush()
         line = in.readLine()

@@ -157,8 +157,11 @@ object Ann {
   }
 
   // session-scoped exact-answer fixture: keyed by the corpus's input
-  // files, so both approximate gates (and repeated bench runs) reuse
-  // one exact pass; the collected result is nQueries*k id pairs.
+  // files INCLUDING each file's length and modification time, so a
+  // corpus rewritten in place at the same paths invalidates the entry
+  // instead of silently serving stale exact answers to the recall
+  // gates. Both approximate gates (and repeated bench runs) reuse one
+  // exact pass; the collected result is nQueries*k id pairs.
   // In-memory DataFrames (no input files) are never cached, and the
   // cache is cleared past 32 corpora (driver-memory bound).
   private val exactCache =
@@ -171,6 +174,17 @@ object Ann {
       }
     }
 
+  /** path:length:mtime per input file — the content-change-sensitive
+    * part of the fixture-cache key. */
+  private def fileSig(emb: DataFrame, files: Array[String]): String = {
+    val conf = emb.sparkSession.sparkContext.hadoopConfiguration
+    files.sorted.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      s"$f:${st.getLen}:${st.getModificationTime}"
+    }.mkString(",")
+  }
+
   def exactTopPairs(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -180,7 +194,7 @@ object Ann {
         .map(r => (r.getLong(0), r.getLong(1)))
     val rows =
       if (files.isEmpty) compute()
-      else exactCache.computeIfAbsent((files.sorted.mkString(","), nQueries, k), _ => compute())
+      else exactCache.computeIfAbsent((fileSig(emb, files), nQueries, k), _ => compute())
     rows.toSeq.toDF("q_id", "n_id")
   }
 

@@ -153,12 +153,26 @@ object Dedup {
    * join (same output, bounded extra cost of one quantizer pass).
    * For probabilistic-recall candidate generation at high thresholds,
    * use [[Ann.lshTopK]]'s sign-LSH buckets instead.
+   *
+   * Scale posture of the verify join: the join keys are (cell, salt),
+   * so its parallelism is nCells * saltParts, never a handful of hot
+   * cells. nCells defaults to ~sqrt(N) clamped to [64, 256] — growing
+   * cells with the corpus keeps per-cell-pair work flat; the 256 cap
+   * is where the literal-centroid assignment expression should give
+   * way to a broadcast centroid matrix (a custom Expression), noted
+   * for the >10^7-vector regime. The salt splits any single hot cell
+   * across saltParts shuffle partitions (b-side salted by id hash,
+   * a-side replicated), bounding skew from a clustered corpus.
    */
-  def cosinePairs(emb: DataFrame, minCos: Double, nCells: Int = 16): DataFrame = {
+  def cosinePairs(emb: DataFrame, minCos: Double, nCells: Int = 0,
+                  saltParts: Int = 8): DataFrame = {
+    val cells =
+      if (nCells > 0) nCells
+      else math.min(256, math.max(64, math.ceil(math.sqrt(emb.count().toDouble)).toInt))
     val e = emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(VecFunctions.vec_dot(col("v"), col("v"))))
-    val cents = Ann.trainCentroids(e.select(col("vec_id"), col("v")), nCells, 2)
+    val cents = Ann.trainCentroids(e.select(col("vec_id"), col("v")), cells, 2)
     // normalized centroids -> dot(v, c-hat)/|v| IS the cosine to the
     // centroid; assignment = argmax cosine (no unit-vector column
     // materialized — |v| scales all candidates equally)
@@ -177,9 +191,17 @@ object Dedup {
       // MEMORY_AND_DISK blocks are LRU-evictable, so long sessions
       // degrade to recompute rather than OOM
       .persist()
-    // angular radius per cell: max angle = acos(min cosine)
+    // angular radius per cell: max angle = acos(min cosine). A NaN
+    // minimum (a cell of zero-norm vectors — their cosine to anything
+    // is NaN) gets radius pi: that cell's pairs are never pruned, and
+    // the NaN pair cosines are then dropped by the final >= filter on
+    // BOTH this operator and the all-pairs oracle, identically
     val radii = assigned.groupBy("cell").agg(min(col("cosc")).as("mc")).collect()
-      .map(r => r.getInt(0) -> math.acos(math.max(-1.0, math.min(1.0, r.getDouble(1)))))
+      .map { r =>
+        val mc = r.getDouble(1)
+        r.getInt(0) -> (if (mc.isNaN) math.Pi
+                        else math.acos(math.max(-1.0, math.min(1.0, mc))))
+      }
       .toMap
     def ang(a: Array[Double], b: Array[Double]): Double = {
       val d = a.zip(b).map { case (x, y) => x * y }.sum
@@ -198,14 +220,26 @@ object Dedup {
     } yield (i, j)).toDF("cell_a", "cell_b")
     val a = assigned.select(col("vec_id").as("id_a"), col("v").as("va"),
       col("nrm").as("nrm_a"), col("cell").as("cell_a"))
+    // b-side salted by id hash (no replication), a-side replicated
+    // across all salts: the verify exchange keys on (cell_b, salt) —
+    // cells*saltParts distinct values — so one hot cell spreads over
+    // saltParts partitions instead of serializing on one
     val b = assigned.select(col("vec_id").as("id_b"), col("v").as("vb"),
-      col("nrm").as("nrm_b"), col("cell").as("cell_b"))
-    a.join(broadcast(allowed), Seq("cell_a"))
-      .join(b, Seq("cell_b"))
+        col("nrm").as("nrm_b"), col("cell").as("cell_b"))
+      .withColumn("salt", pmod(hash(col("id_b")), lit(saltParts)))
+    val out = a.join(broadcast(allowed), Seq("cell_a"))
+      .withColumn("salt", explode(sequence(lit(0), lit(saltParts - 1))))
+      .join(b, Seq("cell_b", "salt"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", VecFunctions.vec_dot(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+    // materialize the (threshold-small) pair set eagerly so the
+    // persisted assignment blocks are released before returning —
+    // repeated calls no longer accumulate cache
+    val res = out.localCheckpoint(true)
+    assigned.unpersist()
+    res
   }
 
   /**

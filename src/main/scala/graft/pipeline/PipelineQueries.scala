@@ -53,6 +53,16 @@ object PipelineQueries {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), n = 3, minJ = 0.5).orderBy("id_a", "id_b")),
 
+    // the 100 TB scale mode of the shingle join: stop-shingles in more
+    // than maxShingleDocs docs are dropped BEFORE the self-join and J
+    // is recomputed over the surviving universe on both sides. The cap
+    // of 2 drops ~14% of this corpus's shingle postings and CHANGES
+    // the answer vs exact mode (23 pairs vs 25 at sf0.01), so the gate
+    // proves the capped semantics, not accidentally the exact ones
+    "dedup_ngram_capped" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), n = 3, minJ = 0.5, maxShingleDocs = 2)
+        .orderBy("id_a", "id_b")),
+
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), numPerms = 128, bands = 32, minJ = 0.5)
         .orderBy("id_a", "id_b")),
@@ -162,7 +172,7 @@ object PipelineQueries {
           java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
       }
       val streamed = graft.streaming.WindowedSketch.windowedHll(
-        s, in, tmp.resolve("cp").toString)
+        s, in, tmp.resolve("cp").toString, tmp.resolve("out").toString)
       graft.streaming.WindowedSketch.compareWindowedToBatch(s, in, streamed)
     }),
 
@@ -200,7 +210,8 @@ object PipelineQueries {
       // SAME micro-batch would race on who reaches the dedup state
       // first — file-at-a-time replay makes arrival order total
       val streamed = graft.streaming.StreamDedup.dedupExact(
-        s, in, tmp.resolve("cp").toString, maxFilesPerTrigger = 1)
+        s, in, tmp.resolve("cp").toString, tmp.resolve("out").toString,
+        maxFilesPerTrigger = 1)
       val batchKept = Dedup.exactDedup(dup)
       streamed.join(batchKept, Seq("fp"))
         .select(col("fp"), col("kept_doc_id"),
@@ -217,7 +228,7 @@ object PipelineQueries {
       s.read.parquet(s"$dir/events.parquet").repartition(8)
         .write.mode("overwrite").parquet(in)
       val streamed = graft.streaming.WindowedSketch.userTypeState(
-        s, in, tmp.resolve("cp").toString)
+        s, in, tmp.resolve("cp").toString, tmp.resolve("out").toString)
       graft.streaming.WindowedSketch.compareUserStateToBatch(s, in, streamed)
     }),
 
@@ -229,7 +240,7 @@ object PipelineQueries {
       s.read.parquet(s"$dir/events.parquet").repartition(8)
         .write.mode("overwrite").parquet(in)
       val streamed = graft.streaming.WindowedSketch.userTypeStateTws(
-        s, in, tmp.resolve("cp").toString)
+        s, in, tmp.resolve("cp").toString, tmp.resolve("out").toString)
       graft.streaming.WindowedSketch.compareUserStateToBatch(s, in, streamed)
     }),
 
@@ -688,6 +699,21 @@ object PipelineQueries {
         s"${score("fr")} AS s_fr, ${score("zh")} AS s_zh FROM kept)) ORDER BY doc_id"),
 
     "dedup_ngram_jaccard" -> JaccardPairs,
+
+    // capped mode: drop shingles with document frequency > 2, then
+    // recompute per-doc counts and Jaccard over the SURVIVORS only —
+    // the exact replay of ngramJaccardPairs(maxShingleDocs = 2)
+    "dedup_ngram_capped" ->
+      (s"WITH inv AS (SELECT doc_id, unnest(sh) AS g FROM $ShTable), " +
+        "surv AS (SELECT doc_id, g FROM inv WHERE g IN " +
+        "(SELECT g FROM inv GROUP BY g HAVING count(*) <= 2)), " +
+        "cnt AS (SELECT doc_id, count(*) AS nsur FROM surv GROUP BY doc_id), " +
+        "i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter " +
+        "FROM surv a JOIN surv b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, round(inter::DOUBLE / (na.nsur + nb.nsur - inter), 6) AS jaccard " +
+        "FROM i JOIN cnt na ON na.doc_id = id_a JOIN cnt nb ON nb.doc_id = id_b " +
+        "WHERE inter::DOUBLE / (na.nsur + nb.nsur - inter) >= 0.5 ORDER BY id_a, id_b"),
+
     "dedup_minhash_lsh" -> JaccardPairs,
     "dedup_simhash" -> JaccardPairs,
 

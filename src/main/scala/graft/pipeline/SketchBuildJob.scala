@@ -65,17 +65,29 @@ object SketchBuildJob {
     batches.foreach { case (batch, files) =>
       if (!done.contains(batch)) {
         val t0 = System.nanoTime()
-        // per-partition task metrics for this batch's jobs
+        // per-partition task metrics for THIS batch's jobs only: the
+        // batch runs under its own job group; the listener maps the
+        // group's jobs to their stage ids and records successful task
+        // ends from those stages — concurrent jobs on the session and
+        // failed/speculative attempts never pollute the journal
+        val groupId = s"graft-build-b$batch-${java.util.UUID.randomUUID().toString.take(8)}"
+        val groupStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
         val partMetrics = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, Long)]()
         val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            if (js.properties != null &&
+                groupId == js.properties.getProperty("spark.jobGroup.id"))
+              js.stageIds.foreach(sid => groupStages.add(sid))
           override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
             val m = te.taskMetrics
-            if (m != null && m.inputMetrics.recordsRead > 0)
+            if (te.reason == org.apache.spark.Success && groupStages.contains(te.stageId) &&
+                m != null && m.inputMetrics.recordsRead > 0)
               partMetrics.add((te.taskInfo.index, m.inputMetrics.recordsRead,
                 m.inputMetrics.bytesRead, m.executorRunTime))
           }
         }
         spark.sparkContext.addSparkListener(listener)
+        spark.sparkContext.setJobGroup(groupId, s"sketch build batch $batch")
         try {
           val tokens = spark.read.parquet(files.toIndexedSeq: _*)
             .select(col("source"), explode(col("tokens")).as("token"))
@@ -86,6 +98,7 @@ object SketchBuildJob {
           // data first (atomic via parquet job commit), journal second
           partial.write.mode("overwrite").parquet(s"$partsDir/batch=$batch")
         } finally {
+          spark.sparkContext.clearJobGroup()
           // listener events are posted async; wait until the metric
           // stream stabilizes (two consecutive identical sizes)
           var prev = -1

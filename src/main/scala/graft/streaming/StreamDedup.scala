@@ -17,16 +17,22 @@ import org.apache.spark.sql.streaming.Trigger
  * external table (the same seam as SketchStream's foreachBatch
  * merge); watermarked `dropDuplicatesWithinWatermark` bounds state
  * when near-time duplicates are the target.
+ *
+ * The result path is DISTRIBUTED: each micro-batch appends its kept
+ * rows to a parquet sink ([[StreamSinks.appendBatch]]) and the
+ * function returns a read of that sink — no row ever passes through
+ * the driver, so the operator's memory footprint is independent of
+ * the kept-row count (the always-on posture of the reference daemon,
+ * `csrc/bloomd/background.c`).
  */
 object StreamDedup {
 
-  /** Drain `inDir` as a stream, dedup by md5(text); returns
-    * (fp, doc_id, n_batches) of kept rows. */
+  /** Drain `inDir` as a stream, dedup by md5(text), append kept rows
+    * to `sinkDir`; returns (fp, doc_id, n_batches) read back from the
+    * sink. */
   def dedupExact(spark: SparkSession, inDir: String, checkpointDir: String,
-                 maxFilesPerTrigger: Int = 2): DataFrame = {
-    import spark.implicits._
+                 sinkDir: String, maxFilesPerTrigger: Int = 2): DataFrame = {
     val schema = spark.read.parquet(inDir).schema
-    val kept = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
 
     val stream = spark.readStream
@@ -36,19 +42,19 @@ object StreamDedup {
       .select(md5(col("text")).as("fp"), col("doc_id").cast("long").as("doc_id"))
       .dropDuplicates("fp")
 
+    StreamSinks.seed(spark, stream.schema, sinkDir)
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batches.incrementAndGet()
-        batch.collect().foreach(r => kept.add((r.getString(0), r.getLong(1))))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batches.incrementAndGet() // driver-side bookkeeping, not row data
+        StreamSinks.appendBatch(batch, batchId, sinkDir)
       }
       .start()
     q.awaitTermination()
 
-    import scala.jdk.CollectionConverters._
-    kept.asScala.toSeq.toDF("fp", "doc_id")
+    StreamSinks.readAppend(spark, sinkDir)
       .withColumn("n_batches", lit(batches.get()))
   }
 }

@@ -15,9 +15,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * engine supports beyond foreachBatch merge (SURVEY.md §2.5).
  *
  * Both drain a file source with Trigger.AvailableNow in update mode;
- * foreachBatch upserts each emission into a result map, so the final
- * value per key is the fully-aggregated state — asserted equal to the
- * one-shot batch computation on the same input.
+ * foreachBatch appends each batch's upserts to a parquet changelog
+ * sink ([[StreamSinks]]); the compaction view (last emission per key)
+ * is the fully-aggregated state — asserted equal to the one-shot
+ * batch computation on the same input. No operator collects result
+ * rows to the driver: the sink write is distributed and the result
+ * is a read of the sink, so the footprint is executor-sized at any
+ * key cardinality (the always-on posture of the reference daemon).
  */
 object WindowedSketch {
 
@@ -27,10 +31,10 @@ object WindowedSketch {
    * The 10-minute watermark bounds state (drops late arrivals);
    * TypedImperativeAggregate buffers checkpoint between micro-batches.
    */
-  def windowedHll(spark: SparkSession, inDir: String, checkpointDir: String): DataFrame = {
+  def windowedHll(spark: SparkSession, inDir: String, checkpointDir: String,
+                  sinkDir: String): DataFrame = {
     val schema = spark.read.parquet(inDir).schema
-    val out = new java.util.concurrent.ConcurrentHashMap[(java.sql.Timestamp, String), (Array[Byte], Long)]()
-    val q = spark.readStream.schema(schema)
+    val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 2)
       .parquet(inDir)
       // source ts is TIMESTAMP_NTZ; watermarks need an instant — the
@@ -41,24 +45,17 @@ object WindowedSketch {
       .agg(hll_agg(col("user_id").cast("string"), 14).as("users_hll"),
         count(lit(1)).as("n_events"))
       .select(col("w.start").as("ws"), col("event_type"), col("users_hll"), col("n_events"))
-      .writeStream
+    StreamSinks.seed(spark, stream.schema, sinkDir)
+    val q = stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.collect().foreach { r =>
-          out.put((r.getTimestamp(0), r.getString(1)),
-            (r.getAs[Array[Byte]](2), r.getLong(3)))
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        StreamSinks.appendBatch(batch, batchId, sinkDir)
       }
       .start()
     q.awaitTermination()
-
-    import scala.jdk.CollectionConverters._
-    import spark.implicits._
-    out.asScala.toSeq
-      .map { case ((ws, et), (hll, n)) => (ws, et, hll, n) }
-      .toDF("ws", "event_type", "users_hll", "n_events")
+    StreamSinks.readLatestByKey(spark, sinkDir, Seq("ws", "event_type"))
   }
 
   /** streaming == batch contract for the windowed aggregation */
@@ -84,10 +81,10 @@ object WindowedSketch {
    * scale. Emits (user_id, distinct-type count) per touched group per
    * batch; the last emission is the final state.
    */
-  def userTypeState(spark: SparkSession, inDir: String, checkpointDir: String): DataFrame = {
+  def userTypeState(spark: SparkSession, inDir: String, checkpointDir: String,
+                    sinkDir: String): DataFrame = {
     import spark.implicits._
     val schema = spark.read.parquet(inDir).schema
-    val out = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
 
     def updateState(userId: Long, rows: Iterator[(Long, String)],
                     state: GroupState[Array[Byte]]): (Long, Long) = {
@@ -101,25 +98,25 @@ object WindowedSketch {
       (userId, bloom.count)
     }
 
-    val q = spark.readStream.schema(schema)
+    val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 2)
       .parquet(inDir)
       .select(col("user_id").cast("long"), col("event_type"))
       .as[(Long, String)]
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateState)
-      .writeStream
+      .toDF("user_id", "n_types_sketch")
+    StreamSinks.seed(spark, stream.schema, sinkDir)
+    val q = stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, Long)], _: Long) =>
-        batch.collect().foreach { case (u, c) => out.put(u, c) }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        StreamSinks.appendBatch(batch, batchId, sinkDir)
       }
       .start()
     q.awaitTermination()
-
-    import scala.jdk.CollectionConverters._
-    out.asScala.toSeq.map { case (u, c) => (u, c) }.toDF("user_id", "n_types_sketch")
+    StreamSinks.readLatestByKey(spark, sinkDir, Seq("user_id"))
   }
 
   /**
@@ -149,31 +146,31 @@ object WindowedSketch {
     }
   }
 
-  def userTypeStateTws(spark: SparkSession, inDir: String, checkpointDir: String): DataFrame = {
+  def userTypeStateTws(spark: SparkSession, inDir: String, checkpointDir: String,
+                       sinkDir: String): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val schema = spark.read.parquet(inDir).schema
-    val out = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
-    val q = spark.readStream.schema(schema)
+    val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 2)
       .parquet(inDir)
       .select(col("user_id").cast("long"), col("event_type"))
       .as[(Long, String)]
       .groupByKey(_._1)
       .transformWithState(new UserTypeProcessor, TimeMode.None(), OutputMode.Update())
-      .writeStream
+      .toDF("user_id", "n_types_sketch")
+    StreamSinks.seed(spark, stream.schema, sinkDir)
+    val q = stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, Long)], _: Long) =>
-        batch.collect().foreach { case (u, c) => out.put(u, c) }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        StreamSinks.appendBatch(batch, batchId, sinkDir)
       }
       .start()
     q.awaitTermination()
-
-    import scala.jdk.CollectionConverters._
-    out.asScala.toSeq.map { case (u, c) => (u, c) }.toDF("user_id", "n_types_sketch")
+    StreamSinks.readLatestByKey(spark, sinkDir, Seq("user_id"))
   }
 
   def compareUserStateToBatch(spark: SparkSession, inDir: String, streamed: DataFrame): DataFrame = {

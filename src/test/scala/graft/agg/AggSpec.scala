@@ -82,4 +82,23 @@ class AggSpec extends AnyFunSuite {
     assert(c("m1") == 1)
     assert(c("absent") == 0)
   }
+
+  test("lbf_agg maxCount keeps a 10^3-multiplicity input bounded in the structure's regime") {
+    import spark.implicits._
+    // 1000 repeats of one key + a unique tail; uncapped this would
+    // build ~1000 layers (O(count) inserts — the round-1 303 s cliff)
+    val rows = Seq.fill(1000)("hot") ++ (0 until 100).map(i => s"u$i")
+    val df = rows.toDF("k").repartition(4)
+    val blob = df.agg(lbf_agg(col("k"), 20000L, 1e-4).as("s")).head().getAs[Array[Byte]](0)
+    val lbf = graft.sketch.LayeredBloom.deserialize(blob)
+    assert(lbf.numLayers <= 5, s"cap must bound layers, got ${lbf.numLayers}")
+    val c = lbf.count("hot".getBytes(UTF_8))
+    assert(c >= 1 && c <= 5, s"capped count in [1,5], got $c")
+    assert(lbf.count("u7".getBytes(UTF_8)) == 1)
+    // uncapped opt-out still works for genuinely small counts (one
+    // partition: OR-merge of split buffers is max-like, not additive)
+    val blob0 = Seq("a", "a", "a").toDF("k").coalesce(1)
+      .agg(lbf_agg(col("k"), 20000L, 1e-4, maxCount = 0L).as("s")).head().getAs[Array[Byte]](0)
+    assert(graft.sketch.LayeredBloom.deserialize(blob0).count("a".getBytes(UTF_8)) == 3)
+  }
 }

@@ -1,0 +1,174 @@
+package graft.catalog
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Two evaluation tags that must be observed CONCURRENTLY: each probe
+  * task records its tag and then waits (bounded) until both tags are
+  * present — possible only if two read-locked checks run in parallel. */
+object ReadGate {
+  val seen: java.util.Set[String] = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def pass(tag: String): String = {
+    seen.add(tag)
+    val deadline = System.nanoTime + 20L * 1000 * 1000 * 1000
+    while (!(seen.contains("A") && seen.contains("B"))) {
+      if (System.nanoTime > deadline)
+        throw new RuntimeException("checks serialized: second probe never started")
+      Thread.sleep(5)
+    }
+    tag
+  }
+}
+
+/**
+ * Concurrency semantics of the wire surface, matching the reference's
+ * per-filter rwlocks (`filter_manager.c:335-391`) and its integration
+ * matrix (`integ/test_integ.py:280-373`): concurrent checks proceed in
+ * parallel, sets never lose updates, and set loops racing
+ * drop/flush/create across REAL TCP connections see only the
+ * reference's legal responses.
+ */
+class WireConcurrencySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def newCatalog(): SketchCatalog =
+    new SketchCatalog(spark, java.nio.file.Files.createTempDirectory("wirecc").toString)
+
+  test("two checks on one filter hold the read lock concurrently (filtmgr_check_keys rdlock)") {
+    import spark.implicits._
+    val cat = newCatalog()
+    assert(cat.create("shared") == "Done")
+    assert(cat.setKeys("shared", Seq("k1", "k2").toDF("k")).isRight)
+    ReadGate.seen.clear()
+    val gate = udf((t: String) => ReadGate.pass(t))
+    def probe(tag: String): Either[String, Long] =
+      cat.checkKeys("shared", spark.range(1).select(gate(lit(tag)).as("k")))
+        .map(_.count())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fa = pool.submit(new java.util.concurrent.Callable[Either[String, Long]] {
+        def call() = probe("A")
+      })
+      val fb = pool.submit(new java.util.concurrent.Callable[Either[String, Long]] {
+        def call() = probe("B")
+      })
+      // both complete only if the second check could START while the
+      // first was still inside its probe — i.e. a shared read lock
+      assert(fa.get(60, java.util.concurrent.TimeUnit.SECONDS) == Right(1L))
+      assert(fb.get(60, java.util.concurrent.TimeUnit.SECONDS) == Right(1L))
+    } finally pool.shutdownNow()
+  }
+
+  test("concurrent sets from many threads lose no updates (write-lock exclusion)") {
+    val cat = newCatalog()
+    assert(cat.create("hammer") == "Done")
+    val nThreads = 8
+    val perThread = 200
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    try {
+      val futures = (0 until nThreads).map { t =>
+        pool.submit(new Runnable {
+          def run(): Unit = (0 until perThread).foreach { i =>
+            assert(cat.setKeyLocal("hammer", s"key-$t-$i") == Right(true))
+          }
+        })
+      }
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    // every key present; counters account for every add exactly once
+    (0 until nThreads).foreach { t =>
+      (0 until perThread).foreach { i =>
+        assert(cat.checkKeyLocal("hammer", s"key-$t-$i") == Right(true))
+      }
+    }
+    val info = cat.info("hammer").toOption.get.head()
+    assert(info.getAs[Long]("set_hits") == nThreads.toLong * perThread)
+    assert(info.getAs[Long]("size") == nThreads.toLong * perThread)
+  }
+
+  test("integ matrix over >= 4 real TCP connections: set loops vs concurrent drop/flush/create") {
+    val cat = newCatalog()
+    val server = new WireTcpServer(new CWireServer(cat).interpret)
+    try {
+      // --- test_concurrent_drop (test_integ.py:280-303): a set loop
+      // races a drop from another connection; every response is "Yes"
+      // until "Filter does not exist", and the drop lands mid-loop
+      WireTcpClient.session(server.port) { send =>
+        assert(send("create pingpong") == "Done")
+      }
+      val dropper = new Thread(() => {
+        Thread.sleep(30)
+        WireTcpClient.session(server.port) { send => send("drop pingpong") }
+      })
+      dropper.start()
+      val setsBeforeDrop = WireTcpClient.session(server.port) { send =>
+        var x = 0
+        var gone = false
+        while (x < 20000 && !gone) {
+          val resp = send(s"set pingpong test$x")
+          if (resp == "Filter does not exist") gone = true
+          else { assert(resp == "Yes", s"unexpected response: $resp"); x += 1 }
+        }
+        assert(gone, "drop never observed by the set loop")
+        x
+      }
+      dropper.join()
+      assert(setsBeforeDrop > 0)
+
+      // --- test_concurrent_flush (:327-346) + test_concurrent_create
+      // (:348-373) + concurrent checks: 4 simultaneous connections
+      WireTcpClient.session(server.port) { send =>
+        assert(send("create pingpong2") == "Done")
+      }
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      def conn(name: String)(body: (String => String) => Unit): Thread = {
+        val t = new Thread(() => {
+          try WireTcpClient.session(server.port)(body)
+          catch { case e: Throwable => errors.add(s"$name: $e") }
+        }, name)
+        t.start(); t
+      }
+      val setter = conn("setter") { send =>
+        (0 until 2000).foreach { x =>
+          val r = send(s"set pingpong2 test$x")
+          if (r != "Yes") errors.add(s"set got $r")
+        }
+      }
+      val flusher = conn("flusher") { send =>
+        (0 until 3).foreach { _ =>
+          Thread.sleep(20)
+          val r = send("flush pingpong2")
+          if (r != "Done") errors.add(s"flush got $r")
+        }
+      }
+      val creator = conn("creator") { send =>
+        (0 until 10).foreach { x =>
+          val r = send(s"create pingpong$x-extra")
+          if (r != "Done") errors.add(s"create got $r")
+        }
+      }
+      val checker = conn("checker") { send =>
+        (0 until 2000).foreach { x =>
+          val r = send(s"check pingpong2 test$x")
+          if (r != "Yes" && r != "No") errors.add(s"check got $r")
+        }
+      }
+      Seq(setter, flusher, creator, checker).foreach(_.join(120000))
+      Seq(setter, flusher, creator, checker).foreach(t => assert(!t.isAlive, s"${t.getName} deadlocked"))
+      assert(errors.isEmpty, s"interleaved responses violated the protocol: $errors")
+      // no lost updates under the interleaving
+      WireTcpClient.session(server.port) { send =>
+        (0 until 2000 by 97).foreach { x =>
+          assert(send(s"check pingpong2 test$x") == "Yes")
+        }
+        assert(send("list pingpong") startsWith "START")
+      }
+    } finally server.close()
+  }
+}

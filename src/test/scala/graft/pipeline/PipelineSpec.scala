@@ -188,4 +188,43 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getDouble(3) > 0.0)                          // mean word len
     }
   }
+
+  test("exact-fixture cache invalidates when a corpus file is rewritten in place") {
+    import spark.implicits._
+    import java.nio.file.{Files, StandardCopyOption}
+    // deterministic pseudo-random components; vec closePair._2 is a
+    // near-copy of vec closePair._1 (cos ~ 1), all other pairs land
+    // far below it
+    def comp(i: Int, d: Int): Float =
+      (((i * 1103515245L + d * 12345L + 6789L) % 1000003L).toFloat / 1000003f) * 2f - 1f
+    def corpus(closePair: (Int, Int)): org.apache.spark.sql.DataFrame =
+      (0 until 12).map { i =>
+        val src = if (i == closePair._2) closePair._1 else i
+        val bump = if (i == closePair._2) 0.001f else 0f
+        (i.toLong, Array.tabulate(4)(d => comp(src, d) + bump * d).toSeq)
+      }.toDF("vec_id", "embedding")
+    val tmp = Files.createTempDirectory("anncache")
+    val target = tmp.resolve("emb.parquet")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val d = tmp.resolve(name)
+      df.coalesce(1).write.mode("overwrite").parquet(d.toString)
+      val part = Files.list(d).iterator()
+      var src: java.nio.file.Path = null
+      while (part.hasNext) { val p = part.next(); if (p.toString.endsWith(".parquet")) src = p }
+      Files.copy(src, target, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(target, java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    def top1(of: Int): Long = {
+      val pairs = Ann.exactTopPairs(spark.read.parquet(target.toString), nQueries = 1, k = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.length == 1 && pairs.head._1 == 0L)
+      pairs.head._2
+    }
+    stage(corpus((0, 3)), "a", 1700000000000L)
+    assert(top1(0) == 3L, "corpus A: vec 3 is planted as vec 0's nearest")
+    // rewrite the SAME file path with different content (vec 7 now nearest)
+    stage(corpus((0, 7)), "b", 1700000001000L)
+    assert(top1(0) == 7L,
+      "cache keyed on (path,len,mtime) must recompute after an in-place rewrite")
+  }
 }
