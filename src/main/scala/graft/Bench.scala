@@ -201,6 +201,39 @@ object Bench {
     val checkPerSec = (probeKeys / tCheck).toLong
     System.err.println(s"[bench] set: $setPerSec keys/s, check: $checkPerSec keys/s")
 
+    // ---- composed-pipeline scaling: curation + capped dedup at 1x
+    // and 4x the corpus (each replica's words are tagged so replicas
+    // are independent near-dup universes — work scales linearly with
+    // volume, not quadratically with cross-replica pair blowup) ----
+    val curationJson = if (scalingOnly) "null" else {
+      val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("lang"))
+      def replica(r: Int) = docs1.select(
+        (col("doc_id") + r * 10000000L).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"r${r}_$$1").as("text"), col("lang"))
+      val docs4 = (0 until 4).map(replica).reduce(_ union _)
+      def curate(d: org.apache.spark.sql.DataFrame): Unit =
+        graft.pipeline.Curation.curate(d, minJ = 0.5)
+          .write.format("noop").mode("overwrite").save()
+      def capped(d: org.apache.spark.sql.DataFrame): Unit =
+        graft.pipeline.Dedup.ngramJaccardPairs(d, n = 3, minJ = 0.5, maxShingleDocs = 4)
+          .write.format("noop").mode("overwrite").save()
+      val n1 = docs1.count(); val n4 = docs4.count()
+      curate(docs1) // warm
+      val tCur1 = (1 to 2).map(_ => timed(curate(docs1))).min
+      val tCur4 = (1 to 2).map(_ => timed(curate(docs4))).min
+      capped(docs1)
+      val tCap1 = (1 to 2).map(_ => timed(capped(docs1))).min
+      val tCap4 = (1 to 2).map(_ => timed(capped(docs4))).min
+      val volEff = (n4 / tCur4) / (4.0 * n1 / tCur1)
+      System.err.println(f"[bench] curation 1x: $tCur1%.2f s ($n1 docs), " +
+        f"4x: $tCur4%.2f s ($n4 docs), volume-scaling eff $volEff%.3f; " +
+        f"capped-jaccard 1x $tCap1%.2f s / 4x $tCap4%.2f s")
+      f"""{"docs_1x":$n1,"curation_sec_1x":$tCur1%.3f,"docs_4x":$n4,""" +
+        f""""curation_sec_4x":$tCur4%.3f,"curation_volume_eff":$volEff%.3f,""" +
+        f""""capped_jaccard_sec_1x":$tCap1%.3f,"capped_jaccard_sec_4x":$tCap4%.3f}"""
+    }
+
     // ---- per-query wall clock at sf dir (noop sink) ----
     val results = (if (scalingOnly) Seq.empty[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]
       else SparkEntry.queries.toSeq.sortBy(_._1)).map { case (name, fn) =>
@@ -262,7 +295,7 @@ object Bench {
       s""""sketch_build_tokens_per_sec":$thrFull,"sketch_build_cpus":$cpus,""" +
       s""""headline_runs":[${headTimes.mkString(",")}],"headline_rows":$benchRows,""" +
       s""""set_keys_per_sec":$setPerSec,"check_keys_per_sec":$checkPerSec,""" +
-      s""""scaling":$scaling,"sf":"$sfDir"}"""
+      s""""curation":$curationJson,"scaling":$scaling,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_result.json"), json + "\n")
     println(json)
   }

@@ -166,6 +166,22 @@ object Dedup {
    */
   def cosinePairs(emb: DataFrame, minCos: Double, nCells: Int = 0,
                   saltParts: Int = 8): DataFrame = {
+    val (out, assigned) = cosinePairsPlan(emb, minCos, nCells, saltParts)
+    // materialize the (threshold-small) pair set eagerly so the
+    // persisted assignment blocks are released before returning —
+    // repeated calls no longer accumulate cache
+    val res = out.localCheckpoint(true)
+    assigned.unpersist()
+    res
+  }
+
+  /** the un-materialized verify plan + the persisted assignment it
+    * reads — exposed so specs can assert the plan SHAPE (salted
+    * cell-keyed exchange) before checkpointing truncates it; callers
+    * must unpersist `assigned` after consuming the plan. */
+  private[pipeline] def cosinePairsPlan(
+      emb: DataFrame, minCos: Double, nCells: Int = 0,
+      saltParts: Int = 8): (DataFrame, DataFrame) = {
     val cells =
       if (nCells > 0) nCells
       else math.min(256, math.max(64, math.ceil(math.sqrt(emb.count().toDouble)).toInt))
@@ -234,12 +250,7 @@ object Dedup {
       .withColumn("cos", VecFunctions.vec_dot(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
-    // materialize the (threshold-small) pair set eagerly so the
-    // persisted assignment blocks are released before returning —
-    // repeated calls no longer accumulate cache
-    val res = out.localCheckpoint(true)
-    assigned.unpersist()
-    res
+    (out, assigned)
   }
 
   /**

@@ -58,6 +58,7 @@ final class ScalableBloom(
   private def grow(): Unit = {
     val next = topRung + 1
     layers += ((next, BloomFilter.create(rungParams(next))))
+    cachedMaxK = -1
   }
 
   def contains(key: Array[Byte]): Boolean = contains(key, 0, key.length)
@@ -70,12 +71,19 @@ final class ScalableBloom(
   }
 
   def contains(key: Array[Byte], off: Int, len: Int): Boolean = {
+    if (layers.isEmpty) return false
+    // ONE hash ladder serves every layer: computeHashes(k) is a prefix
+    // of computeHashes(k') for k <= k' (Kirsch-Mitzenmacher ladder over
+    // the same two base hashes, bloom.c:288-328), and each layer reads
+    // only its own kNum prefix. Layer-heavy sketches (a wide
+    // distributed build concat-merges many same-rung layers) therefore
+    // pay hashing ONCE per key plus ~1 early-exit bit read per layer —
+    // not one Murmur+Spooky pass per layer.
     val hs = hashScratch
+    BloomHash.computeHashes(maxK, key, off, len, hs)
     var i = layers.length - 1 // newest-to-oldest like sbf_contains
     while (i >= 0) {
-      val f = layers(i)._2
-      BloomHash.computeHashes(f.kNum, key, off, len, hs)
-      if (f.contains(hs)) return true
+      if (layers(i)._2.contains(hs)) return true
       i -= 1
     }
     false
@@ -105,8 +113,12 @@ final class ScalableBloom(
 
   def numLayers: Int = layers.length
 
-  private def maxK: Int =
-    math.max(4, if (layers.isEmpty) 4 else layers.iterator.map(_._2.kNum).max)
+  @transient private var cachedMaxK: Int = -1
+  private def maxK: Int = {
+    if (cachedMaxK < 0)
+      cachedMaxK = math.max(4, if (layers.isEmpty) 4 else layers.iterator.map(_._2.kNum).max)
+    cachedMaxK
+  }
 
   /** Deep copy (layers included). */
   def copySketch(): ScalableBloom =
@@ -142,6 +154,7 @@ final class ScalableBloom(
       acc.foreach(f => merged += ((rung, f)))
     }
     layers = merged
+    cachedMaxK = -1
     this
   }
 

@@ -60,6 +60,25 @@ class DedupParitySpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("cosinePairs verify exchange keys on (cell, salt): >= 64 cells, no narrow join keys") {
+    val (plan, assigned) = Dedup.cosinePairsPlan(emb, minCos = 0.44)
+    try {
+      // auto nCells: sqrt(N) clamped to >= 64 — the join key space is
+      // cells x saltParts, never a handful of hot cells
+      val cells = assigned.select(col("cell")).distinct().count()
+      val sqlPlan = plan.queryExecution.executedPlan.toString
+      // the verify join's shuffle keys include the salt column (so a
+      // single hot cell spreads over saltParts partitions)
+      assert(sqlPlan.contains("salt"), s"no salted exchange in plan:\n$sqlPlan")
+      // key-space width at gate scale: occupied cells x 8 salts >= 32
+      assert(cells * 8 >= 32, s"only $cells occupied cells")
+      // and the plan still produces the exact all-pairs answer
+      val got = plan.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = allPairsReference(0.44).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want)
+    } finally assigned.unpersist()
+  }
+
   test("capped Jaccard computes J over the surviving universe (no na/nb bias)") {
     import spark.implicits._
     // d1/d2 share the hot shingle plus all rare ones; cap removes the
