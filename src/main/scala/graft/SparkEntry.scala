@@ -141,6 +141,37 @@ object SparkEntry {
       steps.toSeq.toDF("step", "op", "result").orderBy("step")
     }),
 
+    // background-maintenance lifecycle as a scripted trace: dirty-flush
+    // sweep, cold-list window semantics (read clears hot flags,
+    // `filter_manager.c:731-794`), cold page-out sweep, fault-in on
+    // next use (`background.c:100-180`)
+    "op_background_lifecycle" -> ((s, dir) => {
+      import s.implicits._
+      val cat = new graft.catalog.SketchCatalog(s,
+        java.nio.file.Files.createTempDirectory("opbg").toString)
+      def cold(): String = { val c = cat.listCold(); if (c.isEmpty) "-" else c.mkString(",") }
+      val steps = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+      steps += ((1, "create f1", cat.create("f1")))
+      steps += ((2, "create f2", cat.create("f2")))
+      steps += ((3, "set f1 k1", if (cat.setKeyLocal("f1", "k1") == Right(true)) "Yes" else "No"))
+      steps += ((4, "flush sweep persists dirty only",
+        s"flushed=${cat.backgroundSweep(flush = true, cold = false)._1}"))
+      steps += ((5, "cold list while hot", cold()))
+      steps += ((6, "cold list after idle window", cold()))
+      steps += ((7, "check f1 k1 touches f1",
+        if (cat.checkKeyLocal("f1", "k1") == Right(true)) "Yes" else "No"))
+      steps += ((8, "cold sweep pages out untouched",
+        s"paged_out=${cat.backgroundSweep(flush = false, cold = true)._2}"))
+      steps += ((9, "info f2 proxied",
+        cat.info("f2").toOption.get.head().getAs[Int]("in_memory").toString))
+      steps += ((10, "check f2 k1 faults back in",
+        if (cat.checkKeyLocal("f2", "k1") == Right(true)) "Yes" else "No"))
+      val i2 = cat.info("f2").toOption.get.head()
+      steps += ((11, "info f2 in_memory/page_ins/page_outs",
+        s"${i2.getAs[Int]("in_memory")}/${i2.getAs[Long]("page_ins")}/${i2.getAs[Long]("page_outs")}"))
+      steps.toSeq.toDF("step", "op", "result").orderBy("step")
+    }),
+
     // per-row invariant from the north rule: n_tok == size(tokens),
     // token ids reproduce the reference derivation exactly. The token
     // array is emitted as its canonical CSV rendering (scalar column)
@@ -332,6 +363,20 @@ object SparkEntry {
     "q_sql_surface" ->
       (s"SELECT source, count(*) AS n, TRUE AS bloom_ok, TRUE AS hll_ok, TRUE AS cms_ok " +
         s"FROM $tokensFrom GROUP BY source ORDER BY source"),
+    "op_background_lifecycle" ->
+      ("SELECT * FROM (VALUES " +
+        "(1, 'create f1', 'Done'), " +
+        "(2, 'create f2', 'Done'), " +
+        "(3, 'set f1 k1', 'Yes'), " +
+        "(4, 'flush sweep persists dirty only', 'flushed=1'), " +
+        "(5, 'cold list while hot', '-'), " +
+        "(6, 'cold list after idle window', 'f1,f2'), " +
+        "(7, 'check f1 k1 touches f1', 'Yes'), " +
+        "(8, 'cold sweep pages out untouched', 'paged_out=1'), " +
+        "(9, 'info f2 proxied', '0'), " +
+        "(10, 'check f2 k1 faults back in', 'No'), " +
+        "(11, 'info f2 in_memory/page_ins/page_outs', '1/1/1')" +
+        ") AS t(step, op, result) ORDER BY step"),
 
     "hll_distinct_docs" ->
       ("SELECT source, count(DISTINCT doc_id) AS n_exact, TRUE AS hll_ok " +

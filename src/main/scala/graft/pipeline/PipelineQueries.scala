@@ -77,6 +77,20 @@ object PipelineQueries {
     "dedup_embedding_cosine" -> ((s, dir) =>
       Dedup.cosinePairs(emb(s, dir), minCos = 0.44).orderBy("id_a", "id_b")),
 
+    // production-threshold LSH-mode cosine dedup: near-dups PLANTED by
+    // a deterministic perturbation (cos ~ 0.9999 to the source vector),
+    // sign-LSH bucket candidates + exact-cosine verify; the oracle is
+    // the full all-pairs join at the same threshold, so the gate
+    // falsifies both candidate recall and verify arithmetic
+    "dedup_embedding_lsh" -> ((s, dir) => {
+      val base = emb(s, dir).select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val planted = base.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("v"), x => x * 1.0001 + 0.001).as("v"))
+      val corpus = base.union(planted).select(col("vec_id"), col("v").as("embedding"))
+      Dedup.cosinePairsLsh(corpus, minCos = 0.99).orderBy("id_a", "id_b")
+    }),
+
     // the composed curation pipeline: quality gate -> exact dedup ->
     // near-dup cluster dedup -> language/size metadata, end to end;
     // the oracle replays every stage in SQL
@@ -726,6 +740,15 @@ object PipelineQueries {
     "dedup_embedding_cosine" ->
       (s"SELECT id_a, id_b, round(c, 6) AS cos FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, $Cos AS c " +
         s"FROM $Vecs a JOIN $Vecs b ON a.vec_id < b.vec_id) WHERE c >= 0.44 ORDER BY id_a, id_b"),
+
+    // same perturbation replayed in SQL; oracle = exact all-pairs at
+    // the production threshold over base + planted
+    "dedup_embedding_lsh" ->
+      (s"WITH planted AS (SELECT vec_id + 100000 AS vec_id, " +
+        "list_transform(e, x -> x * 1.0001 + 0.001) AS e FROM " + Vecs + "), " +
+        s"u AS (SELECT * FROM $Vecs UNION ALL SELECT * FROM planted) " +
+        s"SELECT id_a, id_b, round(c, 6) AS cos FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, $Cos AS c " +
+        "FROM u a JOIN u b ON a.vec_id < b.vec_id) WHERE c >= 0.99 ORDER BY id_a, id_b"),
 
     "ann_brute_topk" ->
       ("SELECT q_id, CAST(rank AS INT) AS rank, n_id, round(c, 6) AS cos FROM (" +
