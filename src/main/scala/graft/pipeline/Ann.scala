@@ -88,14 +88,13 @@ object Ann {
   }
 
   private def sqNorm(c: Array[Double]): Double = c.foldLeft(0.0)((a, x) => a + x * x)
-  private def centroidLit(c: Array[Double]): Column = typedlit(c.toSeq)
 
-  /** nearest centroid by L2: argmin(-2 v.c + |c|^2) (|v|^2 constant per row) */
-  def cellCol(cents: Seq[Array[Double]]): Column = {
-    val dists = array(cents.map(c =>
-      VecFunctions.vec_dot(col("v"), centroidLit(c)) * -2.0 + sqNorm(c)): _*)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
+  /** nearest centroid by L2: argmin(-2 v.c + |c|^2) (|v|^2 constant per
+    * row) — ONE native pass over the centroid matrix ([[NearestCell]]),
+    * so codegen size stays constant however many cells the quantizer
+    * uses (the literal-array form capped out near a few hundred) */
+  def cellCol(cents: Seq[Array[Double]]): Column =
+    VecFunctions.nearest_cell_l2(col("v"), cents).getField("cell")
 
   /**
    * Exact top-k neighbors (cosine, excluding self) for query vectors

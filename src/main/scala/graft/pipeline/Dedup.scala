@@ -156,13 +156,15 @@ object Dedup {
    *
    * Scale posture of the verify join: the join keys are (cell, salt),
    * so its parallelism is nCells * saltParts, never a handful of hot
-   * cells. nCells defaults to ~sqrt(N) clamped to [64, 256] — growing
-   * cells with the corpus keeps per-cell-pair work flat; the 256 cap
-   * is where the literal-centroid assignment expression should give
-   * way to a broadcast centroid matrix (a custom Expression), noted
-   * for the >10^7-vector regime. The salt splits any single hot cell
-   * across saltParts shuffle partitions (b-side salted by id hash,
-   * a-side replicated), bounding skew from a clustered corpus.
+   * cells. nCells defaults to ~sqrt(N) clamped to [64, 1024] — growing
+   * cells with the corpus keeps per-cell-pair work flat, and the
+   * assignment is a single [[NearestCell]] matrix pass whose codegen
+   * size is constant in the cell count (the earlier literal-per-
+   * centroid expression capped out near a few hundred cells). The 1024
+   * cap bounds the driver's O(cells^2 * dims) pair-pruning loop and
+   * the broadcast allowed-pair table. The salt splits any single hot
+   * cell across saltParts shuffle partitions (b-side salted by id
+   * hash, a-side replicated), bounding skew from a clustered corpus.
    */
   def cosinePairs(emb: DataFrame, minCos: Double, nCells: Int = 0,
                   saltParts: Int = 8): DataFrame = {
@@ -184,25 +186,24 @@ object Dedup {
       saltParts: Int = 8): (DataFrame, DataFrame) = {
     val cells =
       if (nCells > 0) nCells
-      else math.min(256, math.max(64, math.ceil(math.sqrt(emb.count().toDouble)).toInt))
+      else math.min(1024, math.max(64, math.ceil(math.sqrt(emb.count().toDouble)).toInt))
     val e = emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(VecFunctions.vec_dot(col("v"), col("v"))))
     val cents = Ann.trainCentroids(e.select(col("vec_id"), col("v")), cells, 2)
     // normalized centroids -> dot(v, c-hat)/|v| IS the cosine to the
-    // centroid; assignment = argmax cosine (no unit-vector column
-    // materialized — |v| scales all candidates equally)
+    // centroid; assignment = argmax dot in ONE native matrix pass
+    // ([[NearestCell]] — constant codegen size at any cell count; |v|
+    // scales all candidates equally so argmax dot == argmax cosine)
     val unit = cents.map { c =>
       val n = math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x))
       if (n == 0) c else c.map(_ / n)
     }
-    val cosCols = array(unit.map(c =>
-      VecFunctions.vec_dot(col("v"), typedlit(c.toSeq)) / col("nrm")): _*)
     val assigned = e
-      .withColumn("cs", cosCols)
-      .withColumn("cell", (array_position(col("cs"), array_max(col("cs"))) - 1).cast("int"))
-      .withColumn("cosc", element_at(col("cs"), col("cell") + 1))
-      .drop("cs")
+      .withColumn("nc", VecFunctions.nearest_cell_dot(col("v"), unit))
+      .withColumn("cell", col("nc.cell"))
+      .withColumn("cosc", col("nc.score") / col("nrm"))
+      .drop("nc")
       // persisted because both join sides and the radii pass read it;
       // MEMORY_AND_DISK blocks are LRU-evictable, so long sessions
       // degrade to recompute rather than OOM

@@ -118,6 +118,67 @@ case class SignLshBuckets(child: Expression, tables: Int, bitsPerTable: Int)
   override def prettyName: String = "sign_lsh_buckets"
 }
 
+/**
+ * One-pass nearest-cell assignment against a centroid matrix:
+ * score_i = dot(v, c_i) * mult + bias_i, returns
+ * struct(cell = arg-best index (first index wins ties), score = best).
+ *
+ * Replaces the literal-per-centroid `array(dot(v, lit(c0))/.., ...)`
+ * assignment expression, whose codegen grows with cells x dims (the
+ * ~256-cell ceiling noted in [[Dedup.cosinePairs]]): here the matrix
+ * is ONE reference object, codegen size is constant, and cost is a
+ * tight cells x dims primitive loop — so cell counts can track corpus
+ * size (cells ~ sqrt(N)) into the 10^7-vector regime.
+ *
+ * Arithmetic parity with the literal form: per-cell dot is the same
+ * left fold [[VecDot]] performs; L2 mode (mult = -2, bias_i = |c_i|^2,
+ * findMax = false) reproduces `-2*dot + sqNorm` term for term;
+ * first-index tie-breaking matches `array_position(.., array_min(..))`.
+ */
+case class NearestCell(child: Expression, centroids: Seq[Seq[Double]],
+                       mult: Double, biases: Seq[Double], findMax: Boolean)
+    extends UnaryExpression with UnaryRefCodegen {
+  require(centroids.nonEmpty && centroids.length == biases.length, "bad centroid matrix")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("score", DoubleType, nullable = false)))
+
+  override def evalRef(input: AnyRef): AnyRef = nullSafeEval(input).asInstanceOf[AnyRef]
+
+  @transient private lazy val matrix: Array[Array[Double]] = centroids.map(_.toArray).toArray
+  @transient private lazy val biasArr: Array[Double] = biases.toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = matrix
+    val nc = m.length
+    var best = 0
+    var bestScore = Double.NaN
+    var c = 0
+    while (c < nc) {
+      val cent = m(c)
+      val n = math.min(arr.numElements(), cent.length)
+      var s = 0.0
+      var d = 0
+      while (d < n) { s += arr.getDouble(d) * cent(d); d += 1 }
+      val score = s * mult + biasArr(c)
+      // first index wins ties (strict comparison); a NaN score never
+      // displaces a real one, and an initial NaN is displaced by any
+      // real score (parity with array_position semantics)
+      val better =
+        if (java.lang.Double.isNaN(bestScore)) !java.lang.Double.isNaN(score)
+        else if (findMax) score > bestScore else score < bestScore
+      if (c == 0 || better) { best = c; bestScore = score }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(best, bestScore)
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCell = copy(child = c)
+  override def prettyName: String = "nearest_cell"
+}
+
 object VecFunctions {
   def vec_dot(a: Column, b: Column): Column =
     ColumnShim.column(VecDot(ColumnShim.expression(a), ColumnShim.expression(b)))
@@ -128,4 +189,17 @@ object VecFunctions {
   def vec_sum_agg(v: Column): Column =
     ColumnShim.column(graft.agg.VecSumAgg(ColumnShim.expression(v))
       .toAggregateExpression(isDistinct = false))
+
+  /** struct(cell, score): nearest centroid by L2 (`-2*dot + |c|^2`, argmin) */
+  def nearest_cell_l2(v: Column, cents: Seq[Array[Double]]): Column =
+    ColumnShim.column(NearestCell(ColumnShim.expression(v),
+      cents.map(_.toSeq), mult = -2.0,
+      biases = cents.map(c => c.foldLeft(0.0)((a, x) => a + x * x)),
+      findMax = false))
+
+  /** struct(cell, score): max dot product (argmax cosine for pre-normalized centroids) */
+  def nearest_cell_dot(v: Column, cents: Seq[Array[Double]]): Column =
+    ColumnShim.column(NearestCell(ColumnShim.expression(v),
+      cents.map(_.toSeq), mult = 1.0,
+      biases = cents.map(_ => 0.0), findMax = true))
 }

@@ -66,4 +66,31 @@ class VecExprSpec extends AnyFunSuite {
     val s = df.agg(VecFunctions.vec_sum_agg(col("v"))).head().getSeq[Double](0)
     assert(s == Seq(5050.0, 10100.0))
   }
+
+  test("NearestCell L2 equals the literal-per-centroid argmin, incl. ties and many cells") {
+    val cents = (0 until 300).map(i =>
+      Array.tabulate(64)(d => math.sin(i * 0.37 + d * 0.11))).toSeq
+    // literal reference form (what cellCol used to build)
+    def sqn(c: Array[Double]) = c.foldLeft(0.0)((a, x) => a + x * x)
+    val dists = array(cents.map(c =>
+      VecFunctions.vec_dot(col("v"), typedlit(c.toSeq)) * -2.0 + sqn(c)): _*)
+    val litCell = (array_position(dists, array_min(dists)) - 1).cast("int")
+    val rows = emb
+      .withColumn("nc", VecFunctions.nearest_cell_l2(col("v"), cents))
+      .select(col("vec_id"), col("nc.cell").as("fast"), litCell.as("slow"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(1) == r.getInt(2), s"vec ${r.get(0)}"))
+    // explicit tie: two identical centroids -> first index wins, both paths
+    import spark.implicits._
+    val dup = Seq(Array(1.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0)).toSeq
+    val one = Seq(Seq(1.0, 0.1)).toDF("v")
+      .select(VecFunctions.nearest_cell_l2(col("v"), dup).getField("cell")).head().getInt(0)
+    assert(one == 0, "tie must resolve to the first centroid index")
+    // dot mode: argmax, score is the winning dot product
+    val nc = Seq(Seq(0.0, 2.0)).toDF("v")
+      .select(VecFunctions.nearest_cell_dot(col("v"), dup).as("nc"))
+      .select(col("nc.cell"), col("nc.score")).head()
+    assert(nc.getInt(0) == 2 && nc.getDouble(1) == 2.0)
+  }
 }
