@@ -193,21 +193,39 @@ object SparkEntry {
     "q_sql_surface" -> ((s, dir) => {
       graft.agg.GraftFunctions.register(s)
       TokenTable.tokens(s, dir).createOrReplaceTempView("graft_toks")
+      // all 7 sketch aggregates + probes + a pure-SQL MERGE rollup
+      // (per-source HLLs merged to the global sketch, checked against
+      // the true global distinct count) — the whole engine driven by
+      // SQL text through the graft_* registry
       s.sql("""
         WITH sk AS (
           SELECT source,
                  graft_bloom_agg(token, 100000, 0.0001) AS bloom,
+                 graft_sbf_agg(token) AS sbf,
+                 graft_lbf_agg(token, 100000, 0.0001) AS lbf,
                  graft_hll_agg(token, 14) AS hll,
                  graft_cms_agg(token, 0.0001, 0.01) AS cms,
+                 graft_tdigest_agg(CAST(token AS DOUBLE), 100.0) AS td,
+                 graft_kll_agg(CAST(token AS DOUBLE), 200) AS kll,
                  COUNT(*) AS n,
                  COUNT(DISTINCT token) AS nd,
                  MIN(token) AS probe_tok
-          FROM graft_toks GROUP BY source)
+          FROM graft_toks GROUP BY source),
+        g AS (
+          SELECT graft_hll_estimate(graft_hll_merge_agg(hll)) AS global_est FROM sk),
+        truth AS (
+          SELECT COUNT(DISTINCT token) AS global_nd FROM graft_toks)
         SELECT source, n,
                graft_bloom_contains(bloom, probe_tok) AS bloom_ok,
+               graft_sbf_contains(sbf, probe_tok) AS sbf_ok,
+               graft_lbf_count(lbf, probe_tok) >= 1 AS lbf_ok,
                ABS(graft_hll_estimate(hll) - nd) <= GREATEST(2.0, nd * 3 * 1.04 / SQRT(16384)) AS hll_ok,
-               graft_cms_total(cms) = n AS cms_ok
-        FROM sk ORDER BY source""")
+               graft_cms_total(cms) = n AS cms_ok,
+               graft_kll_n(kll) = n AS kll_ok,
+               graft_tdigest_cdf(td, graft_tdigest_quantile(td, 0.5)) BETWEEN 0.4 AND 0.6 AS td_ok,
+               ABS(g.global_est - truth.global_nd) <=
+                 GREATEST(2.0, truth.global_nd * 3 * 1.04 / SQRT(16384)) AS merged_hll_ok
+        FROM sk CROSS JOIN g CROSS JOIN truth ORDER BY source""")
     }),
 
     // HLL companion: distinct docs per source within published error
@@ -361,7 +379,8 @@ object SparkEntry {
         "(20, 'list is empty', '0')" +
         ") AS t(step, op, result) ORDER BY step"),
     "q_sql_surface" ->
-      (s"SELECT source, count(*) AS n, TRUE AS bloom_ok, TRUE AS hll_ok, TRUE AS cms_ok " +
+      (s"SELECT source, count(*) AS n, TRUE AS bloom_ok, TRUE AS sbf_ok, TRUE AS lbf_ok, " +
+        "TRUE AS hll_ok, TRUE AS cms_ok, TRUE AS kll_ok, TRUE AS td_ok, TRUE AS merged_hll_ok " +
         s"FROM $tokensFrom GROUP BY source ORDER BY source"),
     "op_background_lifecycle" ->
       ("SELECT * FROM (VALUES " +

@@ -267,6 +267,53 @@ class RustBloomServer(
     flushEntry(e)
     Done
   }
+
+  /** Write filter `name` in the Rust daemon's OWN on-disk layout
+    * (`filter.<name>/{<name>.ini, N.bmp}` — the [config]/[counters]
+    * ini fields of `src/config.rs:135-276` with absolute
+    * bitmap_filenames like the daemon writes, layer bitmaps in the
+    * libbloom 512-byte-header format) — the reverse of
+    * [[importRustDir]]: the outbound half of the Rust migration path. */
+  def exportRustDir(name: String, destRoot: Path): String = mapRead {
+    filters.get(name) match {
+      case None => NoExist
+      case Some(e) => e.synchronized {
+        val l = e.loaded
+        val d = destRoot.resolve(s"filter.$name")
+        Files.createDirectories(d)
+        val files = l.layers.zipWithIndex.map { case (f, i) =>
+          val p = d.resolve(s"$i.bmp")
+          Files.write(p, f.serialize())
+          p.toAbsolutePath.toString
+        }
+        val sizes = l.layers.map(_.count)
+        val c = e.counters
+        val kNum = l.layers.headOption.map(_.kNum)
+          .getOrElse(BloomParams.forCapacity(l.capacity, l.fpProbability).kNum)
+        val ini =
+          s"""[config]
+             |filter_name = $name
+             |capacity = ${l.capacity}
+             |probability = ${java.math.BigDecimal.valueOf(l.fpProbability).stripTrailingZeros.toPlainString}
+             |k_num = $kNum
+             |in_memory = false
+             |bytes = ${e.bytes}
+             |size = ${l.size}
+             |bitmap_filenames = ${files.mkString(",")}
+             |filter_sizes = ${sizes.mkString(",")}
+             |[counters]
+             |check_hits = ${c.checkHits}
+             |check_misses = ${c.checkMisses}
+             |set_hits = ${c.setHits}
+             |set_misses = ${c.setMisses}
+             |page_ins = ${c.pageIns}
+             |page_outs = ${c.pageOuts}
+             |""".stripMargin
+        Files.write(d.resolve(s"$name.ini"), ini.getBytes(UTF_8))
+        Done
+      }
+    }
+  }
 }
 
 object RustBloomServer {

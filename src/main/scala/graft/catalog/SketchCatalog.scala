@@ -412,6 +412,44 @@ class SketchCatalog(
     cold
   }
 
+  /** Write filter `name` in the reference C daemon's OWN on-disk
+    * layout (`bloomd.<name>/{config.ini, data.NNN.mmap}` — the exact
+    * ini fields `update_filename_from_filter_config` emits,
+    * `config.c:482-507`, and the bitmap layout the daemon mmaps) —
+    * the reverse of [[SketchCatalog.restoreFromBloomd]]: a filter
+    * built by this engine can be dropped into a live bloomd data_dir
+    * and served by the C daemon, the outbound half of the migration
+    * path. Layer files are written in layer order (`data.%03d.mmap`,
+    * `filter.c:22` — alphasort order == oldest..newest on restore).
+    * A concat-merged sketch (distributed build) may carry several
+    * layers per ladder rung; each exported file is self-describing
+    * (512-byte header carries m/k/count), which is also what the
+    * daemon's own discover reads back. */
+  def exportBloomd(name: String, destRoot: Path): Either[String, Path] =
+    resolve(name) match {
+      case None => Left("Filter does not exist")
+      case Some(e) => try withRead(e) {
+        val sk = faultIn(e)
+        val dir = destRoot.resolve(s"bloomd.$name")
+        Files.createDirectories(dir)
+        e.synchronized {
+          sk.layers.zipWithIndex.foreach { case ((_, f), i) =>
+            Files.write(dir.resolve(f"data.$i%03d.mmap"), f.serialize())
+          }
+          val ini = String.format(java.util.Locale.ROOT,
+            "[bloomd]\ninitial_capacity = %d\ndefault_probability = %f\n" +
+              "scale_size = %d\nprobability_reduction = %f\nin_memory = %d\n" +
+              "size = %d\ncapacity = %d\nbytes = %d\n",
+            Long.box(sk.initialCapacity), Double.box(sk.fpProbability),
+            Int.box(sk.scaleSize), Double.box(sk.probReduction),
+            Int.box(if (e.inMemory) 1 else 0),
+            Long.box(sk.size), Long.box(sk.totalCapacity), Long.box(sk.totalByteSize))
+          Files.write(dir.resolve("config.ini"), ini.getBytes(UTF_8))
+        }
+        Right(dir)
+      } catch { case _: FilterGone => Left("Filter does not exist") }
+    }
+
   /** Register a filter restored from a reference-daemon directory
     * (`bloomd.<name>/`, see [[SketchCatalog.restoreFromBloomd]]). */
   def importBloomd(dir: Path): String = this.synchronized {

@@ -103,4 +103,39 @@ class BloomdRestoreSpec extends AnyFunSuite {
       .toOption.get.collect().map(r => (r.getString(0), r.getBoolean(1))).toMap
     assert(chk("mig0") && chk("mig299") && !chk("absent"))
   }
+
+  test("exportBloomd writes the C daemon's layout: restore round-trips, import-export is byte-stable") {
+    val cat = new SketchCatalog(spark, Files.createTempDirectory("expcat").toString)
+    assert(cat.create("expo", 20000, 0.001) == "Done")
+    val keys = (0 until 500).map(i => s"ek$i")
+    keys.foreach(k => assert(cat.setKeyLocal("expo", k) == Right(true)))
+    val dest = Files.createTempDirectory("expdest")
+    val dir = cat.exportBloomd("expo", dest).toOption.get
+    assert(dir.getFileName.toString == "bloomd.expo")
+    // the exported directory restores through the C-layout reader with
+    // full membership and matching ini fields
+    val (ini, restored) = SketchCatalog.restoreFromBloomd(dir)
+    assert(ini.initialCapacity == 20000L && ini.defaultProbability == 0.001)
+    assert(ini.size == 500L)
+    assert(keys.forall(k => restored.contains(k.getBytes("UTF-8"))))
+    assert(!restored.contains("absent".getBytes("UTF-8")))
+    assert(cat.exportBloomd("nope", dest) == Left("Filter does not exist"))
+
+    // import a reference-layout dir, re-export it: layer files must be
+    // byte-identical (the bitmap layout is the daemon's own)
+    val src = ScalableBloom.create(100L, 1e-4, 4, 0.9)
+    (0 until 600).foreach(i => src.add(s"rt$i".getBytes("UTF-8")))
+    val refDir = writeLayout(src, "rex")
+    assert(cat.importBloomd(refDir) == "Done")
+    val dest2 = Files.createTempDirectory("expdest2")
+    val out = cat.exportBloomd("rex", dest2).toOption.get
+    src.layers.indices.foreach { i =>
+      val a = Files.readAllBytes(refDir.resolve(f"data.$i%03d.mmap"))
+      val b = Files.readAllBytes(out.resolve(f"data.$i%03d.mmap"))
+      assert(java.util.Arrays.equals(a, b), s"layer $i differs")
+    }
+    val kv = SketchCatalog.parseBloomdIni(Files.readString(out.resolve("config.ini")))
+    assert(kv("initial_capacity") == "100" && kv("scale_size") == "4")
+    assert(kv("size") == src.size.toString)
+  }
 }

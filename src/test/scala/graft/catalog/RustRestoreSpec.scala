@@ -65,6 +65,30 @@ class RustRestoreSpec extends AnyFunSuite {
     assert(info.contains(s"size ${lbf.size}"))
   }
 
+  test("exportRustDir writes the Rust daemon's layout; a second server imports it intact") {
+    val srcRoot = Files.createTempDirectory("rustexp")
+    val src = new RustBloomServer(srcRoot.toString)
+    assert(src.interpret("create expo") == "Done")
+    Seq("a", "a", "b").foreach(k => src.interpret(s"set expo $k"))
+    assert(src.interpret("check expo a") == "2") // 1 check_hit on src
+    val dest = Files.createTempDirectory("rustexpdst")
+    assert(src.exportRustDir("expo", dest) == "Done")
+    assert(src.exportRustDir("ghost", dest) == "Filter does not exist")
+    val d = dest.resolve("filter.expo")
+    assert(Files.exists(d.resolve("expo.ini")) && Files.exists(d.resolve("0.bmp")))
+
+    val dst = new RustBloomServer(Files.createTempDirectory("rustexpdst2").toString)
+    assert(dst.importRustDir(d) == "Done")
+    assert(dst.interpret("check expo a") == "2")
+    assert(dst.interpret("check expo b") == "1")
+    assert(dst.interpret("check expo zz") == "0")
+    // counters travelled: src had 1 check_hit + set hit/miss history
+    val info = dst.interpret("info expo")
+    assert(info.contains("set_hits 1"))   // "a" second set hit
+    assert(info.contains("set_misses 2")) // first "a", first "b"
+    assert(info.contains("check_hits 3")) // 1 exported + a,b above
+  }
+
   test("listCold clears hot flags and defines sweep windows") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
