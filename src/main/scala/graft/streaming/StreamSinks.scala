@@ -21,19 +21,24 @@ import org.apache.spark.sql.functions._
  */
 object StreamSinks {
 
-  /** foreachBatch body: tag the micro-batch with its batch id and
-    * append it to the changelog dir — a distributed write, never a
-    * driver collect. */
+  /** foreachBatch body: write the micro-batch into its OWN partition
+    * directory (`batch_id=N`), mode overwrite — a distributed write,
+    * never a driver collect, and IDEMPOTENT per batch id: Structured
+    * Streaming's exactly-once contract for foreachBatch requires the
+    * sink write to be idempotent on (batchId) because a failed batch
+    * is re-run with the same id — a plain append would duplicate the
+    * retried batch's rows, an overwrite of the batch's directory
+    * cannot. `batch_id` resurfaces on read as the inferred partition
+    * column. */
   def appendBatch(batch: DataFrame, batchId: Long, sinkDir: String): Unit =
-    batch.withColumn("batch_id", lit(batchId)).write.mode("append").parquet(sinkDir)
+    batch.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
 
   /** Seed the changelog with a zero-row file carrying the schema, so
     * reading the sink is well-defined even when every batch is empty. */
   def seed(spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
            sinkDir: String): Unit =
     spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-      .withColumn("batch_id", lit(-1L))
-      .coalesce(1).write.mode("append").parquet(sinkDir)
+      .coalesce(1).write.mode("overwrite").parquet(s"$sinkDir/batch_id=-1")
 
   /** Append-mode result: each row was emitted exactly once. */
   def readAppend(spark: SparkSession, sinkDir: String): DataFrame =

@@ -13,6 +13,23 @@ class StreamSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("changelog sink is idempotent per batch id (foreachBatch retry cannot duplicate rows)") {
+    import spark.implicits._
+    val sink = java.nio.file.Files.createTempDirectory("sinkidem").resolve("out").toString
+    val b0 = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    StreamSinks.seed(spark, b0.schema, sink)
+    StreamSinks.appendBatch(b0, 0L, sink)
+    StreamSinks.appendBatch(b0, 0L, sink) // the retry: same id, rewritten
+    StreamSinks.appendBatch(Seq(("c", 3L)).toDF("k", "v"), 1L, sink)
+    val rows = StreamSinks.readAppend(spark, sink).collect()
+    assert(rows.length == 3, s"retried batch must not duplicate: ${rows.mkString(",")}")
+    // update-mode compaction: the same key re-emitted in a later batch wins
+    StreamSinks.appendBatch(Seq(("a", 9L)).toDF("k", "v"), 2L, sink)
+    val latest = StreamSinks.readLatestByKey(spark, sink, Seq("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(latest == Map("a" -> 9L, "b" -> 2L, "c" -> 3L))
+  }
+
   test("foreachBatch incremental OR-merge reproduces one-shot batch sketches exactly") {
     val tmp = java.nio.file.Files.createTempDirectory("streamspec")
     val in = tmp.resolve("in").toString
