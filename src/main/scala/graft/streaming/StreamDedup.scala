@@ -57,4 +57,40 @@ object StreamDedup {
     StreamSinks.readAppend(spark, sinkDir)
       .withColumn("n_batches", lit(batches.get()))
   }
+
+  /**
+   * Bounded-state streaming dedup for NEAR-TIME duplicates:
+   * `dropDuplicatesWithinWatermark` keeps a digest in state only while
+   * the watermark hasn't passed its event time + `delay`, so state is
+   * bounded by the duplicate horizon instead of growing with every
+   * distinct document ever seen — the always-on mode for unbounded
+   * streams. The contract is the horizon: duplicates farther apart
+   * than `delay` (by event time) can BOTH be emitted, by design.
+   * Result path: the same idempotent per-batch changelog sink as
+   * [[dedupExact]].
+   */
+  def dedupWithinWatermark(spark: SparkSession, inDir: String, checkpointDir: String,
+                           sinkDir: String, tsCol: String, delay: String,
+                           maxFilesPerTrigger: Int = 1): DataFrame = {
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+      .select(md5(col("text")).as("fp"), col("doc_id").cast("long").as("doc_id"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("fp")
+    StreamSinks.seed(spark, stream.schema, sinkDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        StreamSinks.appendBatch(batch, batchId, sinkDir)
+      }
+      .start()
+    q.awaitTermination()
+    StreamSinks.readAppend(spark, sinkDir)
+  }
 }
