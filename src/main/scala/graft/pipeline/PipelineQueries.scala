@@ -234,6 +234,46 @@ object PipelineQueries {
         .orderBy("kept_doc_id")
     }),
 
+    // horizon-bounded streaming dedup: dropDuplicatesWithinWatermark
+    // over a pinned one-file-per-trigger replay — the kept set is
+    // fully deterministic (drop inside the 30m horizon, re-admit after
+    // state expiry + the eviction-at-commit lag), so the oracle is the
+    // exact expected keep set
+    "stream_dedup_watermark" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      val tmp = java.nio.file.Files.createTempDirectory("graftwmd")
+      val in = tmp.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      def hour(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+      val rows = Seq(
+        (1L, "alpha text", hour(10, 0)),
+        (2L, "alpha text", hour(10, 5)),   // in-horizon dup -> dropped
+        (3L, "filler doc", hour(11, 10)),
+        (4L, "filler two", hour(11, 15)),  // batch wm 10:40 -> alpha evicted at commit
+        (5L, "alpha text", hour(11, 30)))  // re-admitted after expiry
+      rows.zipWithIndex.foreach { case ((id, text, ts), i) =>
+        val stage = tmp.resolve(s"stage$i")
+        Seq((id, text, ts)).toDF("doc_id", "text", "ts")
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = java.nio.file.Files.list(stage).iterator()
+        while (part.hasNext) {
+          val p = part.next()
+          if (p.toString.endsWith(".parquet")) {
+            val dst = in.resolve(f"file$i%03d.parquet")
+            java.nio.file.Files.copy(p, dst)
+            java.nio.file.Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+          }
+        }
+      }
+      graft.streaming.StreamDedup.dedupWithinWatermark(s, in.toString,
+          tmp.resolve("cp").toString, tmp.resolve("out").toString,
+          tsCol = "ts", delay = "30 minutes")
+        .select(col("doc_id"), col("ts").cast("string").as("event_ts"))
+        .orderBy("doc_id")
+    }),
+
     // custom per-key sketch state (mapGroupsWithState): bloom of event
     // types per user; bounded state, exact at this cardinality
     "stream_user_state" -> ((s, dir) => {
@@ -798,6 +838,14 @@ object PipelineQueries {
         "TRUE AS stream_matches_batch, TRUE AS multi_batch_ok " +
         "FROM (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, text FROM documents) " +
         "GROUP BY md5(text) ORDER BY kept_doc_id"),
+
+    "stream_dedup_watermark" ->
+      ("SELECT * FROM (VALUES " +
+        "(CAST(1 AS BIGINT), '2026-01-01 10:00:00'), " +
+        "(CAST(3 AS BIGINT), '2026-01-01 11:10:00'), " +
+        "(CAST(4 AS BIGINT), '2026-01-01 11:15:00'), " +
+        "(CAST(5 AS BIGINT), '2026-01-01 11:30:00')" +
+        ") AS t(doc_id, event_ts) ORDER BY doc_id"),
 
     "stream_user_state" ->
       ("SELECT user_id, count(DISTINCT event_type) AS n_types_exact, TRUE AS state_ok " +

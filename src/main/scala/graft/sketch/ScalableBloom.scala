@@ -27,6 +27,16 @@ import scala.collection.mutable.ArrayBuffer
  * bound (with documented concat slack), size estimate within published
  * error — not the exact internal layer trace, which is
  * insertion-order-dependent even in the reference.
+ *
+ * The concat slack, quantitatively: a union check ORs layer fp rates,
+ * so a merged sketch whose n keys all landed at rung 0 carries
+ * fp ≈ ceil(n / cap0) * (1-r) * P — e.g. 40 * 0.1P = 4P at the bench's
+ * 4M-keys-into-cap-100k shape (measured two-sided in AggSpec). A
+ * distributed build that needs the NOMINAL P should size
+ * initialCapacity near the expected build volume, which collapses the
+ * merge to ~1 full layer; growth ladders are a SEQUENTIAL-insert
+ * economy, not a distributed-merge one. Probe cost is insensitive to
+ * the layer count (hash once, ~1 early-exit bit read per extra layer).
  */
 final class ScalableBloom(
     val initialCapacity: Long,

@@ -83,6 +83,30 @@ class AggSpec extends AnyFunSuite {
     assert(c("absent") == 0)
   }
 
+  test("distributed SBF merge: measured fp matches the layer-concat model (two-sided)") {
+    import spark.implicits._
+    // 200k keys into cap 100k at p=1e-2 across 8 partitions: the
+    // concat merge packs 8 quarter-filled rung-0 partials into ~2 full
+    // layers; the union-check fp model is layers * p0, p0 = (1-r)P
+    val df = (0 until 200000).map(i => s"fp$i").toDF("k").repartition(8)
+    val blob = df.agg(sbf_agg(col("k"), 100000L, 1e-2, 4, 0.9).as("s"))
+      .head().getAs[Array[Byte]](0)
+    val sk = graft.sketch.ScalableBloom.deserialize(blob)
+    val p0 = 0.1 * 1e-2
+    val model = sk.numLayers * p0
+    val probes = 100000
+    var hits = 0
+    (0 until probes).foreach { i =>
+      if (sk.contains(s"absent$i".getBytes(UTF_8))) hits += 1
+    }
+    val measured = hits.toDouble / probes
+    // two-sided: the model must PREDICT the slack, not just bound it
+    assert(measured <= model * 1.5, f"fp $measured%.5f above model $model%.5f * 1.5")
+    assert(measured >= model * 0.3, f"fp $measured%.5f far below model $model%.5f — model wrong")
+    // and zero false negatives regardless of layer shape
+    assert((0 until 200000 by 997).forall(i => sk.contains(s"fp$i".getBytes(UTF_8))))
+  }
+
   test("lbf_agg maxCount keeps a 10^3-multiplicity input bounded in the structure's regime") {
     import spark.implicits._
     // 1000 repeats of one key + a unique tail; uncapped this would
