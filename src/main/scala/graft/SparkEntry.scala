@@ -141,6 +141,45 @@ object SparkEntry {
       steps.toSeq.toDF("step", "op", "result").orderBy("step")
     }),
 
+    // outbound migration as a scripted trace: a filter built here is
+    // exported in each reference daemon's OWN on-disk layout and read
+    // back through the restore path (C: config.ini + data.NNN.mmap,
+    // `config.c:482-507`; Rust: <name>.ini + N.bmp, `config.rs:135-276`)
+    "op_export_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val cat = new graft.catalog.SketchCatalog(s,
+        java.nio.file.Files.createTempDirectory("opexp").toString)
+      val steps = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+      steps += ((1, "create exf", cat.create("exf")))
+      steps += ((2, "bulk 100 keys",
+        if (cat.setKeys("exf", (0 until 100).map(i => s"xk$i").toDF("k")).isRight) "Done" else "Error"))
+      val dest = java.nio.file.Files.createTempDirectory("opexpdst")
+      val out = cat.exportBloomd("exf", dest)
+      steps += ((3, "export writes the C layout",
+        out.toOption.map(_.getFileName.toString).getOrElse(out.left.getOrElse("?"))))
+      val (ini, restored) = graft.catalog.SketchCatalog.restoreFromBloomd(out.toOption.get)
+      steps += ((4, "restored membership, all 100 keys",
+        if ((0 until 100).forall(i =>
+          restored.contains(s"xk$i".getBytes(java.nio.charset.StandardCharsets.UTF_8)))) "Yes" else "No"))
+      steps += ((5, "restored absent key",
+        if (restored.contains("nope".getBytes(java.nio.charset.StandardCharsets.UTF_8))) "Yes" else "No"))
+      steps += ((6, "ini initial_capacity", ini.initialCapacity.toString))
+      steps += ((7, "ini size", ini.size.toString))
+      val rustRoot = java.nio.file.Files.createTempDirectory("opexprust")
+      val rs = new graft.catalog.RustBloomServer(rustRoot.toString)
+      steps += ((8, "rust create", rs.interpret("create rex")))
+      steps += ((9, "rust set twice (count)", {
+        rs.interpret("set rex kk"); rs.interpret("set rex kk")
+      }))
+      steps += ((10, "rust export", rs.exportRustDir("rex", rustRoot.resolve("out"))))
+      val rs2 = new graft.catalog.RustBloomServer(
+        java.nio.file.Files.createTempDirectory("opexprust2").toString)
+      steps += ((11, "rust import on a second server",
+        rs2.importRustDir(rustRoot.resolve("out").resolve("filter.rex"))))
+      steps += ((12, "imported multiplicity", rs2.interpret("check rex kk")))
+      steps.toSeq.toDF("step", "op", "result").orderBy("step")
+    }),
+
     // background-maintenance lifecycle as a scripted trace: dirty-flush
     // sweep, cold-list window semantics (read clears hot flags,
     // `filter_manager.c:731-794`), cold page-out sweep, fault-in on
@@ -382,6 +421,21 @@ object SparkEntry {
       (s"SELECT source, count(*) AS n, TRUE AS bloom_ok, TRUE AS sbf_ok, TRUE AS lbf_ok, " +
         "TRUE AS hll_ok, TRUE AS cms_ok, TRUE AS kll_ok, TRUE AS td_ok, TRUE AS merged_hll_ok " +
         s"FROM $tokensFrom GROUP BY source ORDER BY source"),
+    "op_export_roundtrip" ->
+      ("SELECT * FROM (VALUES " +
+        "(1, 'create exf', 'Done'), " +
+        "(2, 'bulk 100 keys', 'Done'), " +
+        "(3, 'export writes the C layout', 'bloomd.exf'), " +
+        "(4, 'restored membership, all 100 keys', 'Yes'), " +
+        "(5, 'restored absent key', 'No'), " +
+        "(6, 'ini initial_capacity', '100000'), " +
+        "(7, 'ini size', '100'), " +
+        "(8, 'rust create', 'Done'), " +
+        "(9, 'rust set twice (count)', '2'), " +
+        "(10, 'rust export', 'Done'), " +
+        "(11, 'rust import on a second server', 'Done'), " +
+        "(12, 'imported multiplicity', '2')" +
+        ") AS t(step, op, result) ORDER BY step"),
     "op_background_lifecycle" ->
       ("SELECT * FROM (VALUES " +
         "(1, 'create f1', 'Done'), " +

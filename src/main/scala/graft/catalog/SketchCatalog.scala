@@ -67,6 +67,12 @@ class SketchCatalog(
     /** the reference's per-filter `rwlock` (`filter_manager.c:341,375`):
       * checks share the read side, sets/persists/unloads take the write side */
     val rwlock = new java.util.concurrent.locks.ReentrantReadWriteLock()
+    /** set by `drop`: a flush/sweep that resolved this entry BEFORE the
+      * drop must not re-persist it after the async deleter removed its
+      * files (a resurrected sketch.bin would make a later `create`
+      * fault the dropped data back in — the reference prevents this
+      * with ref-counted deferred deletes, `conn_handler.c:238-326`) */
+    @volatile var droppedFlag: Boolean = false
   }
 
   /** a resolved filter vanished mid-command (file deleted by an async
@@ -142,7 +148,8 @@ class SketchCatalog(
   // ---- `drop <name>`: deregister now, delete files asynchronously ----
   def drop(name: String): String = this.synchronized { registry.remove(name) match {
     case None => "Filter does not exist"
-    case Some(_) =>
+    case Some(e) =>
+      e.droppedFlag = true
       pendingDeletes.add(name)
       deleter.submit(new Runnable {
         def run(): Unit =
@@ -470,6 +477,7 @@ class SketchCatalog(
   // ---- persistence ----
 
   private def persist(e: Entry): Unit = {
+    if (e.droppedFlag) return // never resurrect a dropped filter's files
     val dir = filterDir(e.name)
     Files.createDirectories(dir)
     val cfg = s"""{"name":"${e.name}","capacity":${e.capacity},"probability":${e.probability},"in_memory":${e.inMemory}}"""

@@ -44,4 +44,31 @@ class PendingDeleteSpec extends AnyFunSuite {
     cat.awaitDeletes()
     assert(!Files.exists(dir))
   }
+
+  test("a flush racing a drop never resurrects the dropped filter's files") {
+    // race hammer: flush(null) snapshots entries, then persists each
+    // under its write lock — a drop landing between the snapshot and
+    // the persist must not let stale files reappear (the droppedFlag
+    // guard); a resurrected sketch.bin would make the create below
+    // fault the old keys back in
+    val cat = new SketchCatalog(spark,
+      java.nio.file.Files.createTempDirectory("resur").toString)
+    (0 until 30).foreach { i =>
+      val name = s"race$i"
+      assert(cat.create(name) == "Done")
+      assert(cat.setKeyLocal(name, s"old$i") == Right(true)) // dirty
+      val flusher = new Thread(() => cat.flush())
+      flusher.start()
+      cat.drop(name)
+      flusher.join(30000)
+      assert(!flusher.isAlive)
+      cat.awaitDeletes()
+      assert(cat.create(name) == "Done", s"iter $i")
+      // a fresh filter: the dropped generation's key must be gone
+      assert(cat.checkKeyLocal(name, s"old$i") == Right(false),
+        s"iter $i: dropped data resurrected")
+      cat.drop(name)
+      cat.awaitDeletes()
+    }
+  }
 }
