@@ -109,7 +109,12 @@ case class SbfAgg(
   * known small. Without the cap, a 10^3-multiplicity corpus means
   * thousands of layers and a 300 s build — measured, not theoretical.
   * OR-merge of capped partials never exceeds the cap (count = layers
-  * containing the key; OR can't add layers beyond either side's). */
+  * containing the key; OR can't add layers beyond either side's).
+  * NOTE the deliberate divergence from the WIRE path: the Rust
+  * server's `set` counts uncapped (its per-command cost is one key),
+  * so 8 wire sets report 8 while a default lbf_agg build of the same
+  * rows reports 5 — pass maxCount = 0 when wire parity matters and
+  * the multiplicity domain is known small. */
 case class LbfAgg(
     child: Expression,
     capacity: Long,
@@ -120,7 +125,7 @@ case class LbfAgg(
 
   override def createAggregationBuffer(): LayeredBloom = LayeredBloom.create(capacity, fpProb)
   override protected def updateKey(buf: LayeredBloom, key: Array[Byte], len: Int): Unit =
-    if (maxCount <= 0 || buf.count(key, 0, len) < maxCount) buf.add(key, 0, len)
+    buf.addCapped(key, 0, len, maxCount) // one hash pass: count + cap + insert
   override def merge(a: LayeredBloom, b: LayeredBloom): LayeredBloom = a.mergeInPlace(b)
   override def eval(buf: LayeredBloom): Any = buf.serialize()
   override def serialize(buf: LayeredBloom): Array[Byte] = buf.serialize()

@@ -249,7 +249,7 @@ class RustBloomServer(
   /** Register a filter restored from the Rust daemon's own directory
     * layout (see [[RustBloomServer.restoreFromRustDir]]), counters
     * included. Persists in this server's native blob format. */
-  def importRustDir(src: Path): String = {
+  def importRustDir(src: Path): String = mapWrite {
     val (kv, lbf) = RustBloomServer.restoreFromRustDir(src)
     val name = kv("filter_name")
     if (filters.contains(name)) return Exists

@@ -155,7 +155,12 @@ class SketchCatalog(
         def run(): Unit =
           try {
             deleteBarrier.foreach(_.await())
-            deleteRecursively(filterDir(name))
+            // the entry WRITE lock closes the resurrection window: a
+            // persist that was already past its droppedFlag check
+            // finishes before the delete starts, and every persist
+            // that begins after drop no-ops on the flag — so the
+            // delete is the LAST write to the directory
+            withWrite(e) { deleteRecursively(filterDir(name)) }
           } finally pendingDeletes.remove(name)
       })
       "Done"
@@ -371,32 +376,38 @@ class SketchCatalog(
       } catch { case _: FilterGone => Left("Filter does not exist") }
     }
 
-  // ---- `list [prefix]`: lexicographic (ART order) ----
-  def list(prefix: String = ""): DataFrame = this.synchronized {
+  // ---- `list [prefix]`: lexicographic (ART order). Registry snapshot
+  // under the monitor; per-entry reads under the entry READ lock
+  // OUTSIDE it (size/byte reads iterate the sketch's layer buffer,
+  // which a concurrent write-locked `set` may be growing — and a busy
+  // filter must not block unrelated commands on the monitor) ----
+  def list(prefix: String = ""): DataFrame = {
     import spark.implicits._
-    registry.values.toSeq
-      .filter(_.name.startsWith(prefix))
-      .sortBy(_.name)
-      .map { e => e.synchronized {
+    val snapshot = this.synchronized {
+      registry.values.toSeq.filter(_.name.startsWith(prefix)).sortBy(_.name)
+    }
+    snapshot
+      .map { e => withRead(e) { e.synchronized {
         val s = e.sketch // do NOT fault in for list (reference lists proxied too)
         val bytes = s.map(_.totalByteSize).getOrElse(onDiskBytes(e.name))
         val size = s.map(_.size).getOrElse(onDiskSize(e.name))
         (e.name, e.probability, bytes, e.capacity, size)
-      } }
+      } } }
       .toDF("name", "probability", "bytes", "capacity", "size")
   }
 
   // ---- `info <name>`: 13 fields (`conn_handler.c:447-476`) ----
-  def info(name: String): Either[String, DataFrame] = this.synchronized { registry.get(name) match {
+  def info(name: String): Either[String, DataFrame] = resolve(name) match {
     case None => Left("Filter does not exist")
     case Some(e) =>
       import spark.implicits._
-      val (c, proxied, storage, size) = e.synchronized {
+      // entry READ lock for the same reason as `list` above
+      val (c, proxied, storage, size) = withRead(e) { e.synchronized {
         val cc = e.counters.copy()
         (cc, e.sketch.isEmpty,
           e.sketch.map(_.totalByteSize).getOrElse(onDiskBytes(e.name)),
           e.sketch.map(_.size).getOrElse(onDiskSize(e.name)))
-      }
+      } }
       Right(Seq((
         e.capacity, c.checkHits + c.checkMisses, c.checkHits, c.checkMisses,
         if (proxied) 0 else 1, c.pageIns, c.pageOuts, e.probability,
@@ -404,7 +415,7 @@ class SketchCatalog(
         .toDF("capacity", "checks", "check_hits", "check_misses", "in_memory",
           "page_ins", "page_outs", "probability", "sets", "set_hits",
           "set_misses", "size", "storage"))
-  } }
+  }
 
   def exists(name: String): Boolean = this.synchronized { registry.contains(name) }
   def names: Seq[String] = this.synchronized { registry.keys.toSeq.sorted }

@@ -245,7 +245,12 @@ object PipelineQueries {
       val tmp = java.nio.file.Files.createTempDirectory("graftwmd")
       val in = tmp.resolve("in")
       java.nio.file.Files.createDirectories(in)
-      def hour(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+      // UTC-anchored instants: Timestamp.valueOf would interpret the
+      // wall time in the JVM default zone, breaking the oracle's UTC
+      // string rendering on a non-UTC host
+      def hour(h: Int, m: Int) = java.sql.Timestamp.from(
+        java.time.LocalDateTime.of(2026, 1, 1, h, m, 0)
+          .toInstant(java.time.ZoneOffset.UTC))
       val rows = Seq(
         (1L, "alpha text", hour(10, 0)),
         (2L, "alpha text", hour(10, 5)),   // in-horizon dup -> dropped

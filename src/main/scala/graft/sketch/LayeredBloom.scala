@@ -32,21 +32,34 @@ final class LayeredBloom(
 
   private def params: BloomParams = BloomParams.forCapacity(capacity, fpProbability)
 
-  @transient private var hsScratch: Array[Long] = _
-  private def hashesFor(f: BloomFilter, key: Array[Byte], off: Int, len: Int): Array[Long] = {
-    val need = math.max(f.kNum, 4)
-    if (hsScratch == null || hsScratch.length < need) hsScratch = new Array[Long](need)
-    BloomHash.computeHashes(f.kNum, key, off, len, hsScratch)
-    hsScratch
+  // thread-confined scratch (see ScalableBloom.hashScratch: the shared
+  // read path probes one instance from many threads) + hash-once: all
+  // layers share one parameter set, and the Kirsch-Mitzenmacher ladder
+  // is prefix-extendable, so ONE computeHashes serves every layer.
+  @transient private var hsTL: ThreadLocal[Array[Long]] = _
+  private def ladder(key: Array[Byte], off: Int, len: Int): Array[Long] = {
+    if (hsTL == null) hsTL = new ThreadLocal[Array[Long]]
+    var k = params.kNum
+    var i = 0
+    while (i < layers.length) { // restored layers may carry their own k
+      if (layers(i).kNum > k) k = layers(i).kNum
+      i += 1
+    }
+    val need = math.max(4, k)
+    var a = hsTL.get()
+    if (a == null || a.length < need) { a = new Array[Long](need); hsTL.set(a) }
+    BloomHash.computeHashes(k, key, off, len, a)
+    a
   }
 
   /** multiplicity: consecutive containing layers from layer 0 */
   def count(key: Array[Byte]): Int = count(key, 0, key.length)
 
   def count(key: Array[Byte], off: Int, len: Int): Int = {
+    val hs = ladder(key, off, len)
     var i = 0
     while (i < layers.length) {
-      if (!layers(i).contains(hashesFor(layers(i), key, off, len))) return i
+      if (!layers(i).contains(hs)) return i
       i += 1
     }
     layers.length
@@ -55,10 +68,19 @@ final class LayeredBloom(
   /** add; returns the new multiplicity (1-based layer index used). */
   def add(key: Array[Byte]): Int = add(key, 0, key.length)
 
-  def add(key: Array[Byte], off: Int, len: Int): Int = {
-    val c = count(key, off, len)
+  def add(key: Array[Byte], off: Int, len: Int): Int = addCapped(key, off, len, 0L)
+
+  /** add unless the key's multiplicity already reached `maxCount`
+    * (0 = uncapped); ONE hash ladder serves the count walk, the
+    * cap decision, and the insert — the aggregate's capped build pays
+    * one Murmur+Spooky pass per row, not one per layer per phase. */
+  def addCapped(key: Array[Byte], off: Int, len: Int, maxCount: Long): Int = {
+    val hs = ladder(key, off, len)
+    var c = 0
+    while (c < layers.length && layers(c).contains(hs)) c += 1
+    if (maxCount > 0 && c >= maxCount) return c
     if (c == layers.length) layers += BloomFilter.create(params)
-    layers(c).add(hashesFor(layers(c), key, off, len))
+    layers(c).add(hs)
     c + 1
   }
 

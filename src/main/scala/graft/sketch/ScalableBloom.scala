@@ -73,11 +73,18 @@ final class ScalableBloom(
 
   def contains(key: Array[Byte]): Boolean = contains(key, 0, key.length)
 
-  @transient private var hsScratch: Array[Long] = _
+  // THREAD-CONFINED hash scratch: the catalog's read-locked check path
+  // probes ONE instance from many wire threads concurrently — a shared
+  // array would interleave two keys' ladders and return wrong answers
+  // (including false negatives). ThreadLocal keeps the hot path
+  // allocation-free per thread without any cross-thread sharing.
+  @transient private var hsTL: ThreadLocal[Array[Long]] = _
   private def hashScratch: Array[Long] = {
+    if (hsTL == null) hsTL = new ThreadLocal[Array[Long]]
     val need = maxK
-    if (hsScratch == null || hsScratch.length < need) hsScratch = new Array[Long](need)
-    hsScratch
+    var a = hsTL.get()
+    if (a == null || a.length < need) { a = new Array[Long](need); hsTL.set(a) }
+    a
   }
 
   def contains(key: Array[Byte], off: Int, len: Int): Boolean = {

@@ -65,6 +65,29 @@ class WireConcurrencySpec extends AnyFunSuite {
     } finally pool.shutdownNow()
   }
 
+  test("concurrent read-locked checks on one sketch instance: zero false negatives (scratch race)") {
+    // pre-fix, the shared per-instance hash scratch interleaved two
+    // keys' ladders under the shared read lock -> false negatives
+    val cat = newCatalog()
+    assert(cat.create("probe") == "Done")
+    (0 until 2000).foreach(i => assert(cat.setKeyLocal("probe", s"pk$i") == Right(true)))
+    val nThreads = 8
+    val errors = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    try {
+      val fs = (0 until nThreads).map { t =>
+        pool.submit(new Runnable {
+          def run(): Unit = (0 until 5000).foreach { i =>
+            val k = s"pk${(i * 7 + t * 131) % 2000}"
+            if (cat.checkKeyLocal("probe", k) != Right(true)) errors.incrementAndGet()
+          }
+        })
+      }
+      fs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    assert(errors.get() == 0, s"${errors.get()} false negatives under concurrent checks")
+  }
+
   test("concurrent sets from many threads lose no updates (write-lock exclusion)") {
     val cat = newCatalog()
     assert(cat.create("hammer") == "Done")
