@@ -162,6 +162,26 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // the always-on updater committing every micro-batch merge to a
+    // VERSIONED sketch table (no driver collect; batch_id-idempotent
+    // commits): final snapshot == one-shot batch, history monotone
+    "stream_sketch_table" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graftstb")
+      val in = tmp.resolve("in").toString
+      TokenTable.load(s, dir).repartition(8).write.mode("overwrite").parquet(in)
+      val io = new graft.catalog.SketchTableIO(s, tmp.resolve("table").toString)
+      val streamed = graft.streaming.SketchStream.runIncrementalToTable(
+        s, in, tmp.resolve("cp").toString, io)
+      val growth = (1L to io.currentVersion).map(v =>
+        io.read(v).agg(sum(col("n_rows"))).head().getLong(0))
+      val monotone = growth.zip(growth.tail).forall { case (a, b) => a <= b }
+      graft.streaming.SketchStream.compareToBatch(s, in, streamed)
+        .select(col("source"), (col("n_batches") > 1).as("multi_version_ok"),
+          lit(monotone).as("history_monotone"),
+          col("rows_ok"), col("bloom_ok"), col("hll_ok"))
+        .orderBy("source")
+    }),
+
     // watermarked event-time windows + Catalyst sketch agg in streaming;
     // final upserts must equal the one-shot batch windowed aggregation
     "stream_windowed_hll" -> ((s, dir) => {
@@ -817,6 +837,11 @@ object PipelineQueries {
 
     "stream_sketch_incremental" ->
       ("SELECT source, TRUE AS multi_batch_ok, TRUE AS rows_ok, TRUE AS bloom_ok, TRUE AS hll_ok " +
+        "FROM (SELECT DISTINCT source FROM documents) ORDER BY source"),
+
+    "stream_sketch_table" ->
+      ("SELECT source, TRUE AS multi_version_ok, TRUE AS history_monotone, " +
+        "TRUE AS rows_ok, TRUE AS bloom_ok, TRUE AS hll_ok " +
         "FROM (SELECT DISTINCT source FROM documents) ORDER BY source"),
 
     "multimodal_transform" ->

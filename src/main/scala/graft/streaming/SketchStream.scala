@@ -88,6 +88,63 @@ object SketchStream {
   }
 
   /**
+   * The PRODUCTION shape of the always-on updater: every micro-batch
+   * builds partial sketches, merges them with the current snapshot of
+   * a versioned sketch table ENTIRELY as a distributed job (union ->
+   * merge aggregates — no driver collect anywhere), and commits the
+   * result as a new immutable version. The table is the durable state
+   * (the daemon's data_dir with time travel): each commit is a
+   * consistent point-in-time view, and the lineage of `batch_id`
+   * metrics makes retried micro-batches idempotent — a batch whose id
+   * is already recorded in the latest manifest is skipped, which is
+   * the foreachBatch exactly-once contract over a versioned table
+   * (Iceberg/Delta MERGE in production, [[graft.catalog.SketchTableIO]]
+   * here).
+   *
+   * Returns the FINAL snapshot (source, bloom, hll, n_rows,
+   * n_batches); history stays queryable via `io.read(version)`.
+   */
+  def runIncrementalToTable(spark: SparkSession, inDir: String, checkpointDir: String,
+                            io: graft.catalog.SketchTableIO,
+                            capacity: Long = 100000L, fpProb: Double = 1e-4,
+                            maxFilesPerTrigger: Int = 2): DataFrame = {
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+      .select(col("source"), explode(col("tokens")).as("token"))
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val already = io.currentVersion > 0 &&
+          """"batch_id":(\d+)""".r
+            .findFirstMatchIn(io.manifest(io.currentVersion))
+            .exists(_.group(1).toLong == batchId)
+        if (!already) {
+          val partial = batch.groupBy("source").agg(
+            bloom_agg(col("token").cast("string"), capacity, fpProb).as("bloom"),
+            hll_agg(col("token").cast("string"), 14).as("hll"),
+            count(lit(1)).as("n_rows"))
+          val merged =
+            if (io.currentVersion == 0) partial
+            else io.read().drop("n_batches")
+              .unionByName(partial)
+              .groupBy("source").agg(
+                bloom_merge_agg(col("bloom")).as("bloom"),
+                hll_merge_agg(col("hll")).as("hll"),
+                sum(col("n_rows")).as("n_rows"))
+          io.commit(merged, Map("batch_id" -> batchId))
+        }
+        () // foreachBatch wants Unit; commit returns the version
+      }
+      .start()
+    q.awaitTermination()
+    io.read().withColumn("n_batches", lit(io.currentVersion))
+  }
+
+  /**
    * The streaming-equals-batch contract: bloom membership bits, bloom
    * estimate, and HLL estimate of the incrementally-merged sketches
    * must equal a one-shot batch aggregation over the same input.
