@@ -474,6 +474,10 @@ class SketchCatalog(
     val (ini, sbf) = SketchCatalog.restoreFromBloomd(dir)
     val name = dir.getFileName.toString.stripPrefix("bloomd.")
     if (registry.contains(name)) "Exists"
+    // same guard as create(): an in-flight async drop still owns the
+    // name's files — importing now would have the deleter destroy the
+    // freshly persisted filter
+    else if (pendingDeletes.contains(name)) "Delete in progress"
     else {
       val e = new Entry(name, ini.initialCapacity, ini.defaultProbability,
         ini.inMemory, Some(sbf))

@@ -30,21 +30,32 @@ final class LayeredBloom(
     val fpProbability: Double,
     var layers: ArrayBuffer[BloomFilter]) extends Serializable {
 
-  private def params: BloomParams = BloomParams.forCapacity(capacity, fpProbability)
+  private val params: BloomParams = BloomParams.forCapacity(capacity, fpProbability)
 
   // thread-confined scratch (see ScalableBloom.hashScratch: the shared
   // read path probes one instance from many threads) + hash-once: all
   // layers share one parameter set, and the Kirsch-Mitzenmacher ladder
   // is prefix-extendable, so ONE computeHashes serves every layer.
+  // maxK cached across calls (invalidated on layer append/merge) so
+  // the per-key path does no layer scan and no params math.
   @transient private var hsTL: ThreadLocal[Array[Long]] = _
+  @volatile @transient private var cachedMaxK: Int = -1
+  private def maxK: Int = {
+    // <= 0: Java deserialization zeroes the transient, and kNum >= 1
+    if (cachedMaxK <= 0) {
+      var k = params.kNum
+      var i = 0
+      while (i < layers.length) { // restored layers may carry their own k
+        if (layers(i).kNum > k) k = layers(i).kNum
+        i += 1
+      }
+      cachedMaxK = k
+    }
+    cachedMaxK
+  }
   private def ladder(key: Array[Byte], off: Int, len: Int): Array[Long] = {
     if (hsTL == null) hsTL = new ThreadLocal[Array[Long]]
-    var k = params.kNum
-    var i = 0
-    while (i < layers.length) { // restored layers may carry their own k
-      if (layers(i).kNum > k) k = layers(i).kNum
-      i += 1
-    }
+    val k = maxK
     val need = math.max(4, k)
     var a = hsTL.get()
     if (a == null || a.length < need) { a = new Array[Long](need); hsTL.set(a) }
@@ -79,7 +90,10 @@ final class LayeredBloom(
     var c = 0
     while (c < layers.length && layers(c).contains(hs)) c += 1
     if (maxCount > 0 && c >= maxCount) return c
-    if (c == layers.length) layers += BloomFilter.create(params)
+    if (c == layers.length) {
+      layers += BloomFilter.create(params)
+      cachedMaxK = -1
+    }
     layers(c).add(hs)
     c + 1
   }
@@ -98,6 +112,7 @@ final class LayeredBloom(
       else layers += other.layers(i).copyFilter()
       i += 1
     }
+    cachedMaxK = -1
     this
   }
 

@@ -132,7 +132,8 @@ final class ScalableBloom(
 
   @transient private var cachedMaxK: Int = -1
   private def maxK: Int = {
-    if (cachedMaxK < 0)
+    // <= 0: Java deserialization zeroes the transient, and k >= 4 here
+    if (cachedMaxK <= 0)
       cachedMaxK = math.max(4, if (layers.isEmpty) 4 else layers.iterator.map(_._2.kNum).max)
     cachedMaxK
   }

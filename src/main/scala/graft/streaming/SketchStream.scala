@@ -51,36 +51,41 @@ object SketchStream {
    * incrementally. Returns the final merged state as a DataFrame
    * (source, bloom, hll, n_rows, n_batches).
    */
-  def runIncremental(spark: SparkSession, inDir: String, checkpointDir: String,
-                     capacity: Long = 100000L, fpProb: Double = 1e-4,
-                     maxFilesPerTrigger: Int = 2): DataFrame = {
-    import spark.implicits._
+  /** shared scaffolding: token-exploded file stream drained with
+    * AvailableNow through the given per-batch body */
+  private def drainTokenStream(spark: SparkSession, inDir: String,
+                               checkpointDir: String, maxFilesPerTrigger: Int)(
+      body: (DataFrame, Long) => Unit): Unit = {
     val schema = spark.read.parquet(inDir).schema
-    val state = new SketchState
-
-    val stream = spark.readStream
+    val q = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(inDir)
       .select(col("source"), explode(col("tokens")).as("token"))
-
-    val q = stream.writeStream
+      .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val partials = batch.groupBy("source")
-          .agg(
-            bloom_agg(col("token").cast("string"), capacity, fpProb).as("bloom"),
-            hll_agg(col("token").cast("string"), 14).as("hll"),
-            count(lit(1)).as("n"))
-          .collect() // one small row per group: the sketch "flush"
-          .map(r => (r.getString(0), r.getAs[Array[Byte]](1), r.getAs[Array[Byte]](2), r.getLong(3)))
-          .toSeq
-        state.mergeBatch(partials)
-      }
+      .foreachBatch { (batch: DataFrame, id: Long) => body(batch, id) }
       .start()
     q.awaitTermination()
+  }
 
+  def runIncremental(spark: SparkSession, inDir: String, checkpointDir: String,
+                     capacity: Long = 100000L, fpProb: Double = 1e-4,
+                     maxFilesPerTrigger: Int = 2): DataFrame = {
+    import spark.implicits._
+    val state = new SketchState
+    drainTokenStream(spark, inDir, checkpointDir, maxFilesPerTrigger) { (batch, _) =>
+      val partials = batch.groupBy("source")
+        .agg(
+          bloom_agg(col("token").cast("string"), capacity, fpProb).as("bloom"),
+          hll_agg(col("token").cast("string"), 14).as("hll"),
+          count(lit(1)).as("n"))
+        .collect() // one small row per group: the sketch "flush"
+        .map(r => (r.getString(0), r.getAs[Array[Byte]](1), r.getAs[Array[Byte]](2), r.getLong(3)))
+        .toSeq
+      state.mergeBatch(partials)
+    }
     import scala.jdk.CollectionConverters._
     val rows = state.groups.asScala.toSeq.map { case (src, (b, h, n)) => (src, b, h, n) }
     rows.toDF("source", "bloom", "hll", "n_rows")
@@ -108,39 +113,27 @@ object SketchStream {
                             io: graft.catalog.SketchTableIO,
                             capacity: Long = 100000L, fpProb: Double = 1e-4,
                             maxFilesPerTrigger: Int = 2): DataFrame = {
-    val schema = spark.read.parquet(inDir).schema
-    val stream = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(inDir)
-      .select(col("source"), explode(col("tokens")).as("token"))
-    val q = stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val already = io.currentVersion > 0 &&
-          """"batch_id":(\d+)""".r
-            .findFirstMatchIn(io.manifest(io.currentVersion))
-            .exists(_.group(1).toLong == batchId)
-        if (!already) {
-          val partial = batch.groupBy("source").agg(
-            bloom_agg(col("token").cast("string"), capacity, fpProb).as("bloom"),
-            hll_agg(col("token").cast("string"), 14).as("hll"),
-            count(lit(1)).as("n_rows"))
-          val merged =
-            if (io.currentVersion == 0) partial
-            else io.read().drop("n_batches")
-              .unionByName(partial)
-              .groupBy("source").agg(
-                bloom_merge_agg(col("bloom")).as("bloom"),
-                hll_merge_agg(col("hll")).as("hll"),
-                sum(col("n_rows")).as("n_rows"))
-          io.commit(merged, Map("batch_id" -> batchId))
-        }
-        () // foreachBatch wants Unit; commit returns the version
+    drainTokenStream(spark, inDir, checkpointDir, maxFilesPerTrigger) { (batch, batchId) =>
+      val already = io.currentVersion > 0 &&
+        """"batch_id":(\d+)""".r
+          .findFirstMatchIn(io.manifest(io.currentVersion))
+          .exists(_.group(1).toLong == batchId)
+      if (!already) {
+        val partial = batch.groupBy("source").agg(
+          bloom_agg(col("token").cast("string"), capacity, fpProb).as("bloom"),
+          hll_agg(col("token").cast("string"), 14).as("hll"),
+          count(lit(1)).as("n_rows"))
+        val merged =
+          if (io.currentVersion == 0) partial
+          else io.read()
+            .unionByName(partial)
+            .groupBy("source").agg(
+              bloom_merge_agg(col("bloom")).as("bloom"),
+              hll_merge_agg(col("hll")).as("hll"),
+              sum(col("n_rows")).as("n_rows"))
+        io.commit(merged, Map("batch_id" -> batchId))
       }
-      .start()
-    q.awaitTermination()
+    }
     io.read().withColumn("n_batches", lit(io.currentVersion))
   }
 

@@ -29,10 +29,17 @@ class ExtensionsInstallSpec extends AnyFunSuite {
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
     val proc = pb.start()
-    val out = new String(proc.getInputStream.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8)
+    // drain on a background thread so a wedged child can't hang the
+    // suite past the waitFor timeout below (readAllBytes blocks to EOF)
+    val outBuf = new java.io.ByteArrayOutputStream()
+    val drainer = new Thread(() => proc.getInputStream.transferTo(outBuf), "ext-smoke-drain")
+    drainer.setDaemon(true)
+    drainer.start()
     val exited = proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS)
-    assert(exited, "forked extensions smoke timed out")
+    if (!exited) proc.destroyForcibly()
+    drainer.join(10000)
+    val out = outBuf.toString(java.nio.charset.StandardCharsets.UTF_8)
+    assert(exited, s"forked extensions smoke timed out:\n${out.takeRight(4000)}")
     assert(proc.exitValue() == 0, s"forked JVM failed:\n${out.takeRight(4000)}")
     assert(out.contains("EXTENSIONS_OK"), s"marker missing:\n${out.takeRight(2000)}")
   }
