@@ -141,6 +141,26 @@ object SparkEntry {
       steps.toSeq.toDF("step", "op", "result").orderBy("step")
     }),
 
+    // the batch multi-FILTER probe surface: (name, key) pairs routed
+    // to their filters in one distributed union-of-literal-probes job
+    // (never a per-row sketch-column copy); unknown filters answer none
+    "op_multi_filter_check" -> ((s, dir) => {
+      import s.implicits._
+      val cat = new graft.catalog.SketchCatalog(s,
+        java.nio.file.Files.createTempDirectory("opmulti").toString)
+      cat.create("fa"); cat.create("fb")
+      cat.setKeys("fa", Seq("a1", "a2", "shared").toDF("k"))
+      cat.setKeys("fb", Seq("b1", "shared").toDF("k"))
+      val pairs = Seq(
+        ("fa", "a1"), ("fa", "b1"), ("fa", "shared"),
+        ("fb", "a1"), ("fb", "b1"), ("fb", "shared"),
+        ("ghost", "x")).toDF("name", "key")
+      cat.checkKeysMulti(pairs).toOption.get
+        .select(col("name"), col("key"),
+          coalesce(col("present").cast("string"), lit("none")).as("present"))
+        .orderBy("name", "key")
+    }),
+
     // outbound migration as a scripted trace: a filter built here is
     // exported in each reference daemon's OWN on-disk layout and read
     // back through the restore path (C: config.ini + data.NNN.mmap,
@@ -421,6 +441,12 @@ object SparkEntry {
       (s"SELECT source, count(*) AS n, TRUE AS bloom_ok, TRUE AS sbf_ok, TRUE AS lbf_ok, " +
         "TRUE AS hll_ok, TRUE AS cms_ok, TRUE AS kll_ok, TRUE AS td_ok, TRUE AS merged_hll_ok " +
         s"FROM $tokensFrom GROUP BY source ORDER BY source"),
+    "op_multi_filter_check" ->
+      ("SELECT * FROM (VALUES " +
+        "('fa', 'a1', 'true'), ('fa', 'b1', 'false'), ('fa', 'shared', 'true'), " +
+        "('fb', 'a1', 'false'), ('fb', 'b1', 'true'), ('fb', 'shared', 'true'), " +
+        "('ghost', 'x', 'none')" +
+        ") AS t(name, key, present) ORDER BY name, key"),
     "op_export_roundtrip" ->
       ("SELECT * FROM (VALUES " +
         "(1, 'create exf', 'Done'), " +

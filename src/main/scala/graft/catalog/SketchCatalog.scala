@@ -376,6 +376,50 @@ class SketchCatalog(
       } catch { case _: FilterGone => Left("Filter does not exist") }
     }
 
+  // ---- batch probe across MANY filters: (name, key) pairs routed to
+  // their filters in ONE distributed job. Shape matters: the plan is a
+  // UNION of per-filter probes, each with its own sketch as a plan
+  // LITERAL (ships once per executor in the task binary) — joining
+  // against a sketch COLUMN would re-copy the blob per row
+  // (UnsafeRow.getBinary) and thrash the probe memo across
+  // interleaved filters. The union width is catalog-sized; each
+  // branch's scan prunes to its own filter's rows. Unknown names
+  // answer present = null. ----
+  def checkKeysMulti(pairs: DataFrame): Either[String, DataFrame] = {
+    val nameCol = pairs.columns(0)
+    val keyCol = pairs.columns(1)
+    val keyed = pairs.select(col(nameCol).as("name"), col(keyCol).as("key"))
+    val snapshot = this.synchronized(registry.values.toSeq)
+    val blobs = snapshot.flatMap { e =>
+      try Some(e.name -> withRead(e)(faultIn(e).serialize()))
+      catch { case _: FilterGone => None }
+    }
+    val branches = blobs.map { case (n, blob) =>
+      keyed.filter(col("name") === n)
+        .select(col("name"), col("key"),
+          sbf_contains(lit(blob), col("key")).as("present"))
+    }
+    val known = blobs.map(_._1).toSet
+    val unknown =
+      (if (known.isEmpty) keyed else keyed.filter(!col("name").isin(known.toSeq: _*)))
+        .select(col("name"), col("key"), lit(null).cast("boolean").as("present"))
+    val res = (branches :+ unknown).reduce(_ union _)
+    // one bounded aggregation pass updates every filter's counters
+    val stats = res.filter(col("present").isNotNull)
+      .groupBy("name").agg(
+        sum(when(col("present"), 1L).otherwise(0L)).as("hits"),
+        count(lit(1)).as("total")).collect()
+    stats.foreach { r =>
+      snapshot.find(_.name == r.getString(0)).foreach { e =>
+        e.synchronized {
+          e.counters.checkHits += r.getLong(1)
+          e.counters.checkMisses += r.getLong(2) - r.getLong(1)
+        }
+      }
+    }
+    Right(res)
+  }
+
   // ---- `list [prefix]`: lexicographic (ART order). Registry snapshot
   // under the monitor; per-entry reads under the entry READ lock
   // OUTSIDE it (size/byte reads iterate the sketch's layer buffer,
