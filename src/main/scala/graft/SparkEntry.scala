@@ -155,7 +155,7 @@ object SparkEntry {
         ("fa", "a1"), ("fa", "b1"), ("fa", "shared"),
         ("fb", "a1"), ("fb", "b1"), ("fb", "shared"),
         ("ghost", "x")).toDF("name", "key")
-      cat.checkKeysMulti(pairs).toOption.get
+      cat.checkKeysMulti(pairs)
         .select(col("name"), col("key"),
           coalesce(col("present").cast("string"), lit("none")).as("present"))
         .orderBy("name", "key")

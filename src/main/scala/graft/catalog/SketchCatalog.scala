@@ -385,12 +385,23 @@ class SketchCatalog(
   // interleaved filters. The union width is catalog-sized; each
   // branch's scan prunes to its own filter's rows. Unknown names
   // answer present = null. ----
-  def checkKeysMulti(pairs: DataFrame): Either[String, DataFrame] = {
+  def checkKeysMulti(pairs: DataFrame): DataFrame = {
     val nameCol = pairs.columns(0)
     val keyCol = pairs.columns(1)
     val keyed = pairs.select(col(nameCol).as("name"), col(keyCol).as("key"))
-    val snapshot = this.synchronized(registry.values.toSeq)
-    val blobs = snapshot.flatMap { e =>
+    val registryNames = names
+    // only fault in the filters the probe actually references: a
+    // catalog-wide fault-in would defeat the cold sweep (every filter
+    // marked hot + paged in) and embed every blob in the plan. The
+    // distinct-names job is bounded by |catalog| via the isin filter.
+    val wanted: Set[String] =
+      if (registryNames.isEmpty) Set.empty
+      else keyed.select(col("name")).distinct()
+        .filter(col("name").isin(registryNames: _*))
+        .collect().map(_.getString(0)).toSet
+    val entries = this.synchronized(
+      registry.values.filter(e => wanted.contains(e.name)).toSeq)
+    val blobs = entries.flatMap { e =>
       try Some(e.name -> withRead(e)(faultIn(e).serialize()))
       catch { case _: FilterGone => None }
     }
@@ -400,24 +411,30 @@ class SketchCatalog(
           sbf_contains(lit(blob), col("key")).as("present"))
     }
     val known = blobs.map(_._1).toSet
+    // coalesce(..., true): a NULL probe name must land in the unknown
+    // branch (three-valued isin would silently drop the row)
     val unknown =
-      (if (known.isEmpty) keyed else keyed.filter(!col("name").isin(known.toSeq: _*)))
+      (if (known.isEmpty) keyed
+       else keyed.filter(coalesce(!col("name").isin(known.toSeq: _*), lit(true))))
         .select(col("name"), col("key"), lit(null).cast("boolean").as("present"))
-    val res = (branches :+ unknown).reduce(_ union _)
+    // persisted: the counters pass below and the caller's consumption
+    // would otherwise each re-run every probe branch; MEMORY_AND_DISK
+    // blocks are LRU-evictable, so eviction degrades to recompute
+    val res = (branches :+ unknown).reduce(_ union _).persist()
     // one bounded aggregation pass updates every filter's counters
     val stats = res.filter(col("present").isNotNull)
       .groupBy("name").agg(
         sum(when(col("present"), 1L).otherwise(0L)).as("hits"),
         count(lit(1)).as("total")).collect()
     stats.foreach { r =>
-      snapshot.find(_.name == r.getString(0)).foreach { e =>
+      entries.find(_.name == r.getString(0)).foreach { e =>
         e.synchronized {
           e.counters.checkHits += r.getLong(1)
           e.counters.checkMisses += r.getLong(2) - r.getLong(1)
         }
       }
     }
-    Right(res)
+    res
   }
 
   // ---- `list [prefix]`: lexicographic (ART order). Registry snapshot
