@@ -203,6 +203,16 @@ object Ann {
    * cells and exactly re-ranks their members. At 100 TB the posting
    * lists are the partition layout (cluster-prune instead of scan),
    * which is why IVF is the standard scale path for embedding search.
+   *
+   * (nCells, nProbe) is the recall/cost dial and should GROW with the
+   * corpus (FAISS practice: cells ~ sqrt(N), probe a fixed fraction);
+   * the gate keeps small defaults because its corpus is small and
+   * uniform (the worst case for cell pruning), and the recall harness
+   * exists precisely to measure YOUR parameters against the exact
+   * answer before trusting them — raise both together and re-read the
+   * recall, don't extrapolate. The assignment expression
+   * ([[NearestCell]]) is constant-codegen, so large cell counts cost
+   * only the cells x dims arithmetic.
    */
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int, nCells: Int = 16,
               lloydIters: Int = 3, nProbe: Int = 8,

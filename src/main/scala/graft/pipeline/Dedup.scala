@@ -310,8 +310,22 @@ object Dedup {
    * (a `changed` flag summed from the checkpointed result — no
    * second join-and-compare job).
    */
-  def nearDupClusters(docs: DataFrame, minJ: Double = 0.5): DataFrame = {
-    val pairs = ngramJaccardPairs(docs, 3, minJ).select("id_a", "id_b")
+  def nearDupClusters(docs: DataFrame, minJ: Double = 0.5): DataFrame =
+    clustersFromPairs(ngramJaccardPairs(docs, 3, minJ))
+
+  /** The 100 TB composition: candidate pairs from MinHash banding
+    * (never the exact inverted-index self-join) feeding the same
+    * label propagation — at production thresholds banded recall is ~1
+    * (`minhashLshPairs` scaladoc), so the clusters match the exact
+    * pipeline's (asserted in PipelineSpec on this corpus). */
+  def nearDupClustersLsh(docs: DataFrame, minJ: Double = 0.5,
+                         numPerms: Int = 128, bands: Int = 32): DataFrame =
+    clustersFromPairs(minhashLshPairs(docs, numPerms, bands, minJ))
+
+  /** Connected components over any near-dup pair set — the seam that
+    * lets every pair generator share one clustering implementation. */
+  def clustersFromPairs(pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn.select("id_a", "id_b")
     val edges = pairs
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .distinct()

@@ -189,6 +189,15 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH-pair clustering equals exact-pair clustering on this corpus (banded recall ~1)") {
+    def clusterSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Boolean)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val exact = clusterSet(Dedup.nearDupClusters(docs, 0.5))
+    val lsh = clusterSet(Dedup.nearDupClustersLsh(docs, 0.5))
+    assert(exact.nonEmpty)
+    assert(lsh == exact, "MinHash-banded pair source must yield the same components here")
+  }
+
   test("exact-fixture cache invalidates when a corpus file is rewritten in place") {
     import spark.implicits._
     import java.nio.file.{Files, StandardCopyOption}
