@@ -115,6 +115,82 @@ class WireConcurrencySpec extends AnyFunSuite {
     assert(info.getAs[Long]("size") == nThreads.toLong * perThread)
   }
 
+  test("checkKeysMulti faults in ONLY referenced filters (cold-sweep protocol preserved)") {
+    import spark.implicits._
+    val cat = newCatalog()
+    assert(cat.create("touched") == "Done")
+    assert(cat.create("untouched") == "Done")
+    assert(cat.setKeyLocal("touched", "t1") == Right(true))
+    assert(cat.setKeyLocal("untouched", "u1") == Right(true))
+    assert(cat.close("untouched") == "Done") // proxied: sketch unloaded
+    cat.listCold() // clear creation-hot flags; window starts here
+    val res = cat.checkKeysMulti(Seq(("touched", "t1"), ("touched", "nope")).toDF("n", "k"))
+      .collect().map(r => (r.getString(1), r.get(2))).toMap
+    assert(res("t1") == true && res("nope") == false)
+    // the un-referenced proxied filter stayed unloaded and un-hot
+    val info = cat.info("untouched").toOption.get.head()
+    assert(info.getAs[Int]("in_memory") == 0, "probe must not fault in unreferenced filters")
+    assert(cat.listCold() == Seq("untouched"), "only the probed filter was marked hot")
+  }
+
+  test("rust server over TCP: 4 concurrent connections, per-filter exclusion, no lost counts") {
+    val root = java.nio.file.Files.createTempDirectory("rustcc")
+    val rs = new RustBloomServer(root.toString)
+    val server = new WireTcpServer(rs.interpret)
+    try {
+      WireTcpClient.session(server.port) { send =>
+        assert(send("create rc") == "Done")
+        assert(send("create rd") == "Done")
+      }
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      def conn(name: String)(body: (String => String) => Unit): Thread = {
+        val t = new Thread(() => {
+          try WireTcpClient.session(server.port)(body)
+          catch { case e: Throwable => errors.add(s"$name: $e") }
+        }, name)
+        t.start(); t
+      }
+      // two setters on DIFFERENT filters (map read lock shared), one
+      // multi-checker, one lifecycle thread creating/flushing
+      val s1 = conn("rc-setter") { send =>
+        (0 until 500).foreach { i =>
+          val r = send(s"set rc a$i")
+          if (r != "1") errors.add(s"rc set a$i got $r")
+        }
+      }
+      val s2 = conn("rd-setter") { send =>
+        (0 until 500).foreach { i =>
+          val r = send(s"set rd b$i")
+          if (r != "1") errors.add(s"rd set b$i got $r")
+        }
+      }
+      val checker = conn("checker") { send =>
+        (0 until 1000).foreach { i =>
+          val r = send(s"multi rc a${i % 500} zz")
+          // each key is 0 (not yet set) or 1 (set); zz always 0
+          if (!r.matches("[01] 0")) errors.add(s"multi got $r")
+        }
+      }
+      val lifecycle = conn("lifecycle") { send =>
+        (0 until 10).foreach { i =>
+          if (send(s"create extra$i") != "Done") errors.add(s"create extra$i failed")
+          if (send("flush") != "Done") errors.add("flush failed")
+        }
+      }
+      Seq(s1, s2, checker, lifecycle).foreach(_.join(120000))
+      Seq(s1, s2, checker, lifecycle).foreach(t => assert(!t.isAlive, s"${t.getName} deadlocked"))
+      assert(errors.isEmpty, s"protocol violations: $errors")
+      WireTcpClient.session(server.port) { send =>
+        (0 until 500 by 83).foreach { i =>
+          assert(send(s"check rc a$i") == "1")
+          assert(send(s"check rd b$i") == "1")
+        }
+        val info = send("info rc")
+        assert(info.contains("size 500"), s"lost sets: $info")
+      }
+    } finally server.close()
+  }
+
   test("integ matrix over >= 4 real TCP connections: set loops vs concurrent drop/flush/create") {
     val cat = newCatalog()
     val server = new WireTcpServer(new CWireServer(cat).interpret)
