@@ -175,8 +175,12 @@ class SketchCatalog(
     case None => "Filter does not exist"
     case Some(e) => withWrite(e) {
       e.synchronized {
-        if (e.sketch.isDefined) {
-          if (!e.inMemory) persist(e)
+        // in_memory filters are never unmapped — the disk layout is
+        // their ONLY backing store and they have none; the reference
+        // skips them too (`filter_manager.c:516-517`) and still
+        // answers Done
+        if (!e.inMemory && e.sketch.isDefined) {
+          persist(e)
           e.sketch = None
           e.counters.pageOuts += 1
         }
@@ -377,14 +381,22 @@ class SketchCatalog(
     }
 
   // ---- batch probe across MANY filters: (name, key) pairs routed to
-  // their filters in ONE distributed job. Shape matters: the plan is a
-  // UNION of per-filter probes, each with its own sketch as a plan
-  // LITERAL (ships once per executor in the task binary) — joining
-  // against a sketch COLUMN would re-copy the blob per row
-  // (UnsafeRow.getBinary) and thrash the probe memo across
-  // interleaved filters. The union width is catalog-sized; each
-  // branch's scan prunes to its own filter's rows. Unknown names
-  // answer present = null. ----
+  // their filters in ONE distributed job. Shape matters, and it is
+  // picked by the number of filters the probe references:
+  //   - few filters (<= multiProbeBranchBound): a UNION of per-filter
+  //     probes, each with its own sketch as a plan LITERAL (ships once
+  //     per executor in the task binary; codegen'd sbf_contains with a
+  //     per-expression memo) — joining against a sketch COLUMN would
+  //     re-copy the blob per row (UnsafeRow.getBinary) and thrash the
+  //     probe memo across interleaved filters. Each branch re-scans
+  //     the pair set, so the shape is O(branches) scans — fine while
+  //     branches are few and the scan is a cached local exchange.
+  //   - many filters: ONE scan. The blobs ship once per executor as a
+  //     broadcast Map[name -> bytes]; a mapPartitions pass routes each
+  //     row to its filter, deserializing each referenced sketch at
+  //     most once per task (per-partition cache). A 500-filter probe
+  //     is one scan of the pair set, not 500.
+  // Unknown names answer present = null either way. ----
   def checkKeysMulti(pairs: DataFrame): DataFrame = {
     val nameCol = pairs.columns(0)
     val keyCol = pairs.columns(1)
@@ -405,22 +417,28 @@ class SketchCatalog(
       try Some(e.name -> withRead(e)(faultIn(e).serialize()))
       catch { case _: FilterGone => None }
     }
-    val branches = blobs.map { case (n, blob) =>
-      keyed.filter(col("name") === n)
-        .select(col("name"), col("key"),
-          sbf_contains(lit(blob), col("key")).as("present"))
-    }
-    val known = blobs.map(_._1).toSet
-    // coalesce(..., true): a NULL probe name must land in the unknown
-    // branch (three-valued isin would silently drop the row)
-    val unknown =
-      (if (known.isEmpty) keyed
-       else keyed.filter(coalesce(!col("name").isin(known.toSeq: _*), lit(true))))
-        .select(col("name"), col("key"), lit(null).cast("boolean").as("present"))
+    val probed =
+      if (blobs.size > SketchCatalog.multiProbeBranchBound)
+        probeViaBroadcast(keyed, blobs)
+      else {
+        val branches = blobs.map { case (n, blob) =>
+          keyed.filter(col("name") === n)
+            .select(col("name"), col("key"),
+              sbf_contains(lit(blob), col("key")).as("present"))
+        }
+        val known = blobs.map(_._1).toSet
+        // coalesce(..., true): a NULL probe name must land in the unknown
+        // branch (three-valued isin would silently drop the row)
+        val unknown =
+          (if (known.isEmpty) keyed
+           else keyed.filter(coalesce(!col("name").isin(known.toSeq: _*), lit(true))))
+            .select(col("name"), col("key"), lit(null).cast("boolean").as("present"))
+        (branches :+ unknown).reduce(_ union _)
+      }
     // persisted: the counters pass below and the caller's consumption
     // would otherwise each re-run every probe branch; MEMORY_AND_DISK
     // blocks are LRU-evictable, so eviction degrades to recompute
-    val res = (branches :+ unknown).reduce(_ union _).persist()
+    val res = probed.persist()
     // one bounded aggregation pass updates every filter's counters
     val stats = res.filter(col("present").isNotNull)
       .groupBy("name").agg(
@@ -435,6 +453,40 @@ class SketchCatalog(
       }
     }
     res
+  }
+
+  /** The many-filter probe shape: one scan of the pair set, blobs
+    * broadcast once per executor, each referenced sketch deserialized
+    * at most once per task. Key bytes match `sbf_contains`'s exactly
+    * (cast to string, UTF-8). */
+  private def probeViaBroadcast(keyed: DataFrame,
+                                blobs: Seq[(String, Array[Byte])]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val bc = spark.sparkContext.broadcast(blobs.toMap)
+    val keyType = keyed.schema("key").dataType
+    val outSchema = StructType(Seq(
+      StructField("name", StringType),
+      StructField("key", keyType),
+      StructField("present", BooleanType)))
+    keyed
+      .select(col("name"), col("key"), col("key").cast("string").as("_ks"))
+      .mapPartitions { rows =>
+        val cache = mutable.HashMap.empty[String, ScalableBloom]
+        rows.map { r =>
+          val n = if (r.isNullAt(0)) null else r.getString(0)
+          val ks = if (r.isNullAt(2)) null else r.getString(2)
+          val present: java.lang.Boolean =
+            if (n == null || ks == null) null
+            else bc.value.get(n) match {
+              case Some(blob) =>
+                val s = cache.getOrElseUpdate(n, ScalableBloom.deserialize(blob))
+                val kb = ks.getBytes(UTF_8)
+                java.lang.Boolean.valueOf(s.contains(kb, 0, kb.length))
+              case None => null // unregistered name
+            }
+          org.apache.spark.sql.Row(n, r.get(1), present)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   // ---- `list [prefix]`: lexicographic (ART order). Registry snapshot
@@ -604,6 +656,13 @@ class SketchCatalog(
 }
 
 object SketchCatalog {
+
+  /** Above this many referenced filters, `checkKeysMulti` switches
+    * from the union-of-literal-probes plan (O(branches) re-scans of
+    * the pair set) to the single-scan broadcast-map shape. 16 keeps
+    * small probes on the codegen'd expression path while bounding the
+    * worst case at catalog scale. */
+  final val multiProbeBranchBound = 16
 
   final case class Counters(
       var checkHits: Long = 0, var checkMisses: Long = 0,

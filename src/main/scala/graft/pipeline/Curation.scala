@@ -19,11 +19,55 @@ import org.apache.spark.sql.functions._
  * equality joins, and bounded label-propagation rounds — no stage
  * collects row-scale data to the driver, and the same plan shapes
  * hold at 10^12 documents (PLANS.md).
+ *
+ * The near-dup stage is parameterized by its candidate-pair source
+ * ([[PairSource]]), because that is where the scale mode lives:
+ *   - [[PairSource.Exact]]  — the uncapped trigram inverted-index
+ *     self-join. The oracle anchor; its hot-shingle df² term makes it
+ *     the wrong default at extreme corpus sizes.
+ *   - [[PairSource.Capped]] — same join with shingles above a
+ *     document-frequency cap dropped (`Dedup.ngramJaccardPairs`
+ *     maxShingleDocs), bounding every posting list.
+ *   - [[PairSource.Lsh]]    — MinHash banding (`Dedup.minhashLshPairs`):
+ *     candidate volume O(rows·bands), never a df² term — the 100 TB
+ *     composition. At production thresholds banded recall ≈ 1, so
+ *     survivors match the exact pipeline's (gated by
+ *     `pipeline_curation_lsh` against the exact-replay oracle).
  */
 object Curation {
 
-  /** Returns the kept documents as (doc_id, lang_pred, n_words). */
-  def curate(docs: DataFrame, minJ: Double = 0.5): DataFrame = {
+  /** Candidate-pair generator for the near-dup stage: docs(doc_id,
+    * text) => pairs(id_a, id_b, ...). */
+  sealed trait PairSource { def pairs(docs: DataFrame): DataFrame }
+  object PairSource {
+    /** Exact trigram-Jaccard self-join (oracle anchor). */
+    case class Exact(n: Int = 3, minJ: Double = 0.5) extends PairSource {
+      def pairs(docs: DataFrame): DataFrame = Dedup.ngramJaccardPairs(docs, n, minJ)
+    }
+    /** Document-frequency-capped shingle join: posting lists bounded
+      * by `maxShingleDocs`. */
+    case class Capped(n: Int = 3, minJ: Double = 0.5, maxShingleDocs: Long = 64)
+        extends PairSource {
+      def pairs(docs: DataFrame): DataFrame =
+        Dedup.ngramJaccardPairs(docs, n, minJ, maxShingleDocs)
+    }
+    /** MinHash+LSH banding — the 100 TB mode. */
+    case class Lsh(minJ: Double = 0.5, numPerms: Int = 128, bands: Int = 32)
+        extends PairSource {
+      def pairs(docs: DataFrame): DataFrame =
+        Dedup.minhashLshPairs(docs, numPerms, bands, minJ)
+    }
+  }
+
+  /** Returns the kept documents as (doc_id, lang_pred, n_words).
+    * `pairSource` picks the near-dup candidate generator; the default
+    * stays the exact join so existing oracle parity is unchanged —
+    * pass [[PairSource.Lsh]] (or Capped) for the scale mode. */
+  def curate(docs: DataFrame, minJ: Double = 0.5,
+             pairSource: PairSource = null): DataFrame = {
+    // null default (resolved here) so the exact source's threshold
+    // tracks minJ without repeating it at every two-arg call site
+    val src = Option(pairSource).getOrElse(PairSource.Exact(3, minJ))
     val base = docs.select(col("doc_id").cast("long").as("doc_id"),
       col("text"), col("lang"))
     // 1. quality gate
@@ -34,8 +78,9 @@ object Curation {
     val keepers = Dedup.exactDedup(survivors)
       .select(col("kept_doc_id").as("doc_id"))
     val deduped = survivors.join(keepers, Seq("doc_id"))
-    // 3. near-dup clustering: drop non-representatives
-    val dropped = Dedup.nearDupClusters(deduped, minJ)
+    // 3. near-dup clustering over the chosen pair source: drop
+    //    non-representatives
+    val dropped = Dedup.clustersFromPairs(src.pairs(deduped))
       .filter(!col("keep")).select("doc_id")
     val kept = deduped.join(dropped, Seq("doc_id"), "left_anti")
     // 4. metadata on the survivors

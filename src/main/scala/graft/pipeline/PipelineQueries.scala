@@ -97,6 +97,15 @@ object PipelineQueries {
     "pipeline_curation" -> ((s, dir) =>
       Curation.curate(docs(s, dir), minJ = 0.5).orderBy("doc_id")),
 
+    // the SAME composed pipeline in its 100 TB mode: the near-dup
+    // stage's candidate pairs come from MinHash banding instead of
+    // the exact shingle self-join. Gated against the SAME exact-replay
+    // oracle — banded recall ≈ 1 at these thresholds, so the survivor
+    // set must match the exact pipeline's row for row
+    "pipeline_curation_lsh" -> ((s, dir) =>
+      Curation.curate(docs(s, dir), minJ = 0.5,
+        pairSource = Curation.PairSource.Lsh(minJ = 0.5)).orderBy("doc_id")),
+
     // ---- similarity search ----------------------------------------------
 
     "ann_brute_topk" -> ((s, dir) =>
@@ -417,19 +426,7 @@ object PipelineQueries {
       import s.implicits._
       val srv = new graft.catalog.CWireServer(new graft.catalog.SketchCatalog(s,
         java.nio.file.Files.createTempDirectory("cwire").toString))
-      val trace = Seq(
-        "list", "create foobar", "create foobar", "create " + ("foo" * 100),
-        "set foobar test", "set foobar test", "check foobar test", "check foobar other",
-        "multi foobar test test1 test2", "bulk foobar test blah",
-        "b foobar x y", "s foobar x", "m foobar x y", "c foobar x",
-        "set foobar", "check foobar", "set nosuch key", "multi nosuch a b",
-        "frobnicate foobar", "create", "create badcap capacity=500", "create badp prob=0.5",
-        "create foobar2", "create test4", "list foo",
-        "clear foobar2", "close foobar2", "clear foobar2", "create foobar2",
-        "drop foobar2", "drop foobar2",
-        "flush", "flush foobar", "flush nosuch",
-        "info foobar", "drop foobar", "drop test4", "list")
-      trace.zipWithIndex
+      CWireTrace.zipWithIndex
         .map { case (cmd, i) =>
           (i + 1, if (cmd.length > 40) cmd.take(20) + "..." else cmd,
             srv.interpret(cmd).stripSuffix("\n").replace("\n", " / "))
@@ -448,20 +445,8 @@ object PipelineQueries {
         java.nio.file.Files.createTempDirectory("tcpwire").toString))
       val tcp = new graft.catalog.WireTcpServer(srv.interpret)
       try {
-        val trace = Seq(
-          "list", "create foobar", "create foobar", "create " + ("foo" * 100),
-          "set foobar test", "set foobar test", "check foobar test", "check foobar other",
-          "multi foobar test test1 test2", "bulk foobar test blah",
-          "b foobar x y", "s foobar x", "m foobar x y", "c foobar x",
-          "set foobar", "check foobar", "set nosuch key", "multi nosuch a b",
-          "frobnicate foobar", "create", "create badcap capacity=500", "create badp prob=0.5",
-          "create foobar2", "create test4", "list foo",
-          "clear foobar2", "close foobar2", "clear foobar2", "create foobar2",
-          "drop foobar2", "drop foobar2",
-          "flush", "flush foobar", "flush nosuch",
-          "info foobar", "drop foobar", "drop test4", "list")
         val rows = graft.catalog.WireTcpClient.session(tcp.port) { send =>
-          trace.zipWithIndex.map { case (cmd, i) =>
+          CWireTrace.zipWithIndex.map { case (cmd, i) =>
             (i + 1, if (cmd.length > 40) cmd.take(20) + "..." else cmd,
               send(cmd).replace("\n", " / "))
           }
@@ -675,6 +660,28 @@ object PipelineQueries {
   private def score(l: String) =
     s"CAST(len(list_filter(ws, w -> list_contains(${stopLists(l)}, w))) AS INT)"
 
+  /** The composite C-daemon command trace, replayed through BOTH the
+    * interpreter gate (op_c_wire_trace) and a real TCP socket
+    * (op_tcp_wire_trace). Steps 39-46 pin the in_memory lifecycle at
+    * the gate (not just the unit suite): create in_memory=1, close is
+    * a no-op that still answers Done (`filter_manager.c:516-517` skips
+    * unmap — memory is the only backing store), data survives, info
+    * reports in_memory 1 with zero page activity. */
+  private val CWireTrace: Seq[String] = Seq(
+    "list", "create foobar", "create foobar", "create " + ("foo" * 100),
+    "set foobar test", "set foobar test", "check foobar test", "check foobar other",
+    "multi foobar test test1 test2", "bulk foobar test blah",
+    "b foobar x y", "s foobar x", "m foobar x y", "c foobar x",
+    "set foobar", "check foobar", "set nosuch key", "multi nosuch a b",
+    "frobnicate foobar", "create", "create badcap capacity=500", "create badp prob=0.5",
+    "create foobar2", "create test4", "list foo",
+    "clear foobar2", "close foobar2", "clear foobar2", "create foobar2",
+    "drop foobar2", "drop foobar2",
+    "flush", "flush foobar", "flush nosuch",
+    "info foobar", "drop foobar", "drop test4", "list",
+    "create memf in_memory=1", "set memf mk1", "check memf mk1",
+    "close memf", "check memf mk1", "info memf", "drop memf", "list")
+
   /** shared oracle: the C daemon trace VALUES table (also replayed over TCP) */
   private val CWireTraceOracle: String =
     ("SELECT * FROM (VALUES " +
@@ -715,7 +722,15 @@ object PipelineQueries {
         "(35, 'info foobar', 'START / capacity 100000 / checks 8 / check_hits 5 / check_misses 3 / in_memory 1 / page_ins 0 / page_outs 0 / probability 0.000100 / sets 7 / set_hits 4 / set_misses 3 / size 4 / storage 300046 / END'), " +
         "(36, 'drop foobar', 'Done'), " +
         "(37, 'drop test4', 'Done'), " +
-        "(38, 'list', 'START / END')" +
+        "(38, 'list', 'START / END'), " +
+        "(39, 'create memf in_memory=1', 'Done'), " +
+        "(40, 'set memf mk1', 'Yes'), " +
+        "(41, 'check memf mk1', 'Yes'), " +
+        "(42, 'close memf', 'Done'), " +
+        "(43, 'check memf mk1', 'Yes'), " +
+        "(44, 'info memf', 'START / capacity 100000 / checks 2 / check_hits 2 / check_misses 0 / in_memory 1 / page_ins 0 / page_outs 0 / probability 0.000100 / sets 1 / set_hits 1 / set_misses 0 / size 1 / storage 300046 / END'), " +
+        "(45, 'drop memf', 'Done'), " +
+        "(46, 'list', 'START / END')" +
         ") AS t(step, command, response) ORDER BY step")
 
   def oracleSql: Map[String, String] = Map(
@@ -754,7 +769,15 @@ object PipelineQueries {
         "FROM (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, text FROM documents) " +
         "GROUP BY md5(text) ORDER BY kept_doc_id"),
 
-    "pipeline_curation" ->
+    "pipeline_curation" -> CurationOracle,
+    // identical oracle: the LSH-mode pipeline must produce the SAME
+    // survivors as the exact replay (banded recall ≈ 1 at minJ 0.5)
+    "pipeline_curation_lsh" -> CurationOracle) ++ oracleSqlRest
+
+  /** Exact SQL replay of every curation stage (quality gate, exact
+    * dedup, near-dup reachability clustering, lang/size metadata) —
+    * shared by the exact-mode and LSH-mode pipeline gates. */
+  private def CurationOracle: String =
       ("WITH q AS (SELECT doc_id, text, lang, ws FROM " +
         s"(SELECT doc_id, text, lang, $W AS ws FROM documents) " +
         "WHERE len(ws) BETWEEN 5 AND 2000 " +
@@ -775,8 +798,9 @@ object PipelineQueries {
         "CAST(len(ws) AS INT) AS n_words FROM (" +
         "SELECT doc_id, ws, s_de, s_en, s_es, s_fr, s_zh, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m FROM (" +
         s"SELECT doc_id, ws, ${score("de")} AS s_de, ${score("en")} AS s_en, ${score("es")} AS s_es, " +
-        s"${score("fr")} AS s_fr, ${score("zh")} AS s_zh FROM kept)) ORDER BY doc_id"),
+        s"${score("fr")} AS s_fr, ${score("zh")} AS s_zh FROM kept)) ORDER BY doc_id")
 
+  private def oracleSqlRest: Map[String, String] = Map(
     "dedup_ngram_jaccard" -> JaccardPairs,
 
     // capped mode: drop shingles with document frequency > 2, then

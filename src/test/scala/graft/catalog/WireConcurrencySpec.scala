@@ -133,6 +133,48 @@ class WireConcurrencySpec extends AnyFunSuite {
     assert(cat.listCold() == Seq("untouched"), "only the probed filter was marked hot")
   }
 
+  test("checkKeysMulti over 64 filters: one bounded scan (broadcast shape), answers + counters exact") {
+    import spark.implicits._
+    val cat = newCatalog()
+    val nFilters = 64
+    (0 until nFilters).foreach { f =>
+      assert(cat.create(s"mf$f") == "Done")
+      assert(cat.setKeys(s"mf$f", Seq(s"own-$f", "shared").toDF("k")).isRight)
+    }
+    // every filter probed for: its own key (Yes), another filter's own
+    // key (No), the shared key (Yes) — plus unknown-name and null rows
+    val pairs = (0 until nFilters).flatMap { f =>
+      Seq((s"mf$f", s"own-$f"), (s"mf$f", s"own-${(f + 1) % nFilters}"), (s"mf$f", "shared"))
+    } ++ Seq(("ghost", "x"), (null, "y"))
+    val res = cat.checkKeysMulti(pairs.toDF("name", "key"))
+    val rows = res.collect().map(r =>
+      (Option(r.getString(0)).orNull, r.getString(1)) -> Option(r.get(2)).orNull).toMap
+    assert(rows.size == pairs.size)
+    (0 until nFilters).foreach { f =>
+      assert(rows((s"mf$f", s"own-$f")) == true)
+      assert(rows((s"mf$f", s"own-${(f + 1) % nFilters}")) == false)
+      assert(rows((s"mf$f", "shared")) == true)
+    }
+    assert(rows(("ghost", "x")) == null)
+    assert(rows((null, "y")) == null)
+    // plan evidence: the 64-filter probe is NOT 64 re-scans of the
+    // pair set — no union anywhere near branch width, and at most a
+    // couple of leaf scans in the whole physical plan
+    val plan = res.queryExecution.executedPlan
+    val unionWidths = plan.collect {
+      case u: org.apache.spark.sql.execution.UnionExec => u.children.length }
+    assert(unionWidths.forall(_ <= 2), s"union widths $unionWidths")
+    val leafScans = plan.collectLeaves().length
+    assert(leafScans <= 3, s"expected a bounded number of scans, got $leafScans leaves:\n$plan")
+    // the one aggregation pass updated every filter's counters
+    (0 until nFilters).foreach { f =>
+      val info = cat.info(s"mf$f").toOption.get.head()
+      assert(info.getAs[Long]("checks") == 3, s"mf$f checks")
+      assert(info.getAs[Long]("check_hits") == 2, s"mf$f hits")
+      assert(info.getAs[Long]("check_misses") == 1, s"mf$f misses")
+    }
+  }
+
   test("rust server over TCP: 4 concurrent connections, per-filter exclusion, no lost counts") {
     val root = java.nio.file.Files.createTempDirectory("rustcc")
     val rs = new RustBloomServer(root.toString)
@@ -219,6 +261,49 @@ class WireConcurrencySpec extends AnyFunSuite {
       }
       dropper.join()
       assert(setsBeforeDrop > 0)
+
+      // --- test_concurrent_close (test_integ.py:306-325): a set loop
+      // races `close` from another connection. close keeps the filter
+      // REGISTERED (proxied, sketch unloaded) — so unlike drop, every
+      // set response must stay "Yes" straight through the page-out +
+      // fault-in cycle, and nothing inserted may be lost across it
+      WireTcpClient.session(server.port) { send =>
+        assert(send("create pingclose") == "Done")
+      }
+      val closeErrors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val closer = new Thread(() => {
+        try {
+          Thread.sleep(30)
+          WireTcpClient.session(server.port) { send =>
+            (0 until 3).foreach { _ =>
+              val r = send("close pingclose")
+              if (r != "Done") closeErrors.add(s"close got $r")
+              Thread.sleep(20)
+            }
+          }
+        } catch { case e: Throwable => closeErrors.add(s"closer: $e") }
+      })
+      closer.start()
+      val nCloseSets = 3000
+      WireTcpClient.session(server.port) { send =>
+        (0 until nCloseSets).foreach { x =>
+          val resp = send(s"set pingclose test$x")
+          assert(resp == "Yes", s"set during close must stay Yes, got: $resp")
+        }
+      }
+      closer.join(120000)
+      assert(!closer.isAlive, "closer deadlocked")
+      assert(closeErrors.isEmpty, s"close responses violated the protocol: $closeErrors")
+      // state consistent after the race: still registered, every key
+      // faulted back in present, counters account for every set
+      WireTcpClient.session(server.port) { send =>
+        (0 until nCloseSets by 131).foreach { x =>
+          assert(send(s"check pingclose test$x") == "Yes", s"lost test$x across page-out")
+        }
+        val info = send("info pingclose")
+        assert(info.contains(s"size $nCloseSets"), s"size disagrees after close race: $info")
+        assert(info.contains(s"sets $nCloseSets"), s"set count disagrees: $info")
+      }
 
       // --- test_concurrent_flush (:327-346) + test_concurrent_create
       // (:348-373) + concurrent checks: 4 simultaneous connections

@@ -198,6 +198,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh == exact, "MinHash-banded pair source must yield the same components here")
   }
 
+  test("curation pair sources: LSH and capped modes keep the same survivors as the exact pipeline") {
+    def survivors(ps: Curation.PairSource): Set[Long] =
+      Curation.curate(docs, minJ = 0.5, pairSource = ps)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = survivors(Curation.PairSource.Exact(3, 0.5))
+    assert(exact.nonEmpty)
+    // default (null pairSource) routes to the exact join
+    val default = Curation.curate(docs, minJ = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(default == exact)
+    // the 100 TB modes: banded recall ~1 / a cap high enough to keep
+    // every threshold pair on this corpus => identical survivor sets
+    assert(survivors(Curation.PairSource.Lsh(0.5)) == exact)
+    assert(survivors(Curation.PairSource.Capped(3, 0.5, 64)) == exact)
+  }
+
   test("exact-fixture cache invalidates when a corpus file is rewritten in place") {
     import spark.implicits._
     import java.nio.file.{Files, StandardCopyOption}
