@@ -31,11 +31,13 @@ object StreamDedup {
     * to `sinkDir`; returns (fp, doc_id, n_batches) read back from the
     * sink. */
   def dedupExact(spark: SparkSession, inDir: String, checkpointDir: String,
-                 sinkDir: String, maxFilesPerTrigger: Int = 2): DataFrame = {
-    val schema = spark.read.parquet(inDir).schema
+                 sinkDir: String, maxFilesPerTrigger: Int = 2,
+                 statePartitions: Int = 8): DataFrame = {
+    val ss = StreamSinks.sessionForState(spark, statePartitions)
+    val schema = ss.read.parquet(inDir).schema
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
 
-    val stream = spark.readStream
+    val stream = ss.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(inDir)
@@ -54,6 +56,9 @@ object StreamDedup {
       .start()
     q.awaitTermination()
 
+    // stream idle after the AvailableNow drain: compact the changelog
+    // (the gate reads — and oracles — the compacted layout)
+    StreamSinks.compact(spark, sinkDir)
     StreamSinks.readAppend(spark, sinkDir)
       .withColumn("n_batches", lit(batches.get()))
   }
@@ -71,9 +76,11 @@ object StreamDedup {
    */
   def dedupWithinWatermark(spark: SparkSession, inDir: String, checkpointDir: String,
                            sinkDir: String, tsCol: String, delay: String,
-                           maxFilesPerTrigger: Int = 1): DataFrame = {
-    val schema = spark.read.parquet(inDir).schema
-    val stream = spark.readStream
+                           maxFilesPerTrigger: Int = 1,
+                           statePartitions: Int = 8): DataFrame = {
+    val ss = StreamSinks.sessionForState(spark, statePartitions)
+    val schema = ss.read.parquet(inDir).schema
+    val stream = ss.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(inDir)

@@ -32,9 +32,10 @@ object WindowedSketch {
    * TypedImperativeAggregate buffers checkpoint between micro-batches.
    */
   def windowedHll(spark: SparkSession, inDir: String, checkpointDir: String,
-                  sinkDir: String): DataFrame = {
-    val schema = spark.read.parquet(inDir).schema
-    val stream = spark.readStream.schema(schema)
+                  sinkDir: String, statePartitions: Int = 8): DataFrame = {
+    val ss = StreamSinks.sessionForState(spark, statePartitions)
+    val schema = ss.read.parquet(inDir).schema
+    val stream = ss.readStream.schema(schema)
       .option("maxFilesPerTrigger", 2)
       .parquet(inDir)
       // source ts is TIMESTAMP_NTZ; watermarks need an instant — the
@@ -55,6 +56,10 @@ object WindowedSketch {
       }
       .start()
     q.awaitTermination()
+    // drain done -> stream idle: the compaction window. The gate's
+    // oracle then reads the COMPACTED changelog, so read-equivalence
+    // across compaction is continuously proven, not just unit-tested.
+    StreamSinks.compact(spark, sinkDir)
     StreamSinks.readLatestByKey(spark, sinkDir, Seq("ws", "event_type"))
   }
 
@@ -82,9 +87,10 @@ object WindowedSketch {
    * batch; the last emission is the final state.
    */
   def userTypeState(spark: SparkSession, inDir: String, checkpointDir: String,
-                    sinkDir: String): DataFrame = {
-    import spark.implicits._
-    val schema = spark.read.parquet(inDir).schema
+                    sinkDir: String, statePartitions: Int = 8): DataFrame = {
+    val ss = StreamSinks.sessionForState(spark, statePartitions)
+    import ss.implicits._
+    val schema = ss.read.parquet(inDir).schema
 
     def updateState(userId: Long, rows: Iterator[(Long, String)],
                     state: GroupState[Array[Byte]]): (Long, Long) = {
@@ -98,7 +104,7 @@ object WindowedSketch {
       (userId, bloom.count)
     }
 
-    val stream = spark.readStream.schema(schema)
+    val stream = ss.readStream.schema(schema)
       .option("maxFilesPerTrigger", 2)
       .parquet(inDir)
       .select(col("user_id").cast("long"), col("event_type"))
@@ -147,12 +153,13 @@ object WindowedSketch {
   }
 
   def userTypeStateTws(spark: SparkSession, inDir: String, checkpointDir: String,
-                       sinkDir: String): DataFrame = {
-    import spark.implicits._
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                       sinkDir: String, statePartitions: Int = 8): DataFrame = {
+    val ss = StreamSinks.sessionForState(spark, statePartitions)
+    import ss.implicits._
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val schema = spark.read.parquet(inDir).schema
-    val stream = spark.readStream.schema(schema)
+    val schema = ss.read.parquet(inDir).schema
+    val stream = ss.readStream.schema(schema)
       .option("maxFilesPerTrigger", 2)
       .parquet(inDir)
       .select(col("user_id").cast("long"), col("event_type"))

@@ -30,6 +30,43 @@ class StreamSpec extends AnyFunSuite {
     assert(latest == Map("a" -> 9L, "b" -> 2L, "c" -> 3L))
   }
 
+  test("compact: read-equivalence for append and latest-by-key views, files merged per batch") {
+    import spark.implicits._
+    val sink = java.nio.file.Files.createTempDirectory("sinkcmp").resolve("out").toString
+    val b0 = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "v").repartition(4)
+    StreamSinks.seed(spark, b0.schema, sink)
+    StreamSinks.appendBatch(b0, 0L, sink, maxFiles = 0) // uncoalesced: many small files
+    StreamSinks.appendBatch(Seq(("a", 9L), ("d", 4L)).toDF("k", "v").repartition(4), 1L, sink, maxFiles = 0)
+    StreamSinks.appendBatch(Seq(("b", 7L)).toDF("k", "v").repartition(4), 2L, sink, maxFiles = 0)
+    def files(dir: String): Seq[java.nio.file.Path] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).forEach(p =>
+        if (p.toString.endsWith(".parquet")) out += p)
+      out.toSeq
+    }
+    def appendView = StreamSinks.readAppend(spark, sink)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    def latestView = StreamSinks.readLatestByKey(spark, sink, Seq("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val (appendBefore, latestBefore, filesBefore) = (appendView, latestView, files(sink).size)
+    StreamSinks.compact(spark, sink)
+    assert(appendView == appendBefore, "append view changed across compaction")
+    assert(latestView == latestBefore, "latest-by-key view changed across compaction")
+    assert(latestView.toMap == Map("a" -> 9L, "b" -> 7L, "c" -> 3L, "d" -> 4L))
+    val filesAfter = files(sink).size
+    assert(filesAfter < filesBefore, s"compaction must shrink file count ($filesBefore -> $filesAfter)")
+    assert(filesAfter <= 4, s"one chunky file per non-empty batch + seed, got $filesAfter")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(sink + ".old")))
+    // a later batch appends cleanly into the compacted layout
+    StreamSinks.appendBatch(Seq(("e", 5L)).toDF("k", "v"), 3L, sink)
+    assert(latestView.toMap.apply("e") == 5L)
+    // an all-empty changelog stays readable across compaction
+    val empty = java.nio.file.Files.createTempDirectory("sinkcmpe").resolve("out").toString
+    StreamSinks.seed(spark, b0.schema, empty)
+    StreamSinks.compact(spark, empty)
+    assert(StreamSinks.readAppend(spark, empty).count() == 0)
+  }
+
   test("dedupWithinWatermark: horizon-bounded state drops near dups, re-admits expired digests") {
     import spark.implicits._
     spark.conf.set("spark.sql.session.timeZone", "UTC")
