@@ -280,6 +280,11 @@ object Bench {
       def curate(d: org.apache.spark.sql.DataFrame): Unit =
         graft.pipeline.Curation.curate(d, minJ = 0.5)
           .write.format("noop").mode("overwrite").save()
+      // the 100 TB composition: near-dup pairs from MinHash banding
+      def curateLsh(d: org.apache.spark.sql.DataFrame): Unit =
+        graft.pipeline.Curation.curate(d, minJ = 0.5,
+          pairSource = graft.pipeline.Curation.PairSource.Lsh(minJ = 0.5))
+          .write.format("noop").mode("overwrite").save()
       def capped(d: org.apache.spark.sql.DataFrame): Unit =
         graft.pipeline.Dedup.ngramJaccardPairs(d, n = 3, minJ = 0.5, maxShingleDocs = 4)
           .write.format("noop").mode("overwrite").save()
@@ -287,15 +292,19 @@ object Bench {
       curate(docs1) // warm
       val tCur1 = (1 to 2).map(_ => timed(curate(docs1))).min
       val tCur4 = (1 to 2).map(_ => timed(curate(docs4))).min
+      val tLsh1 = (1 to 2).map(_ => timed(curateLsh(docs1))).min
+      val tLsh4 = (1 to 2).map(_ => timed(curateLsh(docs4))).min
       capped(docs1)
       val tCap1 = (1 to 2).map(_ => timed(capped(docs1))).min
       val tCap4 = (1 to 2).map(_ => timed(capped(docs4))).min
       val volEff = (n4 / tCur4) / (4.0 * n1 / tCur1)
       System.err.println(f"[bench] curation 1x: $tCur1%.2f s ($n1 docs), " +
         f"4x: $tCur4%.2f s ($n4 docs), volume-scaling eff $volEff%.3f; " +
+        f"lsh-mode 1x $tLsh1%.2f s / 4x $tLsh4%.2f s; " +
         f"capped-jaccard 1x $tCap1%.2f s / 4x $tCap4%.2f s")
       f"""{"docs_1x":$n1,"curation_sec_1x":$tCur1%.3f,"docs_4x":$n4,""" +
         f""""curation_sec_4x":$tCur4%.3f,"curation_volume_eff":$volEff%.3f,""" +
+        f""""curation_lsh_sec_1x":$tLsh1%.3f,"curation_lsh_sec_4x":$tLsh4%.3f,""" +
         f""""capped_jaccard_sec_1x":$tCap1%.3f,"capped_jaccard_sec_4x":$tCap4%.3f}"""
     }
 
