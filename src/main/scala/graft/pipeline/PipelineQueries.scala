@@ -106,6 +106,19 @@ object PipelineQueries {
       Curation.curate(docs(s, dir), minJ = 0.5,
         pairSource = Curation.PairSource.Lsh(minJ = 0.5)).orderBy("doc_id")),
 
+    // train/eval decontamination: eval = every 7th doc, train = the
+    // rest; per-train-doc distinct shared trigrams + strict keep rule.
+    // The sbf prefilter is row-local with the sketch as a plan
+    // literal; the oracle is the plain exact n-gram intersection —
+    // identical results prove the prefilter loses nothing
+    "pipeline_decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Decontam.overlap(
+        d.filter(col("doc_id") % 7 =!= 0),
+        d.filter(col("doc_id") % 7 === 0),
+        n = 3, maxOverlap = 0).orderBy("doc_id")
+    }),
+
     // ---- similarity search ----------------------------------------------
 
     "ann_brute_topk" -> ((s, dir) =>
@@ -772,7 +785,17 @@ object PipelineQueries {
     "pipeline_curation" -> CurationOracle,
     // identical oracle: the LSH-mode pipeline must produce the SAME
     // survivors as the exact replay (banded recall ≈ 1 at minJ 0.5)
-    "pipeline_curation_lsh" -> CurationOracle) ++ oracleSqlRest
+    "pipeline_curation_lsh" -> CurationOracle,
+
+    "pipeline_decontam" ->
+      (s"WITH te AS (SELECT DISTINCT unnest(sh) AS g FROM $ShTable WHERE doc_id % 7 = 0), " +
+        s"ti AS (SELECT doc_id, unnest(sh) AS g FROM $ShTable WHERE doc_id % 7 <> 0), " +
+        "ov AS (SELECT ti.doc_id, count(DISTINCT ti.g) AS n_overlap " +
+        "FROM ti JOIN te ON ti.g = te.g GROUP BY ti.doc_id) " +
+        "SELECT d.doc_id, CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap, " +
+        "COALESCE(ov.n_overlap, 0) = 0 AS keep " +
+        "FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d " +
+        "LEFT JOIN ov ON d.doc_id = ov.doc_id ORDER BY d.doc_id")) ++ oracleSqlRest
 
   /** Exact SQL replay of every curation stage (quality gate, exact
     * dedup, near-dup reachability clustering, lang/size metadata) —

@@ -106,14 +106,20 @@ object StreamSinks {
     seed(spark, dataSchema, tmp)
     val live = Paths.get(sinkDir)
     val old = Paths.get(sinkDir + ".old")
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (JFiles.exists(p))
+        JFiles.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => JFiles.deleteIfExists(q))
     def mv(a: java.nio.file.Path, b: java.nio.file.Path): Unit =
       try JFiles.move(a, b, StandardCopyOption.ATOMIC_MOVE)
       catch { case _: java.nio.file.AtomicMoveNotSupportedException => JFiles.move(a, b) }
+    // a stale .old from a prior compaction whose cleanup died would
+    // make the rename below fail — clear it first (it is garbage by
+    // construction: the swap completed or .old would not exist)
+    rmTree(old)
     mv(live, old)
     mv(Paths.get(tmp), live)
-    // best-effort cleanup of the superseded tree
-    JFiles.walk(old).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => JFiles.deleteIfExists(p))
+    rmTree(old) // best-effort cleanup of the superseded tree
   }
 
   /** Update-mode result: compact the changelog to the LAST emission

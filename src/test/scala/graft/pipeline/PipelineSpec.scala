@@ -198,6 +198,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh == exact, "MinHash-banded pair source must yield the same components here")
   }
 
+  test("decontamination: planted leak flagged, clean docs kept, prefiltered result equals exact") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated training text with no shared trigrams at all"),
+      (3L, "benchmark answer the capital of france is paris obviously")
+    ).toDF("doc_id", "text")
+    val test = Seq(
+      (100L, "question the capital of france is paris correct")
+    ).toDF("doc_id", "text")
+    val ov = Decontam.overlap(train, test, n = 3, maxOverlap = 0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(ov(3L)._1 >= 3 && !ov(3L)._2, s"leaked doc must be dropped: ${ov(3L)}")
+    assert(ov(1L) == ((0L, true)) && ov(2L) == ((0L, true)))
+    val kept = Decontam.decontaminate(train, test).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L))
+    // corpus-scale: the bloom-prefiltered operator must equal the pure
+    // exact intersection (no prefilter) — FPs verified away, FNs impossible
+    val tr = docs.filter(col("doc_id") % 7 =!= 0)
+    val te = docs.filter(col("doc_id") % 7 === 0)
+    def inv(d: org.apache.spark.sql.DataFrame) = d.select(
+      col("doc_id").cast("long").as("id"),
+      explode(TextFunctions.shingles(TextFunctions.words(col("text")), 3)).as("g"))
+    val exact = inv(tr)
+      .join(inv(te).select("g").distinct(), Seq("g"), "left_semi")
+      .groupBy("id").agg(countDistinct(col("g")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Decontam.overlap(tr, te).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap.filter(_._2 > 0)
+    assert(got == exact, "prefiltered overlap diverged from exact intersection")
+    assert(exact.nonEmpty, "corpus split should produce real contamination")
+  }
+
   test("curation pair sources: LSH and capped modes keep the same survivors as the exact pipeline") {
     def survivors(ps: Curation.PairSource): Set[Long] =
       Curation.curate(docs, minJ = 0.5, pairSource = ps)

@@ -60,6 +60,12 @@ class StreamSpec extends AnyFunSuite {
     // a later batch appends cleanly into the compacted layout
     StreamSinks.appendBatch(Seq(("e", 5L)).toDF("k", "v"), 3L, sink)
     assert(latestView.toMap.apply("e") == 5L)
+    // periodic compaction: a second pass (and one with a stale .old
+    // tree left by a crashed cleanup) still swaps and preserves reads
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(sink + ".old/junk"))
+    val beforeRepeat = latestView
+    StreamSinks.compact(spark, sink)
+    assert(latestView == beforeRepeat, "repeated compaction changed the view")
     // an all-empty changelog stays readable across compaction
     val empty = java.nio.file.Files.createTempDirectory("sinkcmpe").resolve("out").toString
     StreamSinks.seed(spark, b0.schema, empty)
