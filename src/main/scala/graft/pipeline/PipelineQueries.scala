@@ -119,6 +119,25 @@ object PipelineQueries {
         n = 3, maxOverlap = 0).orderBy("doc_id")
     }),
 
+    // the same scrub always-on: training docs arrive as a stream, the
+    // eval set is static; per-batch literal-sketch prefilter + semi
+    // join verify (stateless — no watermark, no state store),
+    // changelog sink. SAME oracle as the batch operator: a doc's
+    // n-grams ride in one row, so batch boundaries can't change the
+    // answer
+    "stream_decontam" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graftsdc")
+      val in = tmp.resolve("in").toString
+      val d = docs(s, dir)
+      d.filter(col("doc_id") % 7 =!= 0)
+        .repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(in)
+      graft.streaming.StreamDecontam.overlapStream(
+        s, in, d.filter(col("doc_id") % 7 === 0),
+        tmp.resolve("cp").toString, tmp.resolve("out").toString,
+        n = 3, maxOverlap = 0).orderBy("doc_id")
+    }),
+
     // ---- similarity search ----------------------------------------------
 
     "ann_brute_topk" -> ((s, dir) =>
@@ -788,6 +807,17 @@ object PipelineQueries {
     "pipeline_curation_lsh" -> CurationOracle,
 
     "pipeline_decontam" ->
+      (s"WITH te AS (SELECT DISTINCT unnest(sh) AS g FROM $ShTable WHERE doc_id % 7 = 0), " +
+        s"ti AS (SELECT doc_id, unnest(sh) AS g FROM $ShTable WHERE doc_id % 7 <> 0), " +
+        "ov AS (SELECT ti.doc_id, count(DISTINCT ti.g) AS n_overlap " +
+        "FROM ti JOIN te ON ti.g = te.g GROUP BY ti.doc_id) " +
+        "SELECT d.doc_id, CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap, " +
+        "COALESCE(ov.n_overlap, 0) = 0 AS keep " +
+        "FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d " +
+        "LEFT JOIN ov ON d.doc_id = ov.doc_id ORDER BY d.doc_id"),
+
+    // streaming scrub must equal the batch operator exactly
+    "stream_decontam" ->
       (s"WITH te AS (SELECT DISTINCT unnest(sh) AS g FROM $ShTable WHERE doc_id % 7 = 0), " +
         s"ti AS (SELECT doc_id, unnest(sh) AS g FROM $ShTable WHERE doc_id % 7 <> 0), " +
         "ov AS (SELECT ti.doc_id, count(DISTINCT ti.g) AS n_overlap " +

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.agg.GraftFunctions._
+import graft.pipeline.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/**
+ * Always-on decontamination — [[graft.pipeline.Decontam]] as a
+ * Structured Streaming stage: training documents ARRIVE as a stream,
+ * the protected eval set is STATIC (a benchmark doesn't change
+ * mid-run), and each micro-batch is scrubbed in place:
+ *
+ *   1. the eval summary (one scalable-bloom over distinct eval
+ *      n-grams) is computed once and probed row-local inside the
+ *      stream plan as a literal — the clean majority of every batch
+ *      is dropped without any join;
+ *   2. the surviving candidate n-grams semi-join the exact eval
+ *      n-gram set (materialized ONCE as parquet, cached — the static
+ *      side of every batch's scrub; no driver collect of row data),
+ *      killing the sketch's false positives;
+ *   3. per-doc overlap counts aggregate WITHIN the batch (a doc's
+ *      n-grams arrive together — file-source batches never split a
+ *      row — so the scrub is stateless: no watermark, no state
+ *      store), and kept/flagged docs append to the idempotent
+ *      parquet changelog ([[StreamSinks]]).
+ *
+ * Result contract: reading the sink after an AvailableNow drain
+ * equals the batch operator's answer on the same corpus — asserted by
+ * the gate's oracle (the plain exact n-gram intersection in SQL).
+ */
+object StreamDecontam {
+
+  /** Drain `inDir` (train documents) as a stream, scrub against the
+    * static `test` set, append (doc_id, n_overlap, keep) per doc to
+    * `sinkDir`; returns the sink read. */
+  def overlapStream(spark: SparkSession, inDir: String, test: DataFrame,
+                    checkpointDir: String, sinkDir: String, n: Int = 3,
+                    maxOverlap: Long = 0, statePartitions: Int = 8,
+                    maxFilesPerTrigger: Int = 2): DataFrame = {
+    val ss = StreamSinks.sessionForState(spark, statePartitions)
+    val testG = test.select(
+      explode(shingles(words(col("text")), n)).as("g")).distinct()
+    // static side computed once; sketch bytes ride the stream plan
+    val sketch = testG
+      .agg(sbf_agg(col("g"), 100000L, 1e-4, 4, 0.9).as("s"))
+      .head().getAs[Array[Byte]]("s")
+    // materialize the exact eval set once (executor-side write) and
+    // re-read it in the stream's session: the static verify side,
+    // cached across micro-batches — never collected to the driver
+    val testGPath = java.nio.file.Files
+      .createTempDirectory("decontamEval").resolve("g").toString
+    testG.write.mode("overwrite").parquet(testGPath)
+    val testGStatic = ss.read.parquet(testGPath).persist()
+
+    val schema = ss.read.parquet(inDir).schema
+    val docStream = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        shingles(words(col("text")), n).as("sh"))
+    StreamSinks.seed(spark,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_overlap", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("keep", org.apache.spark.sql.types.BooleanType))),
+      sinkDir)
+    val q = docStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val inv = batch.select(col("doc_id"), explode(col("sh")).as("g"))
+        val counts = inv
+          .filter(sbf_contains(lit(sketch), col("g")))
+          .join(testGStatic, Seq("g"), "left_semi")
+          .groupBy("doc_id")
+          .agg(countDistinct(col("g")).as("n_overlap"))
+        val out = batch.select(col("doc_id")).distinct()
+          .join(counts, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+            (coalesce(col("n_overlap"), lit(0L)) <= maxOverlap).as("keep"))
+        StreamSinks.appendBatch(out, batchId, sinkDir)
+      }
+      .start()
+    q.awaitTermination()
+    testGStatic.unpersist()
+    StreamSinks.readAppend(spark, sinkDir)
+  }
+}
