@@ -234,7 +234,12 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     // interleaved rounds (a steal burst lands on both phases, not one),
     // confirmed floors, adaptive extension while a floor is unconfirmed
-    setPhase(); checkPhase() // warm both code paths
+    // (two warmups: the first timed run after a single warmup was
+    // reliably ~2x the floor — still JIT-compiling — and one cold-ish
+    // run is enough to trip the 2x spread rule on an otherwise clean
+    // measurement)
+    setPhase(); checkPhase()
+    setPhase(); checkPhase()
     val setRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
     val checkRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
     val setLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
