@@ -119,6 +119,24 @@ object PipelineQueries {
         n = 3, maxOverlap = 0).orderBy("doc_id")
     }),
 
+    // deterministic stratified sampling: even-numbered sources keep
+    // 12/16 of their docs, odd keep 6/16, by the first md5 nibble of
+    // the doc id — a row-local scan filter, reproducible across
+    // engines (the oracle computes the identical coin)
+    "pipeline_sample_stratified" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"), col("source"))
+      val evens = (0 until 20 by 2).map(i => s"src$i" -> 12).toMap
+      DataShaping.stratifiedSample(d, evens, defaultRate16 = 6)
+        .orderBy("doc_id")
+    }),
+
+    // token-budget packing over the north-rule token table: per
+    // source, doc_id order, bin = the 4096-token window the doc's
+    // starting offset falls in — one window aggregate
+    "pipeline_pack_sequences" -> ((s, dir) =>
+      DataShaping.packSequences(TokenTable.load(s, dir), budget = 4096)
+        .orderBy("source", "doc_id")),
+
     // the same scrub always-on: training docs arrive as a stream, the
     // eval set is static; per-batch literal-sketch prefilter + semi
     // join verify (stateless — no watermark, no state store),
@@ -815,6 +833,20 @@ object PipelineQueries {
         "COALESCE(ov.n_overlap, 0) = 0 AS keep " +
         "FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d " +
         "LEFT JOIN ov ON d.doc_id = ov.doc_id ORDER BY d.doc_id"),
+
+    "pipeline_sample_stratified" ->
+      ("SELECT doc_id, source, nibble, rate16 FROM (" +
+        "SELECT doc_id, source, " +
+        "CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) AS nibble, " +
+        "CAST(CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 12 ELSE 6 END AS INT) AS rate16 " +
+        "FROM documents) WHERE nibble < rate16 ORDER BY doc_id"),
+
+    "pipeline_pack_sequences" ->
+      ("SELECT source, doc_id, n_tok, cum_tok, CAST(floor((cum_tok - n_tok) / 4096.0) AS BIGINT) AS bin_id FROM (" +
+        "SELECT source, CAST(doc_id AS BIGINT) AS doc_id, " +
+        s"CAST(len($W) AS BIGINT) AS n_tok, " +
+        s"CAST(SUM(CAST(len($W) AS BIGINT)) OVER (PARTITION BY source ORDER BY CAST(doc_id AS BIGINT) " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok FROM documents) ORDER BY source, doc_id"),
 
     // streaming scrub must equal the batch operator exactly
     "stream_decontam" ->

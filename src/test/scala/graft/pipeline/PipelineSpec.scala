@@ -232,6 +232,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "corpus split should produce real contamination")
   }
 
+  test("stratified sample: deterministic md5-nibble coin, per-source rates independent") {
+    import spark.implicits._
+    val d = docs.select(col("doc_id").cast("long").as("doc_id"), col("source"))
+    val a = DataShaping.stratifiedSample(d, Map("src0" -> 12), defaultRate16 = 6)
+    val b = DataShaping.stratifiedSample(d, Map("src0" -> 12), defaultRate16 = 6)
+    val ka = a.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ka == b.select("doc_id").collect().map(_.getLong(0)).toSet, "must be deterministic")
+    // every kept row satisfies its own rate; rates land near expectation
+    a.collect().foreach(r => assert(r.getAs[Int]("nibble") < r.getAs[Int]("rate16")))
+    val n0 = d.filter(col("source") === "src0").count().toDouble
+    val k0 = a.filter(col("source") === "src0").count().toDouble
+    assert(math.abs(k0 / n0 - 12.0 / 16) < 0.25, s"src0 rate ${k0 / n0}")
+    // changing ANOTHER source's rate cannot change src0's sample
+    def src0Kept(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.filter(col("source") === "src0").select("doc_id").collect().map(_.getLong(0)).toSet
+    val c = DataShaping.stratifiedSample(d, Map("src0" -> 12, "src1" -> 16), 6)
+    assert(src0Kept(c) == src0Kept(a), "src0's sample must not move when src1's rate changes")
+  }
+
+  test("sequence packing: offset-bin assignment, per-source windows, budget semantics") {
+    import spark.implicits._
+    val t = Seq(
+      ("s", 1L, 1000), ("s", 2L, 3000), ("s", 3L, 2000), ("s", 4L, 4000), ("s", 5L, 100),
+      ("t", 1L, 5000), ("t", 2L, 10)
+    ).toDF("source", "doc_id", "n_tok")
+    val out = DataShaping.packSequences(t, budget = 4096)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(3), r.getLong(4)))).toMap
+    // source s: offsets 0,1000,4000,6000,10000 -> bins 0,0,0,1,2
+    assert(out(("s", 1L)) == ((1000L, 0L)))
+    assert(out(("s", 2L)) == ((4000L, 0L)))
+    assert(out(("s", 3L)) == ((6000L, 0L)))
+    assert(out(("s", 4L)) == ((10000L, 1L)))
+    assert(out(("s", 5L)) == ((10100L, 2L)))
+    // source t packs independently: offsets 0, 5000 -> bins 0, 1
+    assert(out(("t", 1L))._2 == 0L && out(("t", 2L))._2 == 1L)
+  }
+
   test("curation pair sources: LSH and capped modes keep the same survivors as the exact pipeline") {
     def survivors(ps: Curation.PairSource): Set[Long] =
       Curation.curate(docs, minJ = 0.5, pairSource = ps)
