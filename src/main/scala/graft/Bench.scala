@@ -297,6 +297,7 @@ object Bench {
       curate(docs1) // warm
       val tCur1 = (1 to 2).map(_ => timed(curate(docs1))).min
       val tCur4 = (1 to 2).map(_ => timed(curate(docs4))).min
+      curateLsh(docs1) // warm the banding path like the others
       val tLsh1 = (1 to 2).map(_ => timed(curateLsh(docs1))).min
       val tLsh4 = (1 to 2).map(_ => timed(curateLsh(docs4))).min
       capped(docs1)
@@ -349,7 +350,9 @@ object Bench {
       val ((fN, _), (f4, _)) = floorsNow
       fN / (4.0 * f4) // thr ratio: (rows/f4)/(4*rows/fN)
     }
-    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "12").toInt
+    // floor 3: the confirmed-floor estimator needs runs to confirm
+    // against, and every leg below indexes a non-empty run list
+    val maxRounds = math.max(3, sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "12").toInt)
     val scaleBudgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "420").toDouble
     val tScale0 = System.nanoTime()
     def scaleElapsed = (System.nanoTime() - tScale0) / 1e9

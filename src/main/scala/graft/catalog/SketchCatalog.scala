@@ -417,9 +417,12 @@ class SketchCatalog(
       try Some(e.name -> withRead(e)(faultIn(e).serialize()))
       catch { case _: FilterGone => None }
     }
-    val probed =
+    val (probed, bcast) =
       if (blobs.size > SketchCatalog.multiProbeBranchBound)
         probeViaBroadcast(keyed, blobs)
+      else (null, None): (DataFrame, Option[org.apache.spark.broadcast.Broadcast[Map[String, Array[Byte]]]])
+    val unionProbed =
+      if (probed != null) probed
       else {
         val branches = blobs.map { case (n, blob) =>
           keyed.filter(col("name") === n)
@@ -438,7 +441,7 @@ class SketchCatalog(
     // persisted: the counters pass below and the caller's consumption
     // would otherwise each re-run every probe branch; MEMORY_AND_DISK
     // blocks are LRU-evictable, so eviction degrades to recompute
-    val res = probed.persist()
+    val res = unionProbed.persist()
     // one bounded aggregation pass updates every filter's counters
     val stats = res.filter(col("present").isNotNull)
       .groupBy("name").agg(
@@ -452,6 +455,12 @@ class SketchCatalog(
         }
       }
     }
+    // the stats pass above materialized every cached partition, so the
+    // executors' broadcast copies are no longer needed — drop them
+    // (non-blocking; a later eviction-recompute re-fetches from the
+    // driver). Without this, the persisted blocks pin the blob map on
+    // every executor for the catalog's lifetime.
+    bcast.foreach(_.unpersist(false))
     res
   }
 
@@ -459,8 +468,8 @@ class SketchCatalog(
     * broadcast once per executor, each referenced sketch deserialized
     * at most once per task. Key bytes match `sbf_contains`'s exactly
     * (cast to string, UTF-8). */
-  private def probeViaBroadcast(keyed: DataFrame,
-                                blobs: Seq[(String, Array[Byte])]): DataFrame = {
+  private def probeViaBroadcast(keyed: DataFrame, blobs: Seq[(String, Array[Byte])])
+      : (DataFrame, Option[org.apache.spark.broadcast.Broadcast[Map[String, Array[Byte]]]]) = {
     import org.apache.spark.sql.types._
     val bc = spark.sparkContext.broadcast(blobs.toMap)
     val keyType = keyed.schema("key").dataType
@@ -468,7 +477,7 @@ class SketchCatalog(
       StructField("name", StringType),
       StructField("key", keyType),
       StructField("present", BooleanType)))
-    keyed
+    val out = keyed
       .select(col("name"), col("key"), col("key").cast("string").as("_ks"))
       .mapPartitions { rows =>
         val cache = mutable.HashMap.empty[String, ScalableBloom]
@@ -487,6 +496,7 @@ class SketchCatalog(
           org.apache.spark.sql.Row(n, r.get(1), present)
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
+    (out, Some(bc))
   }
 
   // ---- `list [prefix]`: lexicographic (ART order). Registry snapshot

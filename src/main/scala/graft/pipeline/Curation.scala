@@ -59,15 +59,17 @@ object Curation {
     }
   }
 
-  /** Returns the kept documents as (doc_id, lang_pred, n_words).
-    * `pairSource` picks the near-dup candidate generator; the default
-    * stays the exact join so existing oracle parity is unchanged —
-    * pass [[PairSource.Lsh]] (or Capped) for the scale mode. */
-  def curate(docs: DataFrame, minJ: Double = 0.5,
-             pairSource: PairSource = null): DataFrame = {
-    // null default (resolved here) so the exact source's threshold
-    // tracks minJ without repeating it at every two-arg call site
-    val src = Option(pairSource).getOrElse(PairSource.Exact(3, minJ))
+  /** Returns the kept documents as (doc_id, lang_pred, n_words),
+    * with the near-dup stage on the exact pair source (oracle
+    * parity); the overload below picks the scale mode. */
+  def curate(docs: DataFrame, minJ: Double = 0.5): DataFrame =
+    curate(docs, minJ, PairSource.Exact(3, minJ))
+
+  /** As above with an explicit near-dup candidate generator — pass
+    * [[PairSource.Lsh]] (or Capped) for the 100 TB mode. */
+  def curate(docs: DataFrame, minJ: Double,
+             pairSource: PairSource): DataFrame = {
+    val src = pairSource
     val base = docs.select(col("doc_id").cast("long").as("doc_id"),
       col("text"), col("lang"))
     // 1. quality gate

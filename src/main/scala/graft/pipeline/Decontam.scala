@@ -43,24 +43,41 @@ object Decontam {
   def overlap(train: DataFrame, test: DataFrame, n: Int = 3,
               maxOverlap: Long = 0, initialCapacity: Long = 100000L,
               p: Double = 1e-4): DataFrame = {
-    def inv(d: DataFrame) = d.select(
-      col("doc_id").cast("long").as("id"),
-      explode(shingles(words(col("text")), n)).as("g"))
-    val testG = inv(test).select("g").distinct()
-    // one small driver round-trip for the sketch BYTES (not row data):
-    // the summary then rides the plan as a literal, like q_bloom_prejoin
-    val sketch = testG
+    def sh(d: DataFrame) = d.select(
+      col("doc_id").cast("long").as("doc_id"),
+      shingles(words(col("text")), n).as("sh"))
+    val testG = evalGrams(test, n)
+    scrubShingled(sh(train), evalSketch(testG, initialCapacity, p), testG, maxOverlap)
+  }
+
+  /** The protected set's distinct n-grams. */
+  def evalGrams(test: DataFrame, n: Int = 3): DataFrame =
+    test.select(explode(shingles(words(col("text")), n)).as("g")).distinct()
+
+  /** The eval summary: one scalable-bloom over the distinct eval
+    * n-grams. One small driver round-trip for the sketch BYTES (not
+    * row data) — the summary then rides probe plans as a literal,
+    * like q_bloom_prejoin. */
+  def evalSketch(evalGramsDf: DataFrame, initialCapacity: Long = 100000L,
+                 p: Double = 1e-4): Array[Byte] =
+    evalGramsDf
       .agg(sbf_agg(col("g"), initialCapacity, p, 4, 0.9).as("s"))
       .head().getAs[Array[Byte]]("s")
-    val candidates = inv(train)
+
+  /** The scrub core SHARED by the batch and streaming operators (the
+    * keep rule must stay answer-identical between them): shingled
+    * docs (doc_id, sh) -> (doc_id, n_overlap, keep) via literal-sketch
+    * prefilter, exact semi-join verify, per-doc distinct counts. */
+  private[graft] def scrubShingled(docsSh: DataFrame, sketch: Array[Byte],
+                                   evalGramsDf: DataFrame, maxOverlap: Long): DataFrame = {
+    val counts = docsSh
+      .select(col("doc_id"), explode(col("sh")).as("g"))
       .filter(sbf_contains(lit(sketch), col("g")))
-    val overlapCnt = candidates
-      .join(testG, Seq("g"), "left_semi") // exact verify: FPs die here
-      .groupBy("id")
+      .join(evalGramsDf, Seq("g"), "left_semi") // exact verify: FPs die here
+      .groupBy("doc_id")
       .agg(countDistinct(col("g")).as("n_overlap"))
-      .withColumnRenamed("id", "doc_id")
-    train.select(col("doc_id").cast("long").as("doc_id"))
-      .join(overlapCnt, Seq("doc_id"), "left")
+    docsSh.select(col("doc_id")).distinct()
+      .join(counts, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
         (coalesce(col("n_overlap"), lit(0L)) <= maxOverlap).as("keep"))

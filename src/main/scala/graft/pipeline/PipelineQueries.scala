@@ -824,15 +824,7 @@ object PipelineQueries {
     // survivors as the exact replay (banded recall ≈ 1 at minJ 0.5)
     "pipeline_curation_lsh" -> CurationOracle,
 
-    "pipeline_decontam" ->
-      (s"WITH te AS (SELECT DISTINCT unnest(sh) AS g FROM $ShTable WHERE doc_id % 7 = 0), " +
-        s"ti AS (SELECT doc_id, unnest(sh) AS g FROM $ShTable WHERE doc_id % 7 <> 0), " +
-        "ov AS (SELECT ti.doc_id, count(DISTINCT ti.g) AS n_overlap " +
-        "FROM ti JOIN te ON ti.g = te.g GROUP BY ti.doc_id) " +
-        "SELECT d.doc_id, CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap, " +
-        "COALESCE(ov.n_overlap, 0) = 0 AS keep " +
-        "FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d " +
-        "LEFT JOIN ov ON d.doc_id = ov.doc_id ORDER BY d.doc_id"),
+    "pipeline_decontam" -> DecontamOracle,
 
     "pipeline_sample_stratified" ->
       ("SELECT doc_id, source, nibble, rate16 FROM (" +
@@ -848,8 +840,14 @@ object PipelineQueries {
         s"CAST(SUM(CAST(len($W) AS BIGINT)) OVER (PARTITION BY source ORDER BY CAST(doc_id AS BIGINT) " +
         "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok FROM documents) ORDER BY source, doc_id"),
 
-    // streaming scrub must equal the batch operator exactly
-    "stream_decontam" ->
+    // streaming scrub must equal the batch operator exactly: the
+    // SAME oracle string by construction
+    "stream_decontam" -> DecontamOracle) ++ oracleSqlRest
+
+  /** Exact n-gram-intersection replay shared by the batch and
+    * streaming decontamination gates (identical by construction —
+    * the operators share their scrub core). */
+  private def DecontamOracle: String =
       (s"WITH te AS (SELECT DISTINCT unnest(sh) AS g FROM $ShTable WHERE doc_id % 7 = 0), " +
         s"ti AS (SELECT doc_id, unnest(sh) AS g FROM $ShTable WHERE doc_id % 7 <> 0), " +
         "ov AS (SELECT ti.doc_id, count(DISTINCT ti.g) AS n_overlap " +
@@ -857,7 +855,7 @@ object PipelineQueries {
         "SELECT d.doc_id, CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap, " +
         "COALESCE(ov.n_overlap, 0) = 0 AS keep " +
         "FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d " +
-        "LEFT JOIN ov ON d.doc_id = ov.doc_id ORDER BY d.doc_id")) ++ oracleSqlRest
+        "LEFT JOIN ov ON d.doc_id = ov.doc_id ORDER BY d.doc_id")
 
   /** Exact SQL replay of every curation stage (quality gate, exact
     * dedup, near-dup reachability clustering, lang/size metadata) —

@@ -40,12 +40,9 @@ object StreamDecontam {
                     maxOverlap: Long = 0, statePartitions: Int = 8,
                     maxFilesPerTrigger: Int = 2): DataFrame = {
     val ss = StreamSinks.sessionForState(spark, statePartitions)
-    val testG = test.select(
-      explode(shingles(words(col("text")), n)).as("g")).distinct()
-    // static side computed once; sketch bytes ride the stream plan
-    val sketch = testG
-      .agg(sbf_agg(col("g"), 100000L, 1e-4, 4, 0.9).as("s"))
-      .head().getAs[Array[Byte]]("s")
+    val testG = graft.pipeline.Decontam.evalGrams(test, n)
+    // static side computed once; sketch bytes ride every batch's plan
+    val sketch = graft.pipeline.Decontam.evalSketch(testG)
     // materialize the exact eval set once (executor-side write) and
     // re-read it in the stream's session: the static verify side,
     // cached across micro-batches — never collected to the driver
@@ -71,17 +68,10 @@ object StreamDecontam {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val inv = batch.select(col("doc_id"), explode(col("sh")).as("g"))
-        val counts = inv
-          .filter(sbf_contains(lit(sketch), col("g")))
-          .join(testGStatic, Seq("g"), "left_semi")
-          .groupBy("doc_id")
-          .agg(countDistinct(col("g")).as("n_overlap"))
-        val out = batch.select(col("doc_id")).distinct()
-          .join(counts, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-            (coalesce(col("n_overlap"), lit(0L)) <= maxOverlap).as("keep"))
+        // the SAME scrub core as the batch operator — keep rules
+        // cannot drift between the two
+        val out = graft.pipeline.Decontam.scrubShingled(
+          batch, sketch, testGStatic, maxOverlap)
         StreamSinks.appendBatch(out, batchId, sinkDir)
       }
       .start()

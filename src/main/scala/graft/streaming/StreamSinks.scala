@@ -93,6 +93,42 @@ object StreamSinks {
     * constants once files are small. */
   def compact(spark: SparkSession, sinkDir: String): Unit = {
     import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    val live = Paths.get(sinkDir)
+    val old = Paths.get(sinkDir + ".old")
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (JFiles.exists(p)) {
+        val walk = JFiles.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => JFiles.deleteIfExists(q))
+        finally walk.close()
+      }
+    def mv(a: java.nio.file.Path, b: java.nio.file.Path): Unit =
+      try JFiles.move(a, b, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.AtomicMoveNotSupportedException => JFiles.move(a, b) }
+    // A leftover .old means a prior compaction died mid-protocol, and
+    // it is NOT safely deletable: a crash between the two renames
+    // leaves .old as the ONLY complete copy (live missing — or
+    // recreated with just post-crash batches by a restarted stream).
+    // Recover by MERGE — move any batch directory .old has and live
+    // lacks into live — BEFORE reading the sink, so the compaction
+    // input includes the recovered batches. Both crash cases are
+    // covered: after a COMPLETED swap the compacted live has the same
+    // batch_id set, nothing moves and .old really was garbage; after
+    // a mid-swap crash the pre-crash batches are restored (live's
+    // copy wins when both exist — batch overwrite semantics make it
+    // newer-or-equal).
+    if (JFiles.exists(old)) {
+      JFiles.createDirectories(live)
+      val kids = JFiles.list(old)
+      try kids.forEach { dir =>
+        val dst = live.resolve(dir.getFileName)
+        // only batch directories carry data; anything else in .old is
+        // garbage and would break live's partition discovery
+        if (JFiles.isDirectory(dir) && !JFiles.exists(dst) &&
+          dir.getFileName.toString.startsWith("batch_id=")) mv(dir, dst)
+      } finally kids.close()
+      rmTree(old)
+    }
     val df = spark.read.parquet(sinkDir) // batch_id surfaces as a column
     val dataSchema = org.apache.spark.sql.types.StructType(
       df.schema.fields.filterNot(_.name == "batch_id"))
@@ -104,19 +140,6 @@ object StreamSinks {
     // an all-empty changelog writes no partition dirs at all — re-seed
     // so the compacted sink stays readable
     seed(spark, dataSchema, tmp)
-    val live = Paths.get(sinkDir)
-    val old = Paths.get(sinkDir + ".old")
-    def rmTree(p: java.nio.file.Path): Unit =
-      if (JFiles.exists(p))
-        JFiles.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(q => JFiles.deleteIfExists(q))
-    def mv(a: java.nio.file.Path, b: java.nio.file.Path): Unit =
-      try JFiles.move(a, b, StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.AtomicMoveNotSupportedException => JFiles.move(a, b) }
-    // a stale .old from a prior compaction whose cleanup died would
-    // make the rename below fail — clear it first (it is garbage by
-    // construction: the swap completed or .old would not exist)
-    rmTree(old)
     mv(live, old)
     mv(Paths.get(tmp), live)
     rmTree(old) // best-effort cleanup of the superseded tree

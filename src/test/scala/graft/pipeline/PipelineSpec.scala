@@ -275,7 +275,7 @@ class PipelineSpec extends AnyFunSuite {
         .select("doc_id").collect().map(_.getLong(0)).toSet
     val exact = survivors(Curation.PairSource.Exact(3, 0.5))
     assert(exact.nonEmpty)
-    // default (null pairSource) routes to the exact join
+    // the two-arg overload routes to the exact join
     val default = Curation.curate(docs, minJ = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(default == exact)

@@ -61,11 +61,18 @@ class StreamSpec extends AnyFunSuite {
     StreamSinks.appendBatch(Seq(("e", 5L)).toDF("k", "v"), 3L, sink)
     assert(latestView.toMap.apply("e") == 5L)
     // periodic compaction: a second pass (and one with a stale .old
-    // tree left by a crashed cleanup) still swaps and preserves reads
+    // tree left by a crashed swap) still works — and recovers data.
+    // Simulate the crash-between-renames case: .old holds a batch the
+    // recreated live LACKS (plus garbage that must NOT leak into the
+    // partition layout) — compaction must merge the lost batch back in
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(sink + ".old/junk"))
+    Seq(("z", 26L)).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(sink + ".old/batch_id=99")
     val beforeRepeat = latestView
     StreamSinks.compact(spark, sink)
-    assert(latestView == beforeRepeat, "repeated compaction changed the view")
+    assert(latestView.toMap == beforeRepeat.toMap + ("z" -> 26L),
+      "compaction must recover the crashed swap's lost batch")
+    assert(!new java.io.File(sink + "/junk").exists(), "garbage must not leak into the sink")
     // an all-empty changelog stays readable across compaction
     val empty = java.nio.file.Files.createTempDirectory("sinkcmpe").resolve("out").toString
     StreamSinks.seed(spark, b0.schema, empty)
