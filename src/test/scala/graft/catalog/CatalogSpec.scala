@@ -93,6 +93,41 @@ class CatalogSpec extends AnyFunSuite {
     assert(info.getAs[Long]("size") == 1000)
   }
 
+  test("test_mgr_grow (test_filtmgr.c:693): inserts past capacity grow the ladder, zero false negatives") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    // the reference shrinks initial_capacity to 10000 to force growth;
+    // our create floor is cap > 10000, so 10001 forces it the same way
+    assert(cat.create("scale1", capacity = 10001) == "Done")
+    val n = 60000
+    val keys = (0 until n).map(i => s"test_key_$i").toDF("k")
+    assert(cat.setKeys("scale1", keys).isRight)
+    // growth happened: the persisted sketch is past its first rung
+    assert(cat.flush("scale1") == "Done")
+    val blob = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(cat.dataDir, "bloomd.scale1", "sketch.bin"))
+    val sk = graft.sketch.ScalableBloom.deserialize(blob)
+    assert(sk.layers.length > 1, s"expected ladder growth, got ${sk.layers.length} layer(s)")
+    assert(sk.size == n, s"every distinct key counted once (got ${sk.size})")
+    // the hard invariant: no false negatives after growth
+    val present = cat.checkKeys("scale1", keys).toOption.get
+    assert(present.filter(!org.apache.spark.sql.functions.col("present")).count() == 0)
+    val info = cat.info("scale1").toOption.get.head()
+    assert(info.getAs[Long]("size") == n)
+    assert(cat.drop("scale1") == "Done")
+  }
+
+  test("test_mgr_unmap_in_mem (test_filtmgr.c:623): close is a no-op for in_memory, data survives") {
+    val cat = freshCatalog()
+    assert(cat.create("mem1", inMemory = true) == "Done")
+    Seq("hey", "there", "person").foreach(k => assert(cat.setKeyLocal("mem1", k) == Right(true)))
+    assert(cat.close("mem1") == "Done") // reference: unmap skips in_memory, still returns 0
+    Seq("hey", "there", "person").foreach(k => assert(cat.checkKeyLocal("mem1", k) == Right(true)))
+    val info = cat.info("mem1").toOption.get.head()
+    assert(info.getAs[Int]("in_memory") == 1 && info.getAs[Long]("page_outs") == 0)
+    assert(cat.drop("mem1") == "Done")
+  }
+
   test("list with prefix, lexicographic order, drop removes files") {
     import spark.implicits._
     val c = freshCatalog()
