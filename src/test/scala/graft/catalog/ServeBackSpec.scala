@@ -92,4 +92,53 @@ class ServeBackSpec extends AnyFunSuite {
       }
     } finally daemon.destroy()
   }
+
+  test("reference daemon serves a GROWN multi-layer ladder exported by this engine") {
+    import spark.implicits._
+    val bin = Paths.get("/root/repo/target/refbloomd/bloomd")
+    assume(Files.isExecutable(bin), "daemon built by the previous test")
+    // capacity floor +1 and 60k inserts force SBF growth: the export
+    // writes data.000.mmap, data.001.mmap, ... — the ladder ORDER is
+    // the byte-layout case our own reader can't prove alone
+    val cat = new SketchCatalog(spark,
+      Files.createTempDirectory("sbcat2").toString)
+    assert(cat.create("grown", capacity = 10001) == "Done")
+    val n = 60000
+    assert(cat.setKeys("grown", (0 until n).map(i => s"gk$i").toDF("k")).isRight)
+    val dataDir = Files.createTempDirectory("sbdata2")
+    val out = cat.exportBloomd("grown", dataDir)
+    assert(out.isRight)
+    val mmaps = Files.list(out.toOption.get).iterator()
+    var nMmaps = 0
+    while (mmaps.hasNext) if (mmaps.next().toString.endsWith(".mmap")) nMmaps += 1
+    assert(nMmaps > 1, s"growth must have produced a multi-file ladder, got $nMmaps")
+    val port = freePort()
+    val conf = Files.createTempDirectory("sbconf2").resolve("bloomd.conf")
+    Files.writeString(conf,
+      s"[bloomd]\nport = $port\nudp_port = ${freePort()}\ndata_dir = $dataDir\n" +
+        "workers = 1\nflush_interval = 600\n")
+    val daemon = new ProcessBuilder(bin.toString, "-f", conf.toString)
+      .redirectErrorStream(true)
+      .redirectOutput(dataDir.resolve("daemon.log").toFile)
+      .start()
+    try {
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      var up = false
+      while (!up && System.nanoTime() < deadline) {
+        try { new java.net.Socket("127.0.0.1", port).close(); up = true }
+        catch { case _: java.io.IOException => Thread.sleep(50) }
+      }
+      assert(up, "daemon never opened its port; log:\n" +
+        Files.readString(dataDir.resolve("daemon.log")))
+      WireTcpClient.session(port) { send =>
+        val list = send("list")
+        assert(list.contains("grown"), s"grown filter not discovered: $list")
+        // every rung must answer: sample across the insert order so
+        // keys from the first rung AND the grown rungs are probed
+        (0 until n by 997).foreach { i =>
+          assert(send(s"check grown gk$i") == "Yes", s"reference daemon lost gk$i (multi-layer)")
+        }
+      }
+    } finally daemon.destroy()
+  }
 }
