@@ -417,27 +417,25 @@ class SketchCatalog(
       try Some(e.name -> withRead(e)(faultIn(e).serialize()))
       catch { case _: FilterGone => None }
     }
-    val (probed, bcast) =
+    def unionOfLiteralProbes(): DataFrame = {
+      val branches = blobs.map { case (n, blob) =>
+        keyed.filter(col("name") === n)
+          .select(col("name"), col("key"),
+            sbf_contains(lit(blob), col("key")).as("present"))
+      }
+      val known = blobs.map(_._1).toSet
+      // coalesce(..., true): a NULL probe name must land in the unknown
+      // branch (three-valued isin would silently drop the row)
+      val unknown =
+        (if (known.isEmpty) keyed
+         else keyed.filter(coalesce(!col("name").isin(known.toSeq: _*), lit(true))))
+          .select(col("name"), col("key"), lit(null).cast("boolean").as("present"))
+      (branches :+ unknown).reduce(_ union _)
+    }
+    val (unionProbed, bcast) =
       if (blobs.size > SketchCatalog.multiProbeBranchBound)
         probeViaBroadcast(keyed, blobs)
-      else (null, None): (DataFrame, Option[org.apache.spark.broadcast.Broadcast[Map[String, Array[Byte]]]])
-    val unionProbed =
-      if (probed != null) probed
-      else {
-        val branches = blobs.map { case (n, blob) =>
-          keyed.filter(col("name") === n)
-            .select(col("name"), col("key"),
-              sbf_contains(lit(blob), col("key")).as("present"))
-        }
-        val known = blobs.map(_._1).toSet
-        // coalesce(..., true): a NULL probe name must land in the unknown
-        // branch (three-valued isin would silently drop the row)
-        val unknown =
-          (if (known.isEmpty) keyed
-           else keyed.filter(coalesce(!col("name").isin(known.toSeq: _*), lit(true))))
-            .select(col("name"), col("key"), lit(null).cast("boolean").as("present"))
-        (branches :+ unknown).reduce(_ union _)
-      }
+      else (unionOfLiteralProbes(), None)
     // persisted: the counters pass below and the caller's consumption
     // would otherwise each re-run every probe branch; MEMORY_AND_DISK
     // blocks are LRU-evictable, so eviction degrades to recompute

@@ -69,7 +69,6 @@ object Curation {
     * [[PairSource.Lsh]] (or Capped) for the 100 TB mode. */
   def curate(docs: DataFrame, minJ: Double,
              pairSource: PairSource): DataFrame = {
-    val src = pairSource
     val base = docs.select(col("doc_id").cast("long").as("doc_id"),
       col("text"), col("lang"))
     // 1. quality gate
@@ -82,7 +81,7 @@ object Curation {
     val deduped = survivors.join(keepers, Seq("doc_id"))
     // 3. near-dup clustering over the chosen pair source: drop
     //    non-representatives
-    val dropped = Dedup.clustersFromPairs(src.pairs(deduped))
+    val dropped = Dedup.clustersFromPairs(pairSource.pairs(deduped))
       .filter(!col("keep")).select("doc_id")
     val kept = deduped.join(dropped, Seq("doc_id"), "left_anti")
     // 4. metadata on the survivors

@@ -76,7 +76,10 @@ object Decontam {
       .join(evalGramsDf, Seq("g"), "left_semi") // exact verify: FPs die here
       .groupBy("doc_id")
       .agg(countDistinct(col("g")).as("n_overlap"))
-    docsSh.select(col("doc_id")).distinct()
+    // NO distinct: one output row per input doc row (a duplicated
+    // doc_id stays duplicated — exactly what the oracle's plain
+    // left join replays), and no aggregation exchange over every id
+    docsSh.select(col("doc_id"))
       .join(counts, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),

@@ -108,9 +108,7 @@ class ServeBackSpec extends AnyFunSuite {
     val dataDir = Files.createTempDirectory("sbdata2")
     val out = cat.exportBloomd("grown", dataDir)
     assert(out.isRight)
-    val mmaps = Files.list(out.toOption.get).iterator()
-    var nMmaps = 0
-    while (mmaps.hasNext) if (mmaps.next().toString.endsWith(".mmap")) nMmaps += 1
+    val nMmaps = Option(out.toOption.get.toFile.list()).get.count(_.endsWith(".mmap"))
     assert(nMmaps > 1, s"growth must have produced a multi-file ladder, got $nMmaps")
     val port = freePort()
     val conf = Files.createTempDirectory("sbconf2").resolve("bloomd.conf")
