@@ -40,6 +40,17 @@ object PipelineQueries {
     "text_fingerprints" -> ((s, dir) =>
       TextOps.fingerprints(docs(s, dir)).orderBy("doc_id")),
 
+    // PII redaction over docs with deterministically PLANTED pii (the
+    // synthetic corpus contains none — the plant makes the redaction
+    // falsifiable); the oracle replays plant + scrub + counts exactly
+    "text_redact_pii" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or admin@test.org ref 99887766 x"),
+          col("doc_id") % 3).as("text"))
+      TextOps.redactPii(planted).orderBy("doc_id")
+    }),
+
     // ---- dedup ----------------------------------------------------------
 
     // exact dedup demonstrated on a corpus with real duplicates:
@@ -807,6 +818,16 @@ object PipelineQueries {
       (s"SELECT doc_id, CAST(len($W) AS INT) AS n_ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_re_tokens " +
         "FROM documents ORDER BY doc_id"),
+
+    "text_redact_pii" ->
+      ("WITH planted AS (SELECT doc_id, text || ' contact user' || doc_id || " +
+        "'@example.com or admin@test.org ref 99887766 x' || (doc_id % 3) AS text FROM documents) " +
+        "SELECT doc_id, " +
+        s"regexp_replace(regexp_replace(text, '${TextOps.EmailPattern}', '<EMAIL>', 'g'), " +
+        s"'${TextOps.NumberPattern}', '<NUM>', 'g') AS text_clean, " +
+        s"CAST(len(regexp_extract_all(text, '${TextOps.EmailPattern}')) AS INT) AS n_emails, " +
+        s"CAST(len(regexp_extract_all(text, '${TextOps.NumberPattern}')) AS INT) AS n_numbers " +
+        "FROM planted ORDER BY doc_id"),
 
     "text_fingerprints" ->
       ("SELECT doc_id, md5(text) AS fp_md5, " +

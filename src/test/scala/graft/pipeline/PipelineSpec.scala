@@ -232,6 +232,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "corpus split should produce real contamination")
   }
 
+  test("PII redaction: emails and long digit runs replaced with typed tokens, counts exact") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "write to alice.smith+x@mail.example.org or bob@ex.io today"),
+      (2L, "ids 1234567 and 99887766554 but keep 12345 and year 2026"),
+      (3L, "clean text with no pii at all")
+    ).toDF("doc_id", "text")
+    val out = TextOps.redactPii(df).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) == (("write to <EMAIL> or <EMAIL> today", 2, 0)))
+    // 5-digit runs and years stay; >=6-digit runs go
+    assert(out(2L) == (("ids <NUM> and <NUM> but keep 12345 and year 2026", 0, 2)))
+    assert(out(3L) == (("clean text with no pii at all", 0, 0)))
+  }
+
   test("stratified sample: deterministic md5-nibble coin, per-source rates independent") {
     import spark.implicits._
     val d = docs.select(col("doc_id").cast("long").as("doc_id"), col("source"))
