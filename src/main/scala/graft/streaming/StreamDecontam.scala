@@ -77,6 +77,10 @@ object StreamDecontam {
       .start()
     q.awaitTermination()
     testGStatic.unpersist()
+    // stream idle after the drain: compact the per-batch files (the
+    // gate reads — and oracles — the compacted layout, like the other
+    // drained streaming operators)
+    StreamSinks.compact(spark, sinkDir)
     StreamSinks.readAppend(spark, sinkDir)
   }
 }
