@@ -42,11 +42,15 @@ object PipelineQueries {
 
     // PII redaction over docs with deterministically PLANTED pii (the
     // synthetic corpus contains none — the plant makes the redaction
-    // falsifiable); the oracle replays plant + scrub + counts exactly
+    // falsifiable); the oracle replays plant + scrub + counts exactly.
+    // The plant covers the two audit-count traps: a MIXED-CASE email
+    // (case-sensitive patterns would leak it) whose local part embeds
+    // a >=6-digit run (must scrub as <EMAIL>, not count as <NUM>),
+    // plus the same digit run standing alone (must count)
     "text_redact_pii" -> ((s, dir) => {
       val planted = docs(s, dir).select(col("doc_id"),
         concat(col("text"), lit(" contact user"), col("doc_id"),
-          lit("@example.com or admin@test.org ref 99887766 x"),
+          lit("@example.com or Ops.Team99887766@Example.COM ref 99887766 x"),
           col("doc_id") % 3).as("text"))
       TextOps.redactPii(planted).orderBy("doc_id")
     }),
@@ -821,12 +825,15 @@ object PipelineQueries {
 
     "text_redact_pii" ->
       ("WITH planted AS (SELECT doc_id, text || ' contact user' || doc_id || " +
-        "'@example.com or admin@test.org ref 99887766 x' || (doc_id % 3) AS text FROM documents) " +
+        "'@example.com or Ops.Team99887766@Example.COM ref 99887766 x' || (doc_id % 3) AS text FROM documents) " +
         "SELECT doc_id, " +
         s"regexp_replace(regexp_replace(text, '${TextOps.EmailPattern}', '<EMAIL>', 'g'), " +
         s"'${TextOps.NumberPattern}', '<NUM>', 'g') AS text_clean, " +
         s"CAST(len(regexp_extract_all(text, '${TextOps.EmailPattern}')) AS INT) AS n_emails, " +
-        s"CAST(len(regexp_extract_all(text, '${TextOps.NumberPattern}')) AS INT) AS n_numbers " +
+        // redactions PERFORMED: digit runs inside emails are already
+        // <EMAIL> by the time the number pass runs
+        s"CAST(len(regexp_extract_all(regexp_replace(text, '${TextOps.EmailPattern}', '<EMAIL>', 'g'), " +
+        s"'${TextOps.NumberPattern}')) AS INT) AS n_numbers " +
         "FROM planted ORDER BY doc_id"),
 
     "text_fingerprints" ->

@@ -91,8 +91,11 @@ object TextOps {
   /** Email-address pattern: simple char classes only (no backslash
     * escapes — `[.]` instead of `\.`), so the Java (Spark) and RE2
     * (DuckDB/production scrubbers) dialects agree AND the pattern
-    * survives SQL string-literal escaping verbatim. */
-  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+    * survives SQL string-literal escaping verbatim. Explicit `A-Z`
+    * ranges instead of a case-insensitivity flag: both dialects match
+    * case-sensitively by default and their flag syntaxes differ, so
+    * spelling the ranges out is what keeps the dialect intersection. */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
   /** Long digit runs (ids, phone-ish numbers). */
   val NumberPattern = "[0-9]{6,}"
 
@@ -105,15 +108,21 @@ object TextOps {
    * patterns stay in the dialect intersection of Java and RE2 regex
    * so the oracle (and a production RE2 scrubber) replays them
    * byte-identically.
+   *
+   * Counts are counts of redactions PERFORMED: `n_numbers` is
+   * computed on the email-redacted intermediate, because the number
+   * replacement also runs after the email replacement — a digit run
+   * inside an email address is scrubbed as part of `<EMAIL>` and must
+   * not inflate the `<NUM>` audit count.
    */
-  def redactPii(docs: DataFrame): DataFrame =
+  def redactPii(docs: DataFrame): DataFrame = {
+    val emailRedacted = regexp_replace(col("text"), EmailPattern, "<EMAIL>")
     docs.select(
       col("doc_id").cast("long").as("doc_id"),
-      regexp_replace(
-        regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
-        NumberPattern, "<NUM>").as("text_clean"),
+      regexp_replace(emailRedacted, NumberPattern, "<NUM>").as("text_clean"),
       expr(s"size(regexp_extract_all(text, '$EmailPattern', 0))")
         .cast("int").as("n_emails"),
-      expr(s"size(regexp_extract_all(text, '$NumberPattern', 0))")
+      size(expr(s"regexp_extract_all(regexp_replace(text, '$EmailPattern', '<EMAIL>'), '$NumberPattern', 0)"))
         .cast("int").as("n_numbers"))
+  }
 }

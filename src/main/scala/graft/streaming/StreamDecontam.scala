@@ -29,6 +29,17 @@ import org.apache.spark.sql.streaming.Trigger
  * Result contract: reading the sink after an AvailableNow drain
  * equals the batch operator's answer on the same corpus — asserted by
  * the gate's oracle (the plain exact n-gram intersection in SQL).
+ *
+ * PRECONDITION for that batch-equality claim: each doc_id arrives in
+ * a single micro-batch. A document's n-grams ride in ONE row, so the
+ * file source never splits a document — but if the SAME doc_id is
+ * duplicated across input files that land in different batches, the
+ * per-batch scrub counts each batch's rows against only that batch's
+ * grams, while the batch operator counts every row against the doc
+ * id's globally-merged distinct grams; the two then disagree on the
+ * duplicated id. Callers with cross-file duplicate ids must dedupe
+ * upstream (or accept per-arrival semantics) before relying on
+ * row-for-row equality with [[graft.pipeline.Decontam]].
  */
 object StreamDecontam {
 
@@ -45,9 +56,11 @@ object StreamDecontam {
     val sketch = graft.pipeline.Decontam.evalSketch(testG)
     // materialize the exact eval set once (executor-side write) and
     // re-read it in the stream's session: the static verify side,
-    // cached across micro-batches — never collected to the driver
-    val testGPath = java.nio.file.Files
-      .createTempDirectory("decontamEval").resolve("g").toString
+    // cached across micro-batches — never collected to the driver.
+    // The staging dir is operator-owned scratch (unlike the caller's
+    // checkpoint/sink dirs) and is deleted after the drain.
+    val testGDir = java.nio.file.Files.createTempDirectory("decontamEval")
+    val testGPath = testGDir.resolve("g").toString
     testG.write.mode("overwrite").parquet(testGPath)
     val testGStatic = ss.read.parquet(testGPath).persist()
 
@@ -77,6 +90,15 @@ object StreamDecontam {
       .start()
     q.awaitTermination()
     testGStatic.unpersist()
+    // the cached blocks are dropped and no plan reads the staging
+    // parquet again — reclaim it (repeated runs would otherwise
+    // accumulate orphaned temp trees)
+    locally {
+      val walk = java.nio.file.Files.walk(testGDir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
     // stream idle after the drain: compact the per-batch files (the
     // gate reads — and oracles — the compacted layout, like the other
     // drained streaming operators)

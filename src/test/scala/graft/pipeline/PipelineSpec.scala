@@ -247,6 +247,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(3L) == (("clean text with no pii at all", 0, 0)))
   }
 
+  test("PII redaction: mixed-case emails redact, and digit runs inside emails don't inflate n_numbers") {
+    import spark.implicits._
+    val df = Seq(
+      // uppercase everywhere a real address allows it
+      (1L, "mail Alice.Smith@Example.COM today"),
+      // the overlap trap: a >=6-digit run INSIDE an email is scrubbed
+      // as <EMAIL>; only the standalone run counts as a <NUM> redaction
+      (2L, "user123456789@x.com plus standalone 123456789 end"),
+      (3L, "Ops.Team99887766@Example.COM only")
+    ).toDF("doc_id", "text")
+    val out = TextOps.redactPii(df).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) == (("mail <EMAIL> today", 1, 0)))
+    assert(out(2L) == (("<EMAIL> plus standalone <NUM> end", 1, 1)))
+    assert(out(3L) == (("<EMAIL> only", 1, 0)))
+  }
+
   test("stratified sample: deterministic md5-nibble coin, per-source rates independent") {
     import spark.implicits._
     val d = docs.select(col("doc_id").cast("long").as("doc_id"), col("source"))
@@ -282,6 +299,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(("s", 5L)) == ((10100L, 2L)))
     // source t packs independently: offsets 0, 5000 -> bins 0, 1
     assert(out(("t", 1L))._2 == 0L && out(("t", 2L))._2 == 1L)
+  }
+
+  test("sequence packing: two-phase prefix sum matches the single-window formula bitwise and spreads one source over >1 task") {
+    import org.apache.spark.sql.expressions.Window
+    // single-source corpus: a per-source window cumsum would hash
+    // every row into ONE task — the named 100 TB scale-killer the
+    // bucketed prefix sum exists to avoid
+    val single = TokenTable.load(spark, dir).withColumn("source", lit("only"))
+    val packed = DataShaping.packSequences(single, budget = 4096, targetBuckets = 16)
+    val partsUsed = packed.select(spark_partition_id().as("pid")).distinct().count()
+    assert(partsUsed > 1, s"single-source pack still ran in $partsUsed task")
+    // bitwise parity with the naive single-window formula
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = single.select(col("source"),
+        col("doc_id").cast("long").as("doc_id"), col("n_tok").cast("long").as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .withColumn("bin_id", floor((col("cum_tok") - col("n_tok")) / 4096))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long, Long, Long)] =
+      df.select("source", "doc_id", "n_tok", "cum_tok", "bin_id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(rows(packed) == rows(naive))
+    // empty input keeps the output schema
+    val empty = DataShaping.packSequences(single.where(lit(false)), budget = 4096)
+    assert(empty.columns.toSeq ==
+      Seq("source", "doc_id", "n_tok", "cum_tok", "bin_id") && empty.count() == 0)
   }
 
   test("curation pair sources: LSH and capped modes keep the same survivors as the exact pipeline") {
