@@ -79,22 +79,30 @@ object StreamSinks {
   def readAppend(spark: SparkSession, sinkDir: String): DataFrame =
     spark.read.parquet(sinkDir).drop("batch_id")
 
-  /** Changelog compaction: rewrite the accumulated per-batch files
-    * into one chunky file per batch id (executor-side — a distributed
-    * repartition-and-write, no driver collect), preserving the
-    * `batch_id` partition column so [[readLatestByKey]]'s
-    * last-writer-wins window is untouched. Run it while the stream is
-    * idle (e.g. after an AvailableNow drain, or between restarts of a
-    * continuous query): the swap below replaces the whole directory,
-    * and a concurrently-committing batch could land in the old tree.
-    * Long-running sinks would call this periodically — the changelog
-    * grows one directory of small files per micro-batch forever
-    * otherwise, and parquet read cost is dominated by file-open
-    * constants once files are small. */
+  /** Changelog compaction, INCREMENTAL: rewrite only the batch
+    * directories that still hold more than one data file into one
+    * chunky file each (a single distributed repartition-and-write for
+    * all of them together — no driver collect), then swap each batch
+    * directory individually. Already-compacted batches are not read,
+    * not rewritten, not even touched (file identity and mtimes
+    * preserved) — so a periodic caller pays O(new batches) per
+    * invocation, not O(history): the dirty-page discipline of the
+    * reference's write-back (`csrc/libbloom/bitmap.c:271-334`), where
+    * only pages written since the last flush hit the disk again.
+    *
+    * Because the swap is per-batch, compaction does NOT require the
+    * stream to be idle: a batch directory being committed right now
+    * is skipped (it holds a `_temporary` child until Spark's rename),
+    * and untouched batch ids never move. For strict serialization
+    * with retries of the in-flight batch id, call from within the
+    * foreachBatch body (micro-batches run serially) — e.g. every K
+    * batches; an AvailableNow drain may simply call it afterwards. */
   def compact(spark: SparkSession, sinkDir: String): Unit = {
     import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
     val live = Paths.get(sinkDir)
-    val old = Paths.get(sinkDir + ".old")
+    val legacyOld = Paths.get(sinkDir + ".old")
+    val oldRoot = Paths.get(sinkDir + ".oldbatches")
+    val tmpRoot = Paths.get(sinkDir + ".compacting")
     def rmTree(p: java.nio.file.Path): Unit =
       if (JFiles.exists(p)) {
         val walk = JFiles.walk(p)
@@ -105,44 +113,72 @@ object StreamSinks {
     def mv(a: java.nio.file.Path, b: java.nio.file.Path): Unit =
       try JFiles.move(a, b, StandardCopyOption.ATOMIC_MOVE)
       catch { case _: java.nio.file.AtomicMoveNotSupportedException => JFiles.move(a, b) }
-    // A leftover .old means a prior compaction died mid-protocol, and
-    // it is NOT safely deletable: a crash between the two renames
-    // leaves .old as the ONLY complete copy (live missing — or
-    // recreated with just post-crash batches by a restarted stream).
-    // Recover by MERGE — move any batch directory .old has and live
-    // lacks into live — BEFORE reading the sink, so the compaction
-    // input includes the recovered batches. Both crash cases are
-    // covered: after a COMPLETED swap the compacted live has the same
-    // batch_id set, nothing moves and .old really was garbage; after
-    // a mid-swap crash the pre-crash batches are restored (live's
-    // copy wins when both exist — batch overwrite semantics make it
-    // newer-or-equal).
-    if (JFiles.exists(old)) {
+    def ls(p: java.nio.file.Path): Seq[java.nio.file.Path] =
+      if (!JFiles.exists(p)) Seq.empty
+      else {
+        val s = JFiles.list(p)
+        try { import scala.jdk.CollectionConverters._; s.iterator().asScala.toSeq }
+        finally s.close()
+      }
+    // Legacy recovery: a WHOLE-TREE .old from the pre-incremental
+    // protocol is not safely deletable — a crash between its two
+    // renames left .old as the only complete copy. Merge any batch
+    // directory .old has and live lacks back into live (live's copy
+    // wins when both exist — it is newer-or-equal by overwrite
+    // semantics), then drop the tree.
+    if (JFiles.exists(legacyOld)) {
       JFiles.createDirectories(live)
-      val kids = JFiles.list(old)
-      try kids.forEach { dir =>
+      ls(legacyOld).foreach { dir =>
         val dst = live.resolve(dir.getFileName)
-        // only batch directories carry data; anything else in .old is
-        // garbage and would break live's partition discovery
         if (JFiles.isDirectory(dir) && !JFiles.exists(dst) &&
           dir.getFileName.toString.startsWith("batch_id=")) mv(dir, dst)
-      } finally kids.close()
-      rmTree(old)
+      }
+      rmTree(legacyOld)
     }
-    val df = spark.read.parquet(sinkDir) // batch_id surfaces as a column
-    val dataSchema = org.apache.spark.sql.types.StructType(
-      df.schema.fields.filterNot(_.name == "batch_id"))
-    val tmp = sinkDir + ".compacting"
-    // hash-partition by batch id: each id lands in exactly one task,
-    // so every batch_id=N directory is rewritten as a single file
-    df.repartition(col("batch_id"))
-      .write.partitionBy("batch_id").mode("overwrite").parquet(tmp)
-    // an all-empty changelog writes no partition dirs at all — re-seed
-    // so the compacted sink stays readable
-    seed(spark, dataSchema, tmp)
-    mv(live, old)
-    mv(Paths.get(tmp), live)
-    rmTree(old) // best-effort cleanup of the superseded tree
+    // Per-batch recovery: an entry under .oldbatches means a prior
+    // per-batch swap died between its renames. If live lost the batch
+    // (crash after move-out), restore the original; if live has it
+    // (crash after move-in), the saved copy is superseded garbage.
+    ls(oldRoot).foreach { dir =>
+      val dst = live.resolve(dir.getFileName)
+      if (!JFiles.exists(dst)) mv(dir, dst) else rmTree(dir)
+    }
+    rmTree(oldRoot)
+    rmTree(tmpRoot) // always garbage: writes into it never committed
+    // The dirty set: batch dirs still holding >1 data file. One data
+    // file = already compacted (or written pre-coalesced) — skipped
+    // untouched. A dir with a `_temporary` child is a batch COMMITTING
+    // RIGHT NOW — skipped this round, compacted next time.
+    val dirty = ls(live).filter { d =>
+      JFiles.isDirectory(d) && d.getFileName.toString.startsWith("batch_id=") && {
+        val kids = ls(d)
+        kids.count(_.getFileName.toString.startsWith("part-")) > 1 &&
+          !kids.exists(_.getFileName.toString == "_temporary")
+      }
+    }
+    if (dirty.isEmpty) return
+    // one distributed job rewrites ALL dirty batches: hash-partition
+    // by batch id so each lands in exactly one task -> one file per
+    // batch_id=N dir under the staging root
+    spark.read.option("basePath", sinkDir)
+      .parquet(dirty.map(_.toString): _*)
+      .repartition(col("batch_id"))
+      .write.partitionBy("batch_id").mode("overwrite").parquet(tmpRoot.toString)
+    JFiles.createDirectories(oldRoot)
+    dirty.foreach { d =>
+      val name = d.getFileName
+      val compacted = tmpRoot.resolve(name)
+      // a dirty batch whose rows were ALL null-partition-filtered
+      // cannot happen (batch_id comes from the dir name), but guard:
+      // only swap when the compacted copy exists
+      if (JFiles.exists(compacted)) {
+        mv(d, oldRoot.resolve(name))
+        mv(compacted, d)
+        rmTree(oldRoot.resolve(name))
+      }
+    }
+    rmTree(oldRoot)
+    rmTree(tmpRoot)
   }
 
   /** Update-mode result: compact the changelog to the LAST emission

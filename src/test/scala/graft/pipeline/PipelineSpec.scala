@@ -308,7 +308,17 @@ class PipelineSpec extends AnyFunSuite {
     // bucketed prefix sum exists to avoid
     val single = TokenTable.load(spark, dir).withColumn("source", lit("only"))
     val packed = DataShaping.packSequences(single, budget = 4096, targetBuckets = 16)
-    val partsUsed = packed.select(spark_partition_id().as("pid")).distinct().count()
+    // AQE legitimately coalesces this tiny corpus back to one
+    // partition — what's under test is the exchange GRANULARITY, so
+    // turn coalescing off for the task-count probe. The probe walks
+    // the RDD (a bare select(spark_partition_id()) would let Catalyst
+    // prune the whole window away and report the scan's partitioning)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val partsUsed =
+      try packed.rdd.mapPartitionsWithIndex { case (i, it) =>
+        if (it.hasNext) Iterator(i) else Iterator.empty
+      }.collect().length
+      finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     assert(partsUsed > 1, s"single-source pack still ran in $partsUsed task")
     // bitwise parity with the naive single-window formula
     val w = Window.partitionBy("source").orderBy("doc_id")

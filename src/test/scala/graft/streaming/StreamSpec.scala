@@ -80,6 +80,53 @@ class StreamSpec extends AnyFunSuite {
     assert(StreamSinks.readAppend(spark, empty).count() == 0)
   }
 
+  test("compact is incremental: clean batches untouched (file identity), in-flight skipped, per-batch crash recovered") {
+    import spark.implicits._
+    import java.nio.file.{Files => JF, Paths}
+    val sink = JF.createTempDirectory("sinkinc").resolve("out").toString
+    val b0 = Seq(("a", 1L), ("b", 2L)).toDF("k", "v").repartition(3)
+    StreamSinks.seed(spark, b0.schema, sink)
+    StreamSinks.appendBatch(b0, 0L, sink, maxFiles = 0)
+    StreamSinks.appendBatch(Seq(("c", 3L)).toDF("k", "v").repartition(3), 1L, sink, maxFiles = 0)
+    StreamSinks.compact(spark, sink)
+    def partsOf(batch: Long): Seq[(String, java.nio.file.attribute.FileTime)] = {
+      val d = Paths.get(s"$sink/batch_id=$batch")
+      val s = JF.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toSeq.filter(_.getFileName.toString.startsWith("part-"))
+          .map(p => p.toString -> JF.getLastModifiedTime(p)).sortBy(_._1)
+      } finally s.close()
+    }
+    assert(partsOf(0).size == 1 && partsOf(1).size == 1)
+    val clean = (partsOf(0), partsOf(1))
+    // new dirty batch arrives; a planted _temporary marks it in-flight
+    StreamSinks.appendBatch(Seq(("d", 4L), ("e", 5L)).toDF("k", "v").repartition(3), 2L, sink, maxFiles = 0)
+    assert(partsOf(2).size > 1)
+    JF.createDirectories(Paths.get(s"$sink/batch_id=2/_temporary"))
+    StreamSinks.compact(spark, sink)
+    assert(partsOf(2).size > 1, "an in-flight batch must be skipped, not half-compacted")
+    JF.delete(Paths.get(s"$sink/batch_id=2/_temporary"))
+    StreamSinks.compact(spark, sink)
+    assert(partsOf(2).size == 1, "once committed, the batch compacts")
+    // the already-clean batches were never rewritten: same paths, same mtimes
+    assert((partsOf(0), partsOf(1)) == clean,
+      "incremental compaction must not touch already-compacted batch dirs")
+    val rows = StreamSinks.readAppend(spark, sink)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows == Set(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L), ("e", 5L)))
+    // per-batch crash recovery: a swap that died after move-out leaves
+    // the batch only under .oldbatches — the next compact restores it
+    JF.createDirectories(Paths.get(sink + ".oldbatches"))
+    JF.move(Paths.get(s"$sink/batch_id=2"), Paths.get(sink + ".oldbatches/batch_id=2"))
+    StreamSinks.compact(spark, sink)
+    assert(JF.exists(Paths.get(s"$sink/batch_id=2")), "crashed swap's batch must be restored")
+    assert(!JF.exists(Paths.get(sink + ".oldbatches")))
+    val rows2 = StreamSinks.readAppend(spark, sink)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows2 == rows)
+  }
+
   test("dedupWithinWatermark: horizon-bounded state drops near dups, re-admits expired digests") {
     import spark.implicits._
     spark.conf.set("spark.sql.session.timeZone", "UTC")
