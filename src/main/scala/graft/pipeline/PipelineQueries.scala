@@ -152,6 +152,42 @@ object PipelineQueries {
       DataShaping.packSequences(TokenTable.load(s, dir), budget = 4096)
         .orderBy("source", "doc_id")),
 
+    // THE end-to-end corpus-prep composition a 100 TB release runs,
+    // as ONE gate: curate (quality -> exact dedup -> LSH near-dup) ->
+    // decontaminate vs the eval split -> redact PII -> stratified
+    // sample -> pack into 4096-token bins, every stage the library
+    // operator itself in its production (scale) mode, with a single
+    // SQL oracle replaying the whole chain
+    "pipeline_corpus_prep" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val eval = d.filter(col("doc_id") % 7 === 0)
+      // exact duplicates PLANTED (id-shifted copy of every train doc)
+      // so the dedup stage is falsifiable, not a pass-through; and
+      // maxOverlap = 7 (the corpus's median eval-overlap — its 31-word
+      // vocab makes some trigram collision near-universal) so
+      // decontamination drops roughly half instead of everything
+      val trainBase = d.filter(col("doc_id") % 7 =!= 0)
+      val train = trainBase.unionByName(
+        trainBase.withColumn("doc_id", col("doc_id") + 100000))
+      val curated = Curation.curate(train, minJ = 0.5,
+        pairSource = Curation.PairSource.Lsh(minJ = 0.5))
+      val kept = train.select(col("doc_id").cast("long").as("doc_id"),
+          col("text"), col("source"))
+        .join(curated.select("doc_id", "lang_pred"), Seq("doc_id"))
+      val clean = Decontam.decontaminate(kept, eval, n = 3, maxOverlap = 7)
+      val redacted = clean.join(
+        TextOps.redactPii(clean).select("doc_id", "text_clean"), Seq("doc_id"))
+      val evens = (0 until 20 by 2).map(i => s"src$i" -> 12).toMap
+      val sampled = DataShaping.stratifiedSample(redacted, evens, defaultRate16 = 6)
+      // what ships is the REDACTED text, so bins budget its tokens
+      val withTok = sampled.withColumn("n_tok",
+        expr("size(split(text_clean, '\\\\s+'))"))
+      DataShaping.packSequences(withTok, budget = 4096)
+        .join(sampled.select("doc_id", "lang_pred"), Seq("doc_id"))
+        .select("doc_id", "source", "lang_pred", "n_tok", "cum_tok", "bin_id")
+        .orderBy("doc_id")
+    }),
+
     // the same scrub always-on: training docs arrive as a stream, the
     // eval set is static; per-batch literal-sketch prefilter + semi
     // join verify (stateless — no watermark, no state store),
@@ -870,7 +906,56 @@ object PipelineQueries {
 
     // streaming scrub must equal the batch operator exactly: the
     // SAME oracle string by construction
-    "stream_decontam" -> DecontamOracle) ++ oracleSqlRest
+    "stream_decontam" -> DecontamOracle,
+
+    "pipeline_corpus_prep" -> CorpusPrepOracle) ++ oracleSqlRest
+
+  /** Exact SQL replay of the WHOLE release pipeline — curation
+    * (quality gate, exact dedup, near-dup reachability clustering),
+    * decontamination against the eval split, PII redaction,
+    * stratified sampling, token-budget packing — one CTE per stage. */
+  private def CorpusPrepOracle: String =
+      ("WITH tr AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 7 <> 0 " +
+        "UNION ALL SELECT doc_id + 100000 AS doc_id, text, source FROM documents WHERE doc_id % 7 <> 0), " +
+        "q AS (SELECT doc_id, text, source, ws FROM " +
+        s"(SELECT doc_id, text, source, $W AS ws FROM tr) " +
+        "WHERE len(ws) BETWEEN 5 AND 2000 " +
+        "AND len(list_distinct(ws))::DOUBLE / len(ws) >= 0.05 " +
+        "AND list_sum(list_transform(ws, w -> len(w)))::BIGINT / len(ws) BETWEEN 1.0 AND 20.0), " +
+        "k AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)), " +
+        "d AS (SELECT q.* FROM q JOIN k USING (doc_id)), " +
+        s"shd AS (SELECT doc_id, $Sh AS sh FROM (SELECT doc_id, ws FROM d)), " +
+        "p AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM shd a JOIN shd b ON a.doc_id < b.doc_id " +
+        "WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5), " +
+        "e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p), " +
+        "reach AS (WITH RECURSIVE r(a, b) AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a) SELECT * FROM r), " +
+        "reps AS (SELECT a AS doc_id, least(a, min(b)) AS rep FROM reach GROUP BY a), " +
+        "cur AS (SELECT d.* FROM d LEFT JOIN reps ON d.doc_id = reps.doc_id " +
+        "WHERE reps.doc_id IS NULL OR reps.rep = d.doc_id), " +
+        // decontamination: curated docs sharing more than maxOverlap=7
+        // distinct trigrams with the eval split are dropped
+        s"te AS (SELECT DISTINCT unnest(sh) AS g FROM (SELECT doc_id, $Sh AS sh FROM " +
+        s"(SELECT doc_id, $W AS ws FROM documents WHERE doc_id % 7 = 0))), " +
+        "ti AS (SELECT c.doc_id, unnest(s.sh) AS g FROM cur c JOIN shd s ON c.doc_id = s.doc_id), " +
+        "ov AS (SELECT ti.doc_id, count(DISTINCT ti.g) AS n FROM ti JOIN te ON ti.g = te.g GROUP BY ti.doc_id), " +
+        "clean AS (SELECT c.* FROM cur c LEFT JOIN ov ON c.doc_id = ov.doc_id WHERE COALESCE(ov.n, 0) <= 7), " +
+        s"red AS (SELECT doc_id, source, ws, regexp_replace(regexp_replace(text, " +
+        s"'${TextOps.EmailPattern}', '<EMAIL>', 'g'), '${TextOps.NumberPattern}', '<NUM>', 'g') AS text_clean FROM clean), " +
+        "samp AS (SELECT * FROM (SELECT doc_id, source, text_clean, ws, " +
+        "CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) AS nibble, " +
+        "CAST(CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 12 ELSE 6 END AS INT) AS rate16 " +
+        "FROM red) WHERE nibble < rate16), " +
+        "lang AS (SELECT doc_id, CASE WHEN m = 0 THEN 'und' WHEN s_de = m THEN 'de' WHEN s_en = m THEN 'en' " +
+        "WHEN s_es = m THEN 'es' WHEN s_fr = m THEN 'fr' ELSE 'zh' END AS lang_pred FROM (" +
+        "SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m FROM (" +
+        s"SELECT doc_id, ${score("de")} AS s_de, ${score("en")} AS s_en, ${score("es")} AS s_es, " +
+        s"${score("fr")} AS s_fr, ${score("zh")} AS s_zh FROM samp))), " +
+        "packed AS (SELECT source, CAST(doc_id AS BIGINT) AS doc_id, n_tok, " +
+        "CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY CAST(doc_id AS BIGINT) ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok " +
+        "FROM (SELECT source, doc_id, CAST(len(regexp_split_to_array(text_clean, '\\s+')) AS BIGINT) AS n_tok FROM samp)) " +
+        "SELECT p.doc_id, p.source, l.lang_pred, p.n_tok, p.cum_tok, " +
+        "CAST(floor((p.cum_tok - p.n_tok) / 4096.0) AS BIGINT) AS bin_id " +
+        "FROM packed p JOIN lang l ON p.doc_id = l.doc_id ORDER BY p.doc_id")
 
   /** Exact n-gram-intersection replay shared by the batch and
     * streaming decontamination gates (identical by construction —
