@@ -233,22 +233,31 @@ object PipelineQueries {
 
     // ---- multimodal -----------------------------------------------------
 
+    // image rows are REAL binary PGMs (P5 header + pixel array) and
+    // the decode is a real codec: the oracle re-derives the pixel
+    // array independently and checks decoded-pixel statistics
+    // (min/max/sum), not just container metadata. Audio/video stay
+    // behind the marked GMM1 stub (no codec libs in-sandbox)
     "multimodal_decode" -> ((s, dir) => {
       val decoded = Multimodal.decode(s, Multimodal.synthesize(s, docs(s, dir)))
       decoded.toDF()
         .select(col("doc_id"), col("kind"), col("width"), col("height"),
           col("n_payload_bytes"), col("n_frames"), col("checksum"),
-          size(col("feat")).as("feat_dim"))
+          size(col("feat")).as("feat_dim"),
+          col("px_min"), col("px_max"), col("px_sum"))
         .orderBy("doc_id")
     }),
 
-    // resize stage (stub codec rewrites header dims) then decode —
-    // metadata must reflect the transform, payload untouched
+    // resize then decode: PGM images are REALLY resampled (nearest
+    // neighbor, integer index math) — the oracle replays the resample
+    // and checks the resulting pixels; stub kinds get header-rewrite
+    // semantics with payload untouched
     "multimodal_transform" -> ((s, dir) => {
       val media = Multimodal.resize(s, Multimodal.synthesize(s, docs(s, dir)), 32, 24)
       Multimodal.decode(s, media).toDF()
         .select(col("doc_id"), col("kind"), col("width"), col("height"),
-          col("n_payload_bytes"), col("checksum"))
+          col("n_payload_bytes"), col("checksum"),
+          col("px_min"), col("px_max"), col("px_sum"))
         .orderBy("doc_id")
     }),
 
@@ -1047,13 +1056,24 @@ object PipelineQueries {
     "ann_ivf_topk" ->
       ("SELECT vec_id AS q_id, TRUE AS mean_recall_ok FROM embeddings WHERE vec_id < 10 ORDER BY q_id"),
 
+    // the image payload (PGM pixels = text bytes cycled to w*h) is
+    // re-derived INDEPENDENTLY and its statistics checked against the
+    // real decoder's output; stub kinds stat their raw sample bytes
     "multimodal_decode" ->
-      ("SELECT doc_id, ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind, " +
-        "CAST(16 + strlen(text) % 64 AS INT) AS width, CAST(16 + (strlen(text) * 7) % 64 AS INT) AS height, " +
-        "CAST(strlen(text) AS INT) AS n_payload_bytes, " +
-        "CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 1 + strlen(text) // 128 ELSE 1 + strlen(text) // 256 END AS INT) AS n_frames, " +
-        "CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) % 1000000007 AS BIGINT) AS checksum, " +
-        "CAST(16 AS INT) AS feat_dim FROM documents ORDER BY doc_id"),
+      ("WITH d AS (SELECT doc_id, text, CAST(strlen(text) AS INT) AS n, " +
+        "CAST(16 + strlen(text) % 64 AS INT) AS w, CAST(16 + (strlen(text) * 7) % 64 AS INT) AS h, " +
+        "['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind FROM documents), " +
+        "px AS (SELECT d.*, CASE WHEN kind = 'image' " +
+        "THEN [ascii(substring(text, CAST(i % n AS INT) + 1, 1)) for i in range(0, w * h)] " +
+        "ELSE list_transform(string_split(text, ''), c -> ascii(c)) END AS p FROM d) " +
+        "SELECT doc_id, kind, w AS width, h AS height, " +
+        "CAST(len(p) AS INT) AS n_payload_bytes, " +
+        "CAST(CASE kind WHEN 'image' THEN 1 WHEN 'audio' THEN 1 + n // 128 ELSE 1 + n // 256 END AS INT) AS n_frames, " +
+        "CAST(list_sum(p) % 1000000007 AS BIGINT) AS checksum, " +
+        "CAST(16 AS INT) AS feat_dim, " +
+        "CAST(list_min(p) AS INT) AS px_min, CAST(list_max(p) AS INT) AS px_max, " +
+        "CAST(list_sum(p) AS BIGINT) AS px_sum " +
+        "FROM px ORDER BY doc_id"),
 
     "stream_sketch_incremental" ->
       ("SELECT source, TRUE AS multi_batch_ok, TRUE AS rows_ok, TRUE AS bloom_ok, TRUE AS hll_ok " +
@@ -1064,19 +1084,42 @@ object PipelineQueries {
         "TRUE AS rows_ok, TRUE AS bloom_ok, TRUE AS hll_ok " +
         "FROM (SELECT DISTINCT source FROM documents) ORDER BY source"),
 
+    // images: replay the nearest-neighbor resample to 32x24 with the
+    // same integer index math ((y*h0)//24, (x*w0)//32) and check the
+    // RESAMPLED pixels; stub kinds keep payload-untouched semantics
     "multimodal_transform" ->
-      ("SELECT doc_id, ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind, " +
-        "CAST(32 AS INT) AS width, CAST(24 AS INT) AS height, CAST(strlen(text) AS INT) AS n_payload_bytes, " +
-        "CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) % 1000000007 AS BIGINT) AS checksum " +
-        "FROM documents ORDER BY doc_id"),
+      ("WITH d AS (SELECT doc_id, text, CAST(strlen(text) AS INT) AS n, " +
+        "CAST(16 + strlen(text) % 64 AS INT) AS w0, CAST(16 + (strlen(text) * 7) % 64 AS INT) AS h0, " +
+        "['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind FROM documents), " +
+        "src AS (SELECT d.*, CASE WHEN kind = 'image' " +
+        "THEN [ascii(substring(text, CAST(i % n AS INT) + 1, 1)) for i in range(0, w0 * h0)] " +
+        "ELSE list_transform(string_split(text, ''), c -> ascii(c)) END AS p FROM d), " +
+        "o AS (SELECT doc_id, kind, CASE WHEN kind = 'image' " +
+        "THEN [p[CAST((i // 32) * h0 // 24 AS INT) * w0 + CAST((i % 32) * w0 // 32 AS INT) + 1] for i in range(0, 768)] " +
+        "ELSE p END AS q FROM src) " +
+        "SELECT doc_id, kind, CAST(32 AS INT) AS width, CAST(24 AS INT) AS height, " +
+        "CAST(len(q) AS INT) AS n_payload_bytes, " +
+        "CAST(list_sum(q) % 1000000007 AS BIGINT) AS checksum, " +
+        "CAST(list_min(q) AS INT) AS px_min, CAST(list_max(q) AS INT) AS px_max, " +
+        "CAST(list_sum(q) AS BIGINT) AS px_sum " +
+        "FROM o ORDER BY doc_id"),
 
+    // image frame 0 is now the first 256 DECODED PIXELS (cycled text
+    // bytes), not the text prefix; audio/video keep GMM1 raw samples
     "multimodal_frames" ->
-      ("WITH d AS (SELECT doc_id, ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind, text, strlen(text) AS len FROM documents), " +
+      ("WITH d AS (SELECT doc_id, ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind, " +
+        "text, CAST(strlen(text) AS INT) AS len, " +
+        "CAST(16 + strlen(text) % 64 AS INT) AS w, CAST(16 + (strlen(text) * 7) % 64 AS INT) AS h FROM documents), " +
         "a AS (SELECT doc_id, kind, text, len, unnest(range(0, (len + 255) // 256, 2)) AS f FROM d WHERE kind = 'video' " +
-        "UNION ALL SELECT doc_id, kind, text, len, 0 AS f FROM d WHERE kind <> 'video') " +
-        "SELECT doc_id, kind, CAST(f AS INT) AS frame_idx, CAST(least(256, len - f * 256) AS INT) AS n_bytes, " +
+        "UNION ALL SELECT doc_id, kind, text, len, 0 AS f FROM d WHERE kind = 'audio'), " +
+        "vf AS (SELECT doc_id, kind, CAST(f AS INT) AS frame_idx, CAST(least(256, len - f * 256) AS INT) AS n_bytes, " +
         "CAST(list_sum(list_transform(string_split(substring(text, CAST(f * 256 + 1 AS INT), CAST(least(256, len - f * 256) AS INT)), ''), c -> ascii(c))) % 1000000007 AS BIGINT) AS checksum " +
-        "FROM a ORDER BY doc_id, frame_idx"),
+        "FROM a), " +
+        "imf AS (SELECT doc_id, kind, CAST(0 AS INT) AS frame_idx, " +
+        "CAST(least(256, w * h) AS INT) AS n_bytes, " +
+        "CAST(list_sum([ascii(substring(text, CAST(i % len AS INT) + 1, 1)) for i in range(0, least(256, w * h))]) % 1000000007 AS BIGINT) AS checksum " +
+        "FROM d WHERE kind = 'image') " +
+        "SELECT * FROM (SELECT * FROM vf UNION ALL SELECT * FROM imf) ORDER BY doc_id, frame_idx"),
 
     "stream_windowed_hll" ->
       ("SELECT CAST(time_bucket(INTERVAL '6 hours', ts) AS VARCHAR) AS window_start, event_type, " +

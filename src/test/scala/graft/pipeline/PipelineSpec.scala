@@ -138,7 +138,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.forall(_.getBoolean(1)), "per-query IVF recall floor")
   }
 
-  test("multimodal: synthesized GMM1 payload decodes to header metadata + checksum of payload bytes") {
+  test("multimodal: PGM images really decode (pixel stats); GMM1 stub kinds decode header + sample stats") {
     val decoded = Multimodal.decode(spark, Multimodal.synthesize(spark, docs))
       .collect().map(d => d.doc_id -> d).toMap
     val truth = docs.select(col("doc_id").cast("long"), col("text")).collect()
@@ -147,14 +147,37 @@ class PipelineSpec extends AnyFunSuite {
     truth.foreach { case (id, text) =>
       val d = decoded(id)
       val bytes = text.getBytes("UTF-8")
-      assert(d.width == 16 + bytes.length % 64)
-      assert(d.height == 16 + (bytes.length * 7) % 64)
-      assert(d.n_payload_bytes == bytes.length)
-      assert(d.checksum == bytes.map(_ & 0xff).map(_.toLong).sum % 1000000007L)
-      assert(d.feat.length == 16 && math.abs(d.feat.sum - bytes.length) < 1e-9,
-        "histogram mass equals byte count")
+      val (w, h) = (16 + bytes.length % 64, 16 + (bytes.length * 7) % 64)
+      assert(d.width == w && d.height == h)
+      val payload: Seq[Int] =
+        if (id % 3 == 0) (0 until w * h).map(i => bytes(i % bytes.length) & 0xff)
+        else bytes.map(_ & 0xff).toSeq
+      assert(d.n_payload_bytes == payload.length)
+      assert(d.checksum == payload.map(_.toLong).sum % 1000000007L)
+      assert((d.px_min, d.px_max, d.px_sum) ==
+        ((payload.min, payload.max, payload.map(_.toLong).sum)),
+        s"decoded stats for doc $id")
+      assert(d.feat.length == 16 && math.abs(d.feat.sum - payload.length) < 1e-9,
+        "histogram mass equals sample count")
       assert(d.n_frames >= 1)
     }
+  }
+
+  test("PGM codec: hand-built image round-trips through decode, and nearest-neighbor resize picks the exact pixels") {
+    // 2x2 image: 10 20 / 30 40
+    val pgm = "P5\n2 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](10, 20, 30, 40)
+    val d = MultimodalCodec.decodePgm(Multimodal.MediaRow(7L, "image", pgm))
+    assert((d.width, d.height, d.n_payload_bytes) == ((2, 2, 4)))
+    assert((d.px_min, d.px_max, d.px_sum) == ((10, 40, 100L)))
+    // upscale 2x2 -> 4x4: src index = (y*2/4, x*2/4) => 2x2 blocks
+    val up = MultimodalCodec.resizePgm(pgm, 4, 4)
+    val (w, h, mx, off) = MultimodalCodec.pgmHeader(up)
+    assert((w, h, mx) == ((4, 4, 255)))
+    val px = up.drop(off).map(_ & 0xff).toSeq
+    assert(px == Seq(10, 10, 20, 20, 10, 10, 20, 20, 30, 30, 40, 40, 30, 30, 40, 40))
+    // downscale 2x2 -> 1x1 keeps the top-left pixel
+    val down = MultimodalCodec.resizePgm(pgm, 1, 1)
+    assert(down.drop(MultimodalCodec.pgmHeader(down)._4).map(_ & 0xff).toSeq == Seq(10))
   }
 
   test("text ops: rolling fingerprint formula, tokenizer agreement, lang-id argmax, quality gates") {
