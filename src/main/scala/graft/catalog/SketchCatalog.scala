@@ -413,54 +413,98 @@ class SketchCatalog(
         .collect().map(_.getString(0)).toSet
     val entries = this.synchronized(
       registry.values.filter(e => wanted.contains(e.name)).toSeq)
-    val blobs = entries.flatMap { e =>
+    def serializeEntry(e: Entry): Option[(String, Array[Byte])] =
       try Some(e.name -> withRead(e)(faultIn(e).serialize()))
       catch { case _: FilterGone => None }
-    }
-    def unionOfLiteralProbes(): DataFrame = {
+    // one bounded aggregation pass per probe plan updates the
+    // referenced filters' counters — and, as a side effect,
+    // MATERIALIZES every persisted partition of `res`
+    def tally(res: DataFrame): Unit =
+      res.filter(col("present").isNotNull)
+        .groupBy("name").agg(
+          sum(when(col("present"), 1L).otherwise(0L)).as("hits"),
+          count(lit(1)).as("total")).collect()
+        .foreach { r =>
+          entries.find(_.name == r.getString(0)).foreach { e =>
+            e.synchronized {
+              e.counters.checkHits += r.getLong(1)
+              e.counters.checkMisses += r.getLong(2) - r.getLong(1)
+            }
+          }
+        }
+    def unknownBranch(known: Set[String]): DataFrame =
+      // coalesce(..., true): a NULL probe name must land in the unknown
+      // branch (three-valued isin would silently drop the row)
+      (if (known.isEmpty) keyed
+       else keyed.filter(coalesce(!col("name").isin(known.toSeq: _*), lit(true))))
+        .select(col("name"), col("key"), lit(null).cast("boolean").as("present"))
+    if (entries.size <= SketchCatalog.multiProbeBranchBound) {
+      val blobs = entries.flatMap(serializeEntry)
       val branches = blobs.map { case (n, blob) =>
         keyed.filter(col("name") === n)
           .select(col("name"), col("key"),
             sbf_contains(lit(blob), col("key")).as("present"))
       }
-      val known = blobs.map(_._1).toSet
-      // coalesce(..., true): a NULL probe name must land in the unknown
-      // branch (three-valued isin would silently drop the row)
-      val unknown =
-        (if (known.isEmpty) keyed
-         else keyed.filter(coalesce(!col("name").isin(known.toSeq: _*), lit(true))))
-          .select(col("name"), col("key"), lit(null).cast("boolean").as("present"))
-      (branches :+ unknown).reduce(_ union _)
-    }
-    val (unionProbed, bcast) =
-      if (blobs.size > SketchCatalog.multiProbeBranchBound)
-        probeViaBroadcast(keyed, blobs)
-      else (unionOfLiteralProbes(), None)
-    // persisted: the counters pass below and the caller's consumption
-    // would otherwise each re-run every probe branch; MEMORY_AND_DISK
-    // blocks are LRU-evictable, so eviction degrades to recompute
-    val res = unionProbed.persist()
-    // one bounded aggregation pass updates every filter's counters
-    val stats = res.filter(col("present").isNotNull)
-      .groupBy("name").agg(
-        sum(when(col("present"), 1L).otherwise(0L)).as("hits"),
-        count(lit(1)).as("total")).collect()
-    stats.foreach { r =>
-      entries.find(_.name == r.getString(0)).foreach { e =>
-        e.synchronized {
-          e.counters.checkHits += r.getLong(1)
-          e.counters.checkMisses += r.getLong(2) - r.getLong(1)
+      // persisted: the counters pass and the caller's consumption
+      // would otherwise each re-run every probe branch;
+      // MEMORY_AND_DISK blocks are LRU-evictable, so eviction
+      // degrades to recompute
+      val res = (branches :+ unknownBranch(blobs.map(_._1).toSet))
+        .reduce(_ union _).persist()
+      tally(res)
+      lastMultiProbeStats = SketchCatalog.MultiProbeStats(
+        1, blobs.map(_._2.length.toLong).sum)
+      res
+    } else {
+      // many filters: broadcast-map probes, serialized and shipped in
+      // CHUNKS of at most `multiProbeByteBudget` blob bytes. Each
+      // chunk's result is materialized (tally) before the next chunk
+      // serializes, so the serialization working set and every
+      // executor's live broadcast copy stay <= budget + one sketch —
+      // a 500-filter probe no longer builds a 500-sketch map anywhere
+      // at once. (The catalog itself keeps its sketches driver-
+      // resident by design; the bound here is on the SECOND,
+      // serialized copy and on executor memory.) Unknown names fall
+      // through every chunk into the null branch.
+      val budget = SketchCatalog.multiProbeByteBudget
+      var maxChunkBytes = 0L
+      val chunks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      val knownNames = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = entries.iterator
+      val pending = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+      var pendingBytes = 0L
+      def flush(): Unit = if (pending.nonEmpty) {
+        val chunkNames = pending.map(_._1)
+        val (probed, bc) = probeViaBroadcast(
+          keyed.filter(col("name").isin(chunkNames.toSeq: _*)), pending.toSeq)
+        val res = probed.persist()
+        tally(res) // materializes: the executors' copies can drop now
+        // non-blocking; a later eviction-recompute re-fetches from the
+        // driver. Without this, the persisted blocks would pin every
+        // chunk's blob map on every executor for the catalog's lifetime
+        bc.foreach(_.unpersist(false))
+        chunks += res
+        knownNames ++= chunkNames
+        maxChunkBytes = math.max(maxChunkBytes, pendingBytes)
+        pending.clear(); pendingBytes = 0L
+      }
+      while (it.hasNext) {
+        serializeEntry(it.next()).foreach { case (n, blob) =>
+          if (pendingBytes + blob.length > budget && pending.nonEmpty) flush()
+          pending += ((n, blob)); pendingBytes += blob.length
         }
       }
+      flush()
+      lastMultiProbeStats = SketchCatalog.MultiProbeStats(chunks.size, maxChunkBytes)
+      (chunks.toSeq :+ unknownBranch(knownNames.toSet)).reduce(_ union _)
     }
-    // the stats pass above materialized every cached partition, so the
-    // executors' broadcast copies are no longer needed — drop them
-    // (non-blocking; a later eviction-recompute re-fetches from the
-    // driver). Without this, the persisted blocks pin the blob map on
-    // every executor for the catalog's lifetime.
-    bcast.foreach(_.unpersist(false))
-    res
   }
+
+  /** Observability for the last `checkKeysMulti` plan: how many probe
+    * chunks ran and the largest chunk's serialized blob bytes (the
+    * spec's recorded driver-side bound). */
+  @volatile private[catalog] var lastMultiProbeStats: SketchCatalog.MultiProbeStats =
+    SketchCatalog.MultiProbeStats(0, 0L)
 
   /** The many-filter probe shape: one scan of the pair set, blobs
     * broadcast once per executor, each referenced sketch deserialized
@@ -671,6 +715,17 @@ object SketchCatalog {
     * small probes on the codegen'd expression path while bounding the
     * worst case at catalog scale. */
   final val multiProbeBranchBound = 16
+
+  /** Byte budget for ONE broadcast-map probe chunk: `checkKeysMulti`
+    * serializes and ships at most this many blob bytes at a time (a
+    * chunk always holds at least one filter, so a single oversized
+    * sketch still probes). 64 MB keeps an executor's live broadcast
+    * comfortably inside a task's memory share while letting a
+    * ~300 KB-sketch catalog probe hundreds of filters per chunk.
+    * A `var` so tests can shrink it to force multi-chunk plans. */
+  @volatile var multiProbeByteBudget: Long = 64L << 20
+
+  final case class MultiProbeStats(chunks: Int, maxChunkBytes: Long)
 
   final case class Counters(
       var checkHits: Long = 0, var checkMisses: Long = 0,

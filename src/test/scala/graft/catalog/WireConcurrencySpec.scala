@@ -175,6 +175,47 @@ class WireConcurrencySpec extends AnyFunSuite {
     }
   }
 
+  test("checkKeysMulti at 256 filters: broadcast chunked under the byte budget, recorded bytes bounded, answers + counters exact") {
+    import spark.implicits._
+    val cat = newCatalog()
+    val nFilters = 256
+    (0 until nFilters).foreach { f =>
+      assert(cat.create(s"cf$f", 20000, 0.001) == "Done")
+      assert(cat.setKeyLocal(s"cf$f", s"own-$f") == Right(true))
+    }
+    val oldBudget = SketchCatalog.multiProbeByteBudget
+    try {
+      // shrink the budget so the 256-filter probe MUST run as many
+      // chunks — the driver's serialized working set and each
+      // executor's live broadcast stay under this bound
+      SketchCatalog.multiProbeByteBudget = 1L << 20
+      val pairs = (0 until nFilters).flatMap { f =>
+        Seq((s"cf$f", s"own-$f"), (s"cf$f", "absent"))
+      } ++ Seq(("ghost", "x"), (null, "y"))
+      val rows = cat.checkKeysMulti(pairs.toDF("name", "key"))
+        .collect().map(r =>
+          (Option(r.getString(0)).orNull, r.getString(1)) -> Option(r.get(2)).orNull).toMap
+      assert(rows.size == pairs.size)
+      (0 until nFilters).foreach { f =>
+        assert(rows((s"cf$f", s"own-$f")) == true, s"cf$f own key")
+        assert(rows((s"cf$f", "absent")) == false, s"cf$f absent key")
+      }
+      assert(rows(("ghost", "x")) == null)
+      assert(rows((null, "y")) == null)
+      val st = cat.lastMultiProbeStats
+      assert(st.chunks >= 4, s"expected a chunked plan, got ${st.chunks} chunk(s)")
+      assert(st.maxChunkBytes <= (1L << 20),
+        s"recorded chunk bytes ${st.maxChunkBytes} exceed the 1 MiB budget")
+      // counters survive chunking: every filter tallied exactly once
+      (0 until nFilters).foreach { f =>
+        val info = cat.info(s"cf$f").toOption.get.head()
+        assert(info.getAs[Long]("checks") == 2, s"cf$f checks")
+        assert(info.getAs[Long]("check_hits") == 1, s"cf$f hits")
+        assert(info.getAs[Long]("check_misses") == 1, s"cf$f misses")
+      }
+    } finally SketchCatalog.multiProbeByteBudget = oldBudget
+  }
+
   test("rust server over TCP: 4 concurrent connections, per-filter exclusion, no lost counts") {
     val root = java.nio.file.Files.createTempDirectory("rustcc")
     val rs = new RustBloomServer(root.toString)
