@@ -275,7 +275,10 @@ object Bench {
     // and 4x the corpus (each replica's words are tagged so replicas
     // are independent near-dup universes — work scales linearly with
     // volume, not quadratically with cross-replica pair blowup) ----
-    val curationJson = if (scalingOnly) "null" else {
+    // SPARK_GRAFT_NO_CURATION skips this block: at sf1+ its EXACT-mode
+    // 4x leg (uncapped shingle self-join at 4x corpus) is the known
+    // wrong-at-scale shape the LSH per-query legs exist to replace
+    val curationJson = if (scalingOnly || sys.env.contains("SPARK_GRAFT_NO_CURATION")) "null" else {
       val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("lang"))
       def replica(r: Int) = docs1.select(
@@ -314,9 +317,13 @@ object Bench {
         f""""capped_jaccard_sec_1x":$tCap1%.3f,"capped_jaccard_sec_4x":$tCap4%.3f}"""
     }
 
-    // ---- per-query wall clock at sf dir (noop sink) ----
+    // ---- per-query wall clock at sf dir (noop sink); an optional
+    // comma-separated SPARK_GRAFT_BENCH_QUERIES allowlist restricts
+    // the loop (used for the sf1 decade artifact's selected legs) ----
+    val benchOnly = sys.env.get("SPARK_GRAFT_BENCH_QUERIES").map(_.split(",").toSet)
     val results = (if (scalingOnly) Seq.empty[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]
-      else SparkEntry.queries.toSeq.sortBy(_._1)).map { case (name, fn) =>
+      else SparkEntry.queries.toSeq.filter(kv => benchOnly.forall(_.contains(kv._1)))
+        .sortBy(_._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e") }
