@@ -71,12 +71,19 @@ object PipelineQueries {
     // the 100 TB scale mode of the shingle join: stop-shingles in more
     // than maxShingleDocs docs are dropped BEFORE the self-join and J
     // is recomputed over the surviving universe on both sides. The cap
-    // of 2 drops ~14% of this corpus's shingle postings and CHANGES
-    // the answer vs exact mode (23 pairs vs 25 at sf0.01), so the gate
-    // proves the capped semantics, not accidentally the exact ones
-    "dedup_ngram_capped" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(docs(s, dir), n = 3, minJ = 0.5, maxShingleDocs = 2)
-        .orderBy("id_a", "id_b")),
+    // is SIZED TO THE CORPUS (max(2, |docs|/250) — the production knob
+    // tracks expected df, which grows with corpus size on a fixed
+    // vocabulary): at sf0.01 that is the old cap of 2, which drops
+    // ~14% of the postings and CHANGES the answer vs exact mode (23
+    // pairs vs 25), so the gate proves the capped semantics, not
+    // accidentally the exact ones; at sf1 a fixed cap of 2 would drop
+    // EVERY shingle (df ~ 80 on the 31-word vocab) and prove nothing
+    "dedup_ngram_capped" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cap = math.max(2L, math.ceil(d.count() / 250.0).toLong)
+      Dedup.ngramJaccardPairs(d, n = 3, minJ = 0.5, maxShingleDocs = cap)
+        .orderBy("id_a", "id_b")
+    }),
 
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), numPerms = 128, bands = 32, minJ = 0.5)
@@ -162,10 +169,7 @@ object PipelineQueries {
       val d = docs(s, dir)
       val eval = d.filter(col("doc_id") % 7 === 0)
       // exact duplicates PLANTED (id-shifted copy of every train doc)
-      // so the dedup stage is falsifiable, not a pass-through; and
-      // maxOverlap = 7 (the corpus's median eval-overlap — its 31-word
-      // vocab makes some trigram collision near-universal) so
-      // decontamination drops roughly half instead of everything
+      // so the dedup stage is falsifiable, not a pass-through
       val trainBase = d.filter(col("doc_id") % 7 =!= 0)
       val train = trainBase.unionByName(
         trainBase.withColumn("doc_id", col("doc_id") + 100000))
@@ -174,7 +178,20 @@ object PipelineQueries {
       val kept = train.select(col("doc_id").cast("long").as("doc_id"),
           col("text"), col("source"))
         .join(curated.select("doc_id", "lang_pred"), Seq("doc_id"))
-      val clean = Decontam.decontaminate(kept, eval, n = 3, maxOverlap = 7)
+      // SCALE-FREE decontamination threshold: the corpus's own median
+      // eval-overlap (exact percentile — one tiny agg — replayed by
+      // the oracle's quantile_cont). A fixed absolute threshold can't
+      // survive this 31-word vocab across scales: its ~30k-trigram
+      // universe saturates as the corpus grows, so every doc overlaps
+      // the eval split and a constant cutoff drops everything (sf1)
+      // or nearly nothing (sf0.001); the median always splits ~half
+      val ovl = Decontam.overlap(kept, eval, n = 3, maxOverlap = 0)
+      val med = Option(ovl.agg(expr("percentile(n_overlap, 0.5)")).head().get(0))
+        .map(_.toString.toDouble).getOrElse(0.0)
+      val cleanIds = ovl.filter(col("n_overlap") <= med)
+        .select(col("doc_id").as("kept_id"))
+      val clean = kept.join(cleanIds,
+        kept("doc_id") === cleanIds("kept_id"), "left_semi")
       val redacted = clean.join(
         TextOps.redactPii(clean).select("doc_id", "text_clean"), Seq("doc_id"))
       val evens = (0 until 20 by 2).map(i => s"src$i" -> 12).toMap
@@ -941,13 +958,17 @@ object PipelineQueries {
         "reps AS (SELECT a AS doc_id, least(a, min(b)) AS rep FROM reach GROUP BY a), " +
         "cur AS (SELECT d.* FROM d LEFT JOIN reps ON d.doc_id = reps.doc_id " +
         "WHERE reps.doc_id IS NULL OR reps.rep = d.doc_id), " +
-        // decontamination: curated docs sharing more than maxOverlap=7
-        // distinct trigrams with the eval split are dropped
+        // decontamination: curated docs with ABOVE-MEDIAN distinct
+        // trigram overlap vs the eval split are dropped (the gate's
+        // scale-free threshold; quantile_cont == Spark's exact
+        // percentile, both R-7 linear interpolation)
         s"te AS (SELECT DISTINCT unnest(sh) AS g FROM (SELECT doc_id, $Sh AS sh FROM " +
         s"(SELECT doc_id, $W AS ws FROM documents WHERE doc_id % 7 = 0))), " +
         "ti AS (SELECT c.doc_id, unnest(s.sh) AS g FROM cur c JOIN shd s ON c.doc_id = s.doc_id), " +
         "ov AS (SELECT ti.doc_id, count(DISTINCT ti.g) AS n FROM ti JOIN te ON ti.g = te.g GROUP BY ti.doc_id), " +
-        "clean AS (SELECT c.* FROM cur c LEFT JOIN ov ON c.doc_id = ov.doc_id WHERE COALESCE(ov.n, 0) <= 7), " +
+        "ovall AS (SELECT c.doc_id, COALESCE(ov.n, 0) AS n FROM cur c LEFT JOIN ov ON c.doc_id = ov.doc_id), " +
+        "med AS (SELECT quantile_cont(n, 0.5) AS m FROM ovall), " +
+        "clean AS (SELECT c.* FROM cur c JOIN ovall o ON c.doc_id = o.doc_id CROSS JOIN med WHERE o.n <= med.m), " +
         s"red AS (SELECT doc_id, source, ws, regexp_replace(regexp_replace(text, " +
         s"'${TextOps.EmailPattern}', '<EMAIL>', 'g'), '${TextOps.NumberPattern}', '<NUM>', 'g') AS text_clean FROM clean), " +
         "samp AS (SELECT * FROM (SELECT doc_id, source, text_clean, ws, " +
@@ -1014,7 +1035,7 @@ object PipelineQueries {
     "dedup_ngram_capped" ->
       (s"WITH inv AS (SELECT doc_id, unnest(sh) AS g FROM $ShTable), " +
         "surv AS (SELECT doc_id, g FROM inv WHERE g IN " +
-        "(SELECT g FROM inv GROUP BY g HAVING count(*) <= 2)), " +
+        "(SELECT g FROM inv GROUP BY g HAVING count(*) <= greatest(2, ceil((SELECT count(*) FROM documents) / 250.0)))), " +
         "cnt AS (SELECT doc_id, count(*) AS nsur FROM surv GROUP BY doc_id), " +
         "i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter " +
         "FROM surv a JOIN surv b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
