@@ -23,9 +23,6 @@ import org.apache.spark.sql.functions._
 object GenData {
 
   def main(args: Array[String]): Unit = {
-    val src = args(0)
-    val dst = args(1)
-    val factor = if (args.length > 2) args(2).toInt else 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -34,7 +31,15 @@ object GenData {
       .config("spark.sql.session.timeZone", "UTC")
       .appName("graft-gendata")
       .getOrCreate()
+    run(spark, args(0), args(1), if (args.length > 2) args(2).toInt else 10,
+      cpus.toInt)
+    spark.stop()
+  }
 
+  /** Generate into `dst`; pure function of (src contents, factor). */
+  def run(spark: SparkSession, src: String, dst: String, factor: Int,
+          outParts: Int = 32): Unit = {
+    val cpus = outParts.toString
     val Shift = 10000000L
 
     def copy(name: String): Unit =
@@ -106,6 +111,5 @@ object GenData {
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
     println(s"GENDATA done: $dst factor=$factor docs=$nDocs vecs=$nVecs")
-    spark.stop()
   }
 }
