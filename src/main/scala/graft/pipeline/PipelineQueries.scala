@@ -250,11 +250,11 @@ object PipelineQueries {
 
     // ---- multimodal -----------------------------------------------------
 
-    // image rows are REAL binary PGMs (P5 header + pixel array) and
-    // the decode is a real codec: the oracle re-derives the pixel
-    // array independently and checks decoded-pixel statistics
-    // (min/max/sum), not just container metadata. Audio/video stay
-    // behind the marked GMM1 stub (no codec libs in-sandbox)
+    // every kind is a REAL container with a real pure-JVM codec:
+    // P5 PGM images, RIFF PCM16 WAVs, mono Y4M video streams. The
+    // oracle re-derives pixels / signed samples / per-frame planes
+    // independently from the source text and checks decoded-VALUE
+    // statistics (min/max/sum), not just container metadata
     "multimodal_decode" -> ((s, dir) => {
       val decoded = Multimodal.decode(s, Multimodal.synthesize(s, docs(s, dir)))
       decoded.toDF()
@@ -265,10 +265,11 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
-    // resize then decode: PGM images are REALLY resampled (nearest
-    // neighbor, integer index math) — the oracle replays the resample
-    // and checks the resulting pixels; stub kinds get header-rewrite
-    // semantics with payload untouched
+    // resize then decode: PGM images AND every Y4M frame are REALLY
+    // resampled (nearest neighbor, integer index math) — the oracle
+    // replays the resample and checks the resulting pixels; audio has
+    // no spatial dimensions, so the resize passes WAV rows through
+    // and the oracle expects their original decode
     "multimodal_transform" -> ((s, dir) => {
       val media = Multimodal.resize(s, Multimodal.synthesize(s, docs(s, dir)), 32, 24)
       Multimodal.decode(s, media).toDF()
@@ -278,8 +279,9 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
-    // frame sampling: every 2nd 256-byte frame of video payloads,
-    // single frame 0 for other kinds; per-frame checksums
+    // frame sampling: every 2nd REAL Y4M frame of video streams
+    // (n_bytes = the frame's plane size), single frame 0 (first 256
+    // payload bytes) for other kinds; per-frame checksums
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(s, Multimodal.synthesize(s, docs(s, dir)), 2)
         .toDF().orderBy("doc_id", "frame_idx")),
@@ -1077,24 +1079,34 @@ object PipelineQueries {
     "ann_ivf_topk" ->
       ("SELECT vec_id AS q_id, TRUE AS mean_recall_ok FROM embeddings WHERE vec_id < 10 ORDER BY q_id"),
 
-    // the image payload (PGM pixels = text bytes cycled to w*h) is
-    // re-derived INDEPENDENTLY and its statistics checked against the
-    // real decoder's output; stub kinds stat their raw sample bytes
+    // each payload is re-derived INDEPENDENTLY from the source text:
+    // PGM pixels = text bytes cycled to w*h; WAV samples = b*257-32768
+    // (signed PCM16, data bytes [b, b+128]); Y4M frame f pixels =
+    // bytes cycled with shift 11*f. Statistics are checked against
+    // the real decoders' DECODED VALUES (signed samples for audio)
     "multimodal_decode" ->
       ("WITH d AS (SELECT doc_id, text, CAST(strlen(text) AS INT) AS n, " +
-        "CAST(16 + strlen(text) % 64 AS INT) AS w, CAST(16 + (strlen(text) * 7) % 64 AS INT) AS h, " +
         "['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind FROM documents), " +
-        "px AS (SELECT d.*, CASE WHEN kind = 'image' " +
-        "THEN [ascii(substring(text, CAST(i % n AS INT) + 1, 1)) for i in range(0, w * h)] " +
-        "ELSE list_transform(string_split(text, ''), c -> ascii(c)) END AS p FROM d) " +
-        "SELECT doc_id, kind, w AS width, h AS height, " +
-        "CAST(len(p) AS INT) AS n_payload_bytes, " +
-        "CAST(CASE kind WHEN 'image' THEN 1 WHEN 'audio' THEN 1 + n // 128 ELSE 1 + n // 256 END AS INT) AS n_frames, " +
-        "CAST(list_sum(p) % 1000000007 AS BIGINT) AS checksum, " +
-        "CAST(16 AS INT) AS feat_dim, " +
-        "CAST(list_min(p) AS INT) AS px_min, CAST(list_max(p) AS INT) AS px_max, " +
-        "CAST(list_sum(p) AS BIGINT) AS px_sum " +
-        "FROM px ORDER BY doc_id"),
+        "img AS (SELECT doc_id, kind, CAST(16 + n % 64 AS INT) AS width, CAST(16 + (n * 7) % 64 AS INT) AS height, " +
+        "[ascii(substring(text, CAST(i % n AS INT) + 1, 1)) for i in range(0, (16 + n % 64) * (16 + (n * 7) % 64))] AS p " +
+        "FROM d WHERE kind = 'image'), " +
+        "imgo AS (SELECT doc_id, kind, width, height, CAST(len(p) AS INT) AS n_payload_bytes, CAST(1 AS INT) AS n_frames, " +
+        "CAST(list_sum(p) % 1000000007 AS BIGINT) AS checksum, CAST(16 AS INT) AS feat_dim, " +
+        "CAST(list_min(p) AS INT) AS px_min, CAST(list_max(p) AS INT) AS px_max, CAST(list_sum(p) AS BIGINT) AS px_sum FROM img), " +
+        "aud AS (SELECT doc_id, kind, n, list_transform(string_split(text, ''), c -> ascii(c)) AS b FROM d WHERE kind = 'audio'), " +
+        "audo AS (SELECT doc_id, kind, CAST(8000 AS INT) AS width, CAST(1 AS INT) AS height, " +
+        "CAST(2 * n AS INT) AS n_payload_bytes, CAST(n AS INT) AS n_frames, " +
+        "CAST((2 * list_sum(b) + 128 * n) % 1000000007 AS BIGINT) AS checksum, CAST(16 AS INT) AS feat_dim, " +
+        "CAST(257 * list_min(b) - 32768 AS INT) AS px_min, CAST(257 * list_max(b) - 32768 AS INT) AS px_max, " +
+        "CAST(257 * list_sum(b) - 32768 * n AS BIGINT) AS px_sum FROM aud), " +
+        "vid AS (SELECT doc_id, kind, text, n, CAST(8 + n % 24 AS INT) AS width, CAST(8 + (n * 5) % 24 AS INT) AS height, " +
+        "CAST(2 + n % 3 AS INT) AS nf FROM d WHERE kind = 'video'), " +
+        "vidp AS (SELECT doc_id, kind, width, height, nf, flatten(list_transform(range(0, nf), f -> " +
+        "list_transform(range(0, width * height), i -> ascii(substring(text, CAST((i + 11 * f) % n AS INT) + 1, 1))))) AS p FROM vid), " +
+        "vido AS (SELECT doc_id, kind, width, height, CAST(len(p) AS INT) AS n_payload_bytes, nf AS n_frames, " +
+        "CAST(list_sum(p) % 1000000007 AS BIGINT) AS checksum, CAST(16 AS INT) AS feat_dim, " +
+        "CAST(list_min(p) AS INT) AS px_min, CAST(list_max(p) AS INT) AS px_max, CAST(list_sum(p) AS BIGINT) AS px_sum FROM vidp) " +
+        "SELECT * FROM (SELECT * FROM imgo UNION ALL SELECT * FROM audo UNION ALL SELECT * FROM vido) ORDER BY doc_id"),
 
     "stream_sketch_incremental" ->
       ("SELECT source, TRUE AS multi_batch_ok, TRUE AS rows_ok, TRUE AS bloom_ok, TRUE AS hll_ok " +
@@ -1105,42 +1117,60 @@ object PipelineQueries {
         "TRUE AS rows_ok, TRUE AS bloom_ok, TRUE AS hll_ok " +
         "FROM (SELECT DISTINCT source FROM documents) ORDER BY source"),
 
-    // images: replay the nearest-neighbor resample to 32x24 with the
-    // same integer index math ((y*h0)//24, (x*w0)//32) and check the
-    // RESAMPLED pixels; stub kinds keep payload-untouched semantics
+    // images AND every Y4M frame: replay the nearest-neighbor
+    // resample to 32x24 with the same integer index math
+    // ((y*h0)//24, (x*w0)//32) and check the RESAMPLED pixels; audio
+    // rows pass through the spatial resize untouched, so the oracle
+    // expects their original signed-sample decode
     "multimodal_transform" ->
       ("WITH d AS (SELECT doc_id, text, CAST(strlen(text) AS INT) AS n, " +
-        "CAST(16 + strlen(text) % 64 AS INT) AS w0, CAST(16 + (strlen(text) * 7) % 64 AS INT) AS h0, " +
         "['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind FROM documents), " +
-        "src AS (SELECT d.*, CASE WHEN kind = 'image' " +
-        "THEN [ascii(substring(text, CAST(i % n AS INT) + 1, 1)) for i in range(0, w0 * h0)] " +
-        "ELSE list_transform(string_split(text, ''), c -> ascii(c)) END AS p FROM d), " +
-        "o AS (SELECT doc_id, kind, CASE WHEN kind = 'image' " +
-        "THEN [p[CAST((i // 32) * h0 // 24 AS INT) * w0 + CAST((i % 32) * w0 // 32 AS INT) + 1] for i in range(0, 768)] " +
-        "ELSE p END AS q FROM src) " +
-        "SELECT doc_id, kind, CAST(32 AS INT) AS width, CAST(24 AS INT) AS height, " +
-        "CAST(len(q) AS INT) AS n_payload_bytes, " +
+        "img AS (SELECT doc_id, kind, text, n, CAST(16 + n % 64 AS INT) AS w0, CAST(16 + (n * 7) % 64 AS INT) AS h0 " +
+        "FROM d WHERE kind = 'image'), " +
+        "imgp AS (SELECT doc_id, kind, w0, h0, [ascii(substring(text, CAST(i % n AS INT) + 1, 1)) for i in range(0, w0 * h0)] AS p FROM img), " +
+        "imgo AS (SELECT doc_id, kind, CAST(32 AS INT) AS width, CAST(24 AS INT) AS height, " +
+        "CAST(768 AS INT) AS n_payload_bytes, " +
+        "[p[CAST((i // 32) * h0 // 24 AS INT) * w0 + CAST((i % 32) * w0 // 32 AS INT) + 1] for i in range(0, 768)] AS q FROM imgp), " +
+        "aud AS (SELECT doc_id, kind, n, list_transform(string_split(text, ''), c -> ascii(c)) AS b FROM d WHERE kind = 'audio'), " +
+        "audo AS (SELECT doc_id, kind, CAST(8000 AS INT) AS width, CAST(1 AS INT) AS height, " +
+        "CAST(2 * n AS INT) AS n_payload_bytes, " +
+        "CAST((2 * list_sum(b) + 128 * n) % 1000000007 AS BIGINT) AS checksum, " +
+        "CAST(257 * list_min(b) - 32768 AS INT) AS px_min, CAST(257 * list_max(b) - 32768 AS INT) AS px_max, " +
+        "CAST(257 * list_sum(b) - 32768 * n AS BIGINT) AS px_sum FROM aud), " +
+        "vid AS (SELECT doc_id, kind, text, n, CAST(8 + n % 24 AS INT) AS w0, CAST(8 + (n * 5) % 24 AS INT) AS h0, " +
+        "CAST(2 + n % 3 AS INT) AS nf FROM d WHERE kind = 'video'), " +
+        "vido AS (SELECT doc_id, kind, CAST(32 AS INT) AS width, CAST(24 AS INT) AS height, " +
+        "CAST(nf * 768 AS INT) AS n_payload_bytes, flatten(list_transform(range(0, nf), f -> " +
+        "list_transform(range(0, 768), i -> ascii(substring(text, " +
+        "CAST(((CAST((i // 32) * h0 // 24 AS INT) * w0 + CAST((i % 32) * w0 // 32 AS INT)) + 11 * f) % n AS INT) + 1, 1))))) AS q FROM vid), " +
+        "spatial AS (SELECT doc_id, kind, width, height, n_payload_bytes, " +
         "CAST(list_sum(q) % 1000000007 AS BIGINT) AS checksum, " +
-        "CAST(list_min(q) AS INT) AS px_min, CAST(list_max(q) AS INT) AS px_max, " +
-        "CAST(list_sum(q) AS BIGINT) AS px_sum " +
-        "FROM o ORDER BY doc_id"),
+        "CAST(list_min(q) AS INT) AS px_min, CAST(list_max(q) AS INT) AS px_max, CAST(list_sum(q) AS BIGINT) AS px_sum " +
+        "FROM (SELECT * FROM imgo UNION ALL SELECT * FROM vido)) " +
+        "SELECT * FROM (SELECT * FROM spatial UNION ALL SELECT * FROM audo) ORDER BY doc_id"),
 
-    // image frame 0 is now the first 256 DECODED PIXELS (cycled text
-    // bytes), not the text prefix; audio/video keep GMM1 raw samples
+    // image/audio frame 0 = the first 256 bytes of the parser-located
+    // payload (decoded pixels / PCM data bytes [b, b+128] per
+    // sample); video = every 2nd REAL Y4M frame, n_bytes = the
+    // frame's w*h plane, checksum over that frame's shifted pixels
     "multimodal_frames" ->
       ("WITH d AS (SELECT doc_id, ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind, " +
-        "text, CAST(strlen(text) AS INT) AS len, " +
-        "CAST(16 + strlen(text) % 64 AS INT) AS w, CAST(16 + (strlen(text) * 7) % 64 AS INT) AS h FROM documents), " +
-        "a AS (SELECT doc_id, kind, text, len, unnest(range(0, (len + 255) // 256, 2)) AS f FROM d WHERE kind = 'video' " +
-        "UNION ALL SELECT doc_id, kind, text, len, 0 AS f FROM d WHERE kind = 'audio'), " +
-        "vf AS (SELECT doc_id, kind, CAST(f AS INT) AS frame_idx, CAST(least(256, len - f * 256) AS INT) AS n_bytes, " +
-        "CAST(list_sum(list_transform(string_split(substring(text, CAST(f * 256 + 1 AS INT), CAST(least(256, len - f * 256) AS INT)), ''), c -> ascii(c))) % 1000000007 AS BIGINT) AS checksum " +
-        "FROM a), " +
+        "text, CAST(strlen(text) AS INT) AS n FROM documents), " +
         "imf AS (SELECT doc_id, kind, CAST(0 AS INT) AS frame_idx, " +
-        "CAST(least(256, w * h) AS INT) AS n_bytes, " +
-        "CAST(list_sum([ascii(substring(text, CAST(i % len AS INT) + 1, 1)) for i in range(0, least(256, w * h))]) % 1000000007 AS BIGINT) AS checksum " +
-        "FROM d WHERE kind = 'image') " +
-        "SELECT * FROM (SELECT * FROM vf UNION ALL SELECT * FROM imf) ORDER BY doc_id, frame_idx"),
+        "CAST(least(256, (16 + n % 64) * (16 + (n * 7) % 64)) AS INT) AS n_bytes, " +
+        "CAST(list_sum([ascii(substring(text, CAST(i % n AS INT) + 1, 1)) " +
+        "for i in range(0, least(256, (16 + n % 64) * (16 + (n * 7) % 64)))]) % 1000000007 AS BIGINT) AS checksum " +
+        "FROM d WHERE kind = 'image'), " +
+        "auf AS (SELECT doc_id, kind, CAST(0 AS INT) AS frame_idx, CAST(least(256, 2 * n) AS INT) AS n_bytes, " +
+        "CAST((2 * list_sum(list_transform(string_split(substring(text, 1, CAST(least(128, n) AS INT)), ''), c -> ascii(c))) " +
+        "+ 128 * least(128, n)) % 1000000007 AS BIGINT) AS checksum " +
+        "FROM d WHERE kind = 'audio'), " +
+        "vid AS (SELECT doc_id, kind, text, n, CAST(8 + n % 24 AS INT) AS w, CAST(8 + (n * 5) % 24 AS INT) AS h, " +
+        "CAST(2 + n % 3 AS INT) AS nf FROM d WHERE kind = 'video'), " +
+        "vf AS (SELECT doc_id, kind, CAST(f AS INT) AS frame_idx, CAST(w * h AS INT) AS n_bytes, " +
+        "CAST(list_sum([ascii(substring(text, CAST((i + 11 * f) % n AS INT) + 1, 1)) for i in range(0, w * h)]) % 1000000007 AS BIGINT) AS checksum " +
+        "FROM (SELECT v.*, unnest(range(0, nf, 2)) AS f FROM vid v)) " +
+        "SELECT * FROM (SELECT * FROM imf UNION ALL SELECT * FROM auf UNION ALL SELECT * FROM vf) ORDER BY doc_id, frame_idx"),
 
     "stream_windowed_hll" ->
       ("SELECT CAST(time_bucket(INTERVAL '6 hours', ts) AS VARCHAR) AS window_start, event_type, " +

@@ -138,7 +138,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.forall(_.getBoolean(1)), "per-query IVF recall floor")
   }
 
-  test("multimodal: PGM images really decode (pixel stats); GMM1 stub kinds decode header + sample stats") {
+  test("multimodal: all three kinds decode through REAL codecs (PGM pixels, WAV signed samples, Y4M frames)") {
     val decoded = Multimodal.decode(spark, Multimodal.synthesize(spark, docs))
       .collect().map(d => d.doc_id -> d).toMap
     val truth = docs.select(col("doc_id").cast("long"), col("text")).collect()
@@ -147,19 +147,72 @@ class PipelineSpec extends AnyFunSuite {
     truth.foreach { case (id, text) =>
       val d = decoded(id)
       val bytes = text.getBytes("UTF-8")
-      val (w, h) = (16 + bytes.length % 64, 16 + (bytes.length * 7) % 64)
-      assert(d.width == w && d.height == h)
-      val payload: Seq[Int] =
-        if (id % 3 == 0) (0 until w * h).map(i => bytes(i % bytes.length) & 0xff)
-        else bytes.map(_ & 0xff).toSeq
-      assert(d.n_payload_bytes == payload.length)
-      assert(d.checksum == payload.map(_.toLong).sum % 1000000007L)
-      assert((d.px_min, d.px_max, d.px_sum) ==
-        ((payload.min, payload.max, payload.map(_.toLong).sum)),
-        s"decoded stats for doc $id")
-      assert(d.feat.length == 16 && math.abs(d.feat.sum - payload.length) < 1e-9,
-        "histogram mass equals sample count")
-      assert(d.n_frames >= 1)
+      val n = bytes.length
+      id % 3 match {
+        case 0 => // PGM image: pixel stats over cycled text bytes
+          val (w, h) = (16 + n % 64, 16 + (n * 7) % 64)
+          assert(d.width == w && d.height == h && d.n_frames == 1)
+          val px = (0 until w * h).map(i => bytes(i % n) & 0xff)
+          assert(d.n_payload_bytes == px.length)
+          assert(d.checksum == px.map(_.toLong).sum % 1000000007L)
+          assert((d.px_min, d.px_max, d.px_sum) == ((px.min, px.max, px.map(_.toLong).sum)))
+          assert(d.feat.length == 16 && math.abs(d.feat.sum - px.length) < 1e-9)
+        case 1 => // WAV: stats over SIGNED samples b*257-32768, checksum over data bytes
+          assert(d.width == 8000 && d.height == 1, "sample rate / channels")
+          assert(d.n_payload_bytes == 2 * n && d.n_frames == n)
+          val s = bytes.map(b => (b & 0xff) * 257 - 32768)
+          assert((d.px_min, d.px_max, d.px_sum) == ((s.min, s.max, s.map(_.toLong).sum)))
+          // little-endian PCM16 bytes of b*257-32768 are [b, b+128] for ASCII
+          val byteSum = bytes.map(b => 2L * (b & 0xff) + 128L).sum
+          assert(d.checksum == byteSum % 1000000007L)
+          assert(d.feat.length == 16 && math.abs(d.feat.sum - n) < 1e-9)
+        case _ => // Y4M: real frame count, stats over every frame's shifted pixels
+          val (w, h, nf) = (8 + n % 24, 8 + (n * 5) % 24, 2 + n % 3)
+          assert(d.width == w && d.height == h && d.n_frames == nf)
+          val px = for { f <- 0 until nf; i <- 0 until w * h } yield bytes((i + 11 * f) % n) & 0xff
+          assert(d.n_payload_bytes == nf * w * h)
+          assert(d.checksum == px.map(_.toLong).sum % 1000000007L)
+          assert((d.px_min, d.px_max, d.px_sum) == ((px.min, px.max, px.map(_.toLong).sum)))
+          assert(d.feat.length == 16 && math.abs(d.feat.sum - px.length) < 1e-9)
+      }
+    }
+  }
+
+  test("WAV codec: hand-built RIFF with an extra chunk round-trips; chunk walker honors word alignment") {
+    // 3 samples spanning the signed range, plus a 3-byte (odd) LIST
+    // chunk BEFORE data to force the word-aligned skip path
+    val samples = Array[Short](-32768, 0, 32767)
+    val canonical = MultimodalCodec.buildWav(44100, samples)
+    val extra = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 1, 2, 3, 0) // 3-byte chunk + pad
+    val m = canonical.take(36) ++ extra ++ canonical.drop(36)
+    // patch RIFF size for the inserted chunk
+    val riffSize = m.length - 8
+    m(4) = riffSize.toByte; m(5) = (riffSize >> 8).toByte; m(6) = (riffSize >> 16).toByte; m(7) = (riffSize >> 24).toByte
+    val d = MultimodalCodec.decodeWav(Multimodal.MediaRow(1L, "audio", m))
+    assert((d.width, d.height, d.n_frames, d.n_payload_bytes) == ((44100, 1, 3, 6)))
+    assert((d.px_min, d.px_max, d.px_sum) == ((-32768, 32767, -1L)))
+    // data bytes: 0x00 0x80, 0x00 0x00, 0xff 0x7f
+    assert(d.checksum == (0x00 + 0x80 + 0x00 + 0x00 + 0xff + 0x7f).toLong)
+  }
+
+  test("Y4M codec: hand-built two-frame stream parses, samples real frames, and resize resamples every frame") {
+    val f0 = Array[Byte](10, 20, 30, 40)
+    val f1 = Array[Byte](50, 60, 70, 80)
+    val m = MultimodalCodec.buildY4m(2, 2, Array(f0, f1))
+    val d = MultimodalCodec.decodeY4m(Multimodal.MediaRow(2L, "video", m))
+    assert((d.width, d.height, d.n_frames, d.n_payload_bytes) == ((2, 2, 2, 8)))
+    assert((d.px_min, d.px_max, d.px_sum) == ((10, 80, 360L)))
+    val y4m = MultimodalCodec.y4mFrames(m)
+    assert(y4m.frameOffsets.length == 2 && y4m.frameBytes == 4)
+    // every frame upsamples 2x2 -> 4x4 as 2x2 blocks
+    val up = MultimodalCodec.resizeY4m(m, 4, 4)
+    val upS = MultimodalCodec.y4mFrames(up)
+    assert((upS.width, upS.height, upS.frameOffsets.length) == ((4, 4, 2)))
+    val frame1 = up.slice(upS.frameOffsets(1), upS.frameOffsets(1) + 16).map(_ & 0xff).toSeq
+    assert(frame1 == Seq(50, 50, 60, 60, 50, 50, 60, 60, 70, 70, 80, 80, 70, 70, 80, 80))
+    // a frame-rate tag and frame params don't confuse the parser; C420 default is rejected
+    intercept[IllegalArgumentException] {
+      MultimodalCodec.y4mFrames("YUV4MPEG2 W2 H2 F30:1\nFRAME\n####".getBytes("US-ASCII"))
     }
   }
 
