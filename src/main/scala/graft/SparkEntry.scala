@@ -252,7 +252,7 @@ object SparkEntry {
     "q_sql_surface" -> ((s, dir) => {
       graft.agg.GraftFunctions.register(s)
       TokenTable.tokens(s, dir).createOrReplaceTempView("graft_toks")
-      // all 7 sketch aggregates + probes + a pure-SQL MERGE rollup
+      // all 8 sketch aggregates + probes + a pure-SQL MERGE rollup
       // (per-source HLLs merged to the global sketch, checked against
       // the true global distinct count) — the whole engine driven by
       // SQL text through the graft_* registry
@@ -266,6 +266,7 @@ object SparkEntry {
                  graft_cms_agg(token, 0.0001, 0.01) AS cms,
                  graft_tdigest_agg(CAST(token AS DOUBLE), 100.0) AS td,
                  graft_kll_agg(CAST(token AS DOUBLE), 200) AS kll,
+                 graft_freq_agg(token, 32) AS freq,
                  COUNT(*) AS n,
                  COUNT(DISTINCT token) AS nd,
                  MIN(token) AS probe_tok
@@ -281,6 +282,8 @@ object SparkEntry {
                ABS(graft_hll_estimate(hll) - nd) <= GREATEST(2.0, nd * 3 * 1.04 / SQRT(16384)) AS hll_ok,
                graft_cms_total(cms) = n AS cms_ok,
                graft_kll_n(kll) = n AS kll_ok,
+               graft_freq_total(freq) = n AND graft_freq_error(freq) * 33 <= n
+                 AND graft_freq_estimate(freq, probe_tok) <= n AS freq_ok,
                graft_tdigest_cdf(td, graft_tdigest_quantile(td, 0.5)) BETWEEN 0.4 AND 0.6 AS td_ok,
                ABS(g.global_est - truth.global_nd) <=
                  GREATEST(2.0, truth.global_nd * 3 * 1.04 / SQRT(16384)) AS merged_hll_ok
@@ -312,6 +315,29 @@ object SparkEntry {
           (cms_estimate(col("sk"), col("token").cast("string")) >= col("m_true") &&
             cms_estimate(col("sk"), col("token").cast("string")) <=
               col("m_true") + (col("n_total") * 1e-4).cast("long") + 1).as("cms_ok"))
+        .orderBy("source", "token")
+    }),
+
+    // Misra–Gries companion: per-source heavy hitters. The summary's
+    // counters depend on Spark's partial-agg merge order, so the gate
+    // asserts the ORDER-INVARIANT published guarantees per item:
+    // lower estimate <= true <= estimate + error, error*(k+1) <= n
+    // (exact integer form of error <= n/(k+1)), and completeness —
+    // any token with true > error must be tracked
+    "freq_heavy_hitters" -> ((s, dir) => {
+      val toks = TokenTable.tokens(s, dir)
+      val k = 32
+      val sk = toks.groupBy("source").agg(
+        freq_agg(col("token").cast("string"), k).as("sk"),
+        count(lit(1)).as("n_total"))
+      val truth = toks.groupBy("source", "token").agg(count(lit(1)).as("m_true"))
+      val est = freq_estimate(col("sk"), col("token").cast("string"))
+      truth.join(broadcast(sk), Seq("source"))
+        .select(col("source"), col("token"), col("m_true"),
+          (est <= col("m_true")).as("under_ok"),
+          (col("m_true") <= est + freq_error(col("sk"))).as("bound_ok"),
+          (col("m_true") <= freq_error(col("sk")) || est > 0L).as("heavy_tracked_ok"),
+          (freq_error(col("sk")) * (k + 1) <= col("n_total")).as("err_within_published"))
         .orderBy("source", "token")
     }),
 
@@ -439,7 +465,7 @@ object SparkEntry {
         ") AS t(step, op, result) ORDER BY step"),
     "q_sql_surface" ->
       (s"SELECT source, count(*) AS n, TRUE AS bloom_ok, TRUE AS sbf_ok, TRUE AS lbf_ok, " +
-        "TRUE AS hll_ok, TRUE AS cms_ok, TRUE AS kll_ok, TRUE AS td_ok, TRUE AS merged_hll_ok " +
+        "TRUE AS hll_ok, TRUE AS cms_ok, TRUE AS kll_ok, TRUE AS freq_ok, TRUE AS td_ok, TRUE AS merged_hll_ok " +
         s"FROM $tokensFrom GROUP BY source ORDER BY source"),
     "op_multi_filter_check" ->
       ("SELECT * FROM (VALUES " +
@@ -482,6 +508,10 @@ object SparkEntry {
         "FROM documents GROUP BY source ORDER BY source"),
     "cms_freq_bound" ->
       s"SELECT source, token, count(*) AS m_true, TRUE AS cms_ok FROM $tokensFrom GROUP BY source, token ORDER BY source, token",
+    "freq_heavy_hitters" ->
+      (s"SELECT source, token, count(*) AS m_true, TRUE AS under_ok, TRUE AS bound_ok, " +
+        s"TRUE AS heavy_tracked_ok, TRUE AS err_within_published FROM $tokensFrom " +
+        "GROUP BY source, token ORDER BY source, token"),
     "tdigest_quantiles" ->
       ("SELECT l_returnflag, count(*) AS n, TRUE AS q50_ok, TRUE AS q95_ok " +
         "FROM lineitem GROUP BY 1 ORDER BY 1"),

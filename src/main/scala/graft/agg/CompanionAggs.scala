@@ -47,6 +47,30 @@ case class CmsAgg(
   override def prettyName: String = "cms_agg"
 }
 
+/** Misra–Gries frequent-items aggregate over string keys. Merge order
+  * under partial aggregation follows task completion, so downstream
+  * assertions must use the guarantee (est <= true <= est + error,
+  * error <= n/(k+1)) — deterministic under ANY merge tree — not raw
+  * counter values (see FrequentItems scaladoc). */
+case class FreqAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends KeyedSketchAgg[FrequentItems] {
+
+  override def createAggregationBuffer(): FrequentItems = FrequentItems.create(k)
+  override protected def updateKey(buf: FrequentItems, key: Array[Byte], len: Int): Unit =
+    buf.update(new String(key, 0, len, java.nio.charset.StandardCharsets.UTF_8))
+  override def merge(a: FrequentItems, b: FrequentItems): FrequentItems = a.merge(b)
+  override def eval(buf: FrequentItems): Any = buf.serialize()
+  override def serialize(buf: FrequentItems): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): FrequentItems = FrequentItems.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(n: Int): FreqAgg = copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): FreqAgg = copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): FreqAgg = copy(child = c)
+  override def prettyName: String = "freq_agg"
+}
+
 /** Numeric sketch aggregates share double-input handling. */
 abstract class DoubleSketchAgg[T] extends TypedImperativeAggregate[T]
     with UnaryLike[Expression] {

@@ -94,3 +94,40 @@ case class KllN(child: Expression) extends SketchInspect[Kll] {
   override protected def withNewChildInternal(c: Expression) = copy(c)
   override def prettyName: String = "kll_n"
 }
+
+/** Misra–Gries lower estimate: 0 for untracked keys. Guarantee:
+  * estimate <= true <= estimate + freq_error (FrequentItems scaladoc). */
+case class FreqEstimate(left: Expression, right: Expression)
+    extends SketchProbe[FrequentItems] {
+  override def dataType: DataType = LongType
+  override protected def parse(bytes: Array[Byte]): FrequentItems = FrequentItems.deserialize(bytes)
+  override protected def probe(s: FrequentItems, key: Array[Byte], off: Int, len: Int): Any =
+    s.estimate(new String(key, off, len, java.nio.charset.StandardCharsets.UTF_8))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+  override def prettyName: String = "freq_estimate"
+}
+
+/** The summary's tracked per-item undercount bound (<= n/(k+1)). */
+case class FreqError(child: Expression) extends SketchInspect[FrequentItems] {
+  override def dataType: DataType = LongType
+  override protected def parse(bytes: Array[Byte]): FrequentItems = FrequentItems.deserialize(bytes)
+  override protected def inspect(s: FrequentItems): Any = s.error
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+  override def prettyName: String = "freq_error"
+}
+
+case class FreqTotal(child: Expression) extends SketchInspect[FrequentItems] {
+  override def dataType: DataType = LongType
+  override protected def parse(bytes: Array[Byte]): FrequentItems = FrequentItems.deserialize(bytes)
+  override protected def inspect(s: FrequentItems): Any = s.total
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+  override def prettyName: String = "freq_total"
+}
+
+case class FreqNumTracked(child: Expression) extends SketchInspect[FrequentItems] {
+  override def dataType: DataType = IntegerType
+  override protected def parse(bytes: Array[Byte]): FrequentItems = FrequentItems.deserialize(bytes)
+  override protected def inspect(s: FrequentItems): Any = s.numTracked
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+  override def prettyName: String = "freq_num_tracked"
+}

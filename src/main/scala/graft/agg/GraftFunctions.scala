@@ -42,6 +42,11 @@ object GraftFunctions {
   def cms_agg(key: Column, eps: Double = 1e-4, delta: Double = 0.01): Column =
     agg(CmsAgg(ex(key.cast("string")), eps, delta))
 
+  /** Misra–Gries heavy hitters: k counters, per-item undercount
+    * <= n/(k+1) under any merge order. */
+  def freq_agg(key: Column, k: Int = 64): Column =
+    agg(FreqAgg(ex(key.cast("string")), k))
+
   def tdigest_agg(value: Column, compression: Double = 100.0): Column =
     agg(TDigestAgg(ex(value.cast("double")), compression))
 
@@ -55,6 +60,7 @@ object GraftFunctions {
   def lbf_merge_agg(sketch: Column): Column = agg(LbfMergeAgg(ex(sketch)))
   def hll_merge_agg(sketch: Column): Column = agg(HllMergeAgg(ex(sketch)))
   def cms_merge_agg(sketch: Column): Column = agg(CmsMergeAgg(ex(sketch)))
+  def freq_merge_agg(sketch: Column): Column = agg(FreqMergeAgg(ex(sketch)))
   def tdigest_merge_agg(sketch: Column): Column = agg(TDigestMergeAgg(ex(sketch)))
   def kll_merge_agg(sketch: Column): Column = agg(KllMergeAgg(ex(sketch)))
 
@@ -72,6 +78,10 @@ object GraftFunctions {
   def hll_estimate(sketch: Column): Column = col(HllEstimate(ex(sketch)))
   def cms_estimate(sketch: Column, key: Column): Column = col(CmsEstimate(ex(sketch), ex(key.cast("string"))))
   def cms_total(sketch: Column): Column = col(CmsTotal(ex(sketch)))
+  def freq_estimate(sketch: Column, key: Column): Column = col(FreqEstimate(ex(sketch), ex(key.cast("string"))))
+  def freq_error(sketch: Column): Column = col(FreqError(ex(sketch)))
+  def freq_total(sketch: Column): Column = col(FreqTotal(ex(sketch)))
+  def freq_num_tracked(sketch: Column): Column = col(FreqNumTracked(ex(sketch)))
   def tdigest_quantile(sketch: Column, q: Column): Column = col(TDigestQuantile(ex(sketch), ex(q.cast("double"))))
   def tdigest_cdf(sketch: Column, x: Column): Column = col(TDigestCdf(ex(sketch), ex(x.cast("double"))))
   def kll_quantile(sketch: Column, q: Column): Column = col(KllQuantile(ex(sketch), ex(q.cast("double"))))
@@ -126,6 +136,13 @@ object GraftFunctions {
         if (es.length > 1) lit2Double(es(1)) else 1e-4,
         if (es.length > 2) lit2Double(es(2)) else 0.01),
       org.apache.spark.sql.catalyst.expressions.aggregate.Complete, isDistinct = false))
+    add("graft_freq_agg")(es => AggregateExpression(
+      FreqAgg(Cast(es.head, StringType), if (es.length > 1) lit2Int(es(1)) else 64),
+      org.apache.spark.sql.catalyst.expressions.aggregate.Complete, isDistinct = false))
+    add("graft_freq_estimate")(es => FreqEstimate(es.head, Cast(es(1), StringType)))
+    add("graft_freq_error")(es => FreqError(es.head))
+    add("graft_freq_total")(es => FreqTotal(es.head))
+    add("graft_freq_num_tracked")(es => FreqNumTracked(es.head))
     add("graft_tdigest_agg")(es => AggregateExpression(
       TDigestAgg(Cast(es.head, DoubleType), if (es.length > 1) lit2Double(es(1)) else 100.0),
       org.apache.spark.sql.catalyst.expressions.aggregate.Complete, isDistinct = false))
@@ -148,6 +165,7 @@ object GraftFunctions {
     addMerge("graft_lbf_merge_agg")(LbfMergeAgg(_))
     addMerge("graft_hll_merge_agg")(HllMergeAgg(_))
     addMerge("graft_cms_merge_agg")(CmsMergeAgg(_))
+    addMerge("graft_freq_merge_agg")(FreqMergeAgg(_))
     addMerge("graft_tdigest_merge_agg")(TDigestMergeAgg(_))
     addMerge("graft_kll_merge_agg")(KllMergeAgg(_))
     acc.toSeq

@@ -144,3 +144,15 @@ case class KllMergeAgg(child: Expression,
   override protected def withNewChildInternal(c: Expression): KllMergeAgg = copy(child = c)
   override def prettyName: String = "kll_merge_agg"
 }
+
+case class FreqMergeAgg(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends SketchMergeAgg[FrequentItems] {
+  override protected def fromBytes(b: Array[Byte]): FrequentItems = FrequentItems.deserialize(b)
+  override protected def mergeSketch(a: FrequentItems, b: FrequentItems): FrequentItems = a.merge(b)
+  override protected def toBytes(s: FrequentItems): Array[Byte] = s.serialize()
+  override def withNewMutableAggBufferOffset(n: Int): FreqMergeAgg = copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): FreqMergeAgg = copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): FreqMergeAgg = copy(child = c)
+  override def prettyName: String = "freq_merge_agg"
+}

@@ -526,13 +526,15 @@ object PipelineQueries {
         hll_agg(col("token").cast("string"), 14).as("hll"),
         cms_agg(col("token").cast("string"), 1e-4, 0.01).as("cms"),
         tdigest_agg(col("token"), 100.0).as("td"),
-        kll_agg(col("token"), 200).as("kll"))
+        kll_agg(col("token"), 200).as("kll"),
+        freq_agg(col("token").cast("string"), 32).as("freq"))
       val rolled = perSource.agg(
         bloom_merge_agg(col("bloom")).as("bloom"),
         hll_merge_agg(col("hll")).as("hll"),
         cms_merge_agg(col("cms")).as("cms"),
         tdigest_merge_agg(col("td")).as("td"),
-        kll_merge_agg(col("kll")).as("kll"))
+        kll_merge_agg(col("kll")).as("kll"),
+        freq_merge_agg(col("freq")).as("freq"))
       val direct = toks.agg(
         bloom_agg(col("token").cast("string"), 100000L, 1e-4).as("bloom_d"),
         hll_agg(col("token").cast("string"), 14).as("hll_d"),
@@ -545,7 +547,11 @@ object PipelineQueries {
         (hll_estimate(col("hll")) === hll_estimate(col("hll_d"))).as("hll_ok"),
         (cms_total(col("cms")) === col("n")).as("cms_ok"),
         (abs(tdigest_quantile(col("td"), lit(0.5)) - tdigest_quantile(col("td_d"), lit(0.5))) <= lit(1.0)).as("td_ok"),
-        (kll_n(col("kll")) === col("n")).as("kll_ok"))
+        (kll_n(col("kll")) === col("n")).as("kll_ok"),
+        // MG counters are merge-order-dependent; the rollup must still
+        // conserve weight and keep error inside the published n/(k+1)
+        (freq_total(col("freq")) === col("n") &&
+          freq_error(col("freq")) * 33 <= col("n")).as("freq_ok"))
     }),
 
     // the C daemon's line protocol (conn_handler.c), replayed over a
@@ -1209,7 +1215,8 @@ object PipelineQueries {
         "FROM (SELECT DISTINCT source FROM documents) ORDER BY source"),
 
     "sketch_rollup" ->
-      "SELECT TRUE AS bloom_ok, TRUE AS hll_ok, TRUE AS cms_ok, TRUE AS td_ok, TRUE AS kll_ok",
+      ("SELECT TRUE AS bloom_ok, TRUE AS hll_ok, TRUE AS cms_ok, TRUE AS td_ok, " +
+        "TRUE AS kll_ok, TRUE AS freq_ok"),
 
     "op_c_wire_trace" -> CWireTraceOracle,
 

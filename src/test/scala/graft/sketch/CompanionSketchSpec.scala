@@ -158,4 +158,54 @@ class CompanionSketchSpec extends AnyFunSuite {
       assert(d < 0.03, s"q=$q ours=${ours.quantile(q)} ds=${ds.getQuantile(q)}")
     }
   }
+
+  test("Misra-Gries: hand trace, exact counts when k >= distinct, vectorized decrement == per-unit") {
+    // classic trace at k=2: stream a a b c -> decrement op on c
+    val mg = FrequentItems.create(2)
+    Seq("a", "a", "b", "c").foreach(mg.update(_))
+    assert(mg.estimate("a") == 1L && mg.estimate("b") == 0L && mg.estimate("c") == 0L)
+    assert(mg.error == 1L && mg.total == 4L)
+    // no truncation possible when k >= number of distinct items: exact
+    val exact = FrequentItems.create(3)
+    val stream = Seq("x", "y", "x", "z", "x", "y")
+    stream.foreach(exact.update(_))
+    assert(exact.items() == Seq(("x", 3L), ("y", 2L), ("z", 1L)) && exact.error == 0L)
+    // bulk update(inc) must equal inc repeated unit updates
+    val bulk = FrequentItems.create(2)
+    val unit = FrequentItems.create(2)
+    val ops = Seq(("a", 5L), ("b", 3L), ("c", 4L), ("a", 2L), ("d", 7L), ("e", 1L))
+    ops.foreach { case (k, n) => bulk.update(k, n) }
+    ops.foreach { case (k, n) => (0L until n).foreach(_ => unit.update(k)) }
+    assert(bulk.items() == unit.items() && bulk.error == unit.error && bulk.total == unit.total)
+  }
+
+  test("Misra-Gries: guarantee holds on a skewed stream; serialize round-trips; DataSketches agrees") {
+    val rnd = new scala.util.Random(7)
+    val n = 20000
+    // zipf-ish: item i chosen with weight ~ 1/(i+1)
+    val items = Array.tabulate(n) { _ =>
+      val u = rnd.nextDouble()
+      ("it" + math.min((math.pow(200.0, u) - 1).toInt, 199)).intern()
+    }
+    val truth = items.groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+    val mg = FrequentItems.create(16)
+    items.foreach(mg.update(_))
+    assert(mg.total == n && mg.error * 17 <= n, s"error=${mg.error}")
+    truth.foreach { case (k, t) =>
+      val e = mg.estimate(k)
+      assert(e <= t && t <= e + mg.error, s"$k est=$e true=$t err=${mg.error}")
+      if (t > mg.error) assert(e > 0, s"heavy item $k untracked")
+    }
+    val rt = FrequentItems.deserialize(mg.serialize())
+    assert(rt.items() == mg.items() && rt.error == mg.error && rt.total == mg.total && rt.k == mg.k)
+
+    // cross-check the guarantee shape against DataSketches' frequent-items
+    val ds = new org.apache.datasketches.frequencies.ItemsSketch[String](64)
+    items.foreach(ds.update(_))
+    truth.foreach { case (k, t) =>
+      assert(ds.getLowerBound(k) <= t && t <= ds.getUpperBound(k))
+      val e = mg.estimate(k)
+      assert(e <= t && t <= e + mg.error)
+    }
+  }
 }

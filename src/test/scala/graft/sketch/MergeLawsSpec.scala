@@ -159,4 +159,44 @@ class MergeLawsSpec extends AnyFunSuite {
       }
     })
   }
+
+  private def mgOf(k: Int, ks: Seq[String]): FrequentItems = {
+    val m = FrequentItems.create(k)
+    ks.foreach(m.update(_))
+    m
+  }
+
+  test("misra-gries merge: published guarantee holds for ANY split and merge order; exact when nothing truncates") {
+    check(Prop.forAll(splits) { case (ks, i, j) =>
+      val truth = ks.groupBy(identity).map { case (key, v) => (key, v.length.toLong) }
+      val (p1, rest) = ks.splitAt(i)
+      val (p2, p3) = rest.splitAt(j - i)
+      val k = 8
+      // counters are merge-order-dependent, the GUARANTEE is not:
+      // est <= true <= est + error and error <= n/(k+1) for every
+      // association/commutation — the property Spark's completion-
+      // order partial merges rely on
+      val merged = Seq(
+        mgOf(k, p1).merge(mgOf(k, p2)).merge(mgOf(k, p3)),
+        mgOf(k, p1).merge(mgOf(k, p2).merge(mgOf(k, p3))),
+        mgOf(k, p3).merge(mgOf(k, p1)).merge(mgOf(k, p2)))
+      merged.forall { m =>
+        m.total == ks.length &&
+          m.error * (k + 1) <= m.total &&
+          truth.forall { case (key, t) =>
+            val e = m.estimate(key)
+            e <= t && t <= e + m.error && (t <= m.error || e > 0)
+          }
+      } && {
+        // with k >= distinct keys nothing decrements or truncates:
+        // any merge order equals the sequential build exactly
+        val kBig = truth.size
+        val seqAll = mgOf(kBig, ks)
+        val m1 = mgOf(kBig, p1).merge(mgOf(kBig, p2)).merge(mgOf(kBig, p3))
+        val m2 = mgOf(kBig, p2).merge(mgOf(kBig, p3).merge(mgOf(kBig, p1)))
+        m1.items() == seqAll.items() && m2.items() == seqAll.items() &&
+          m1.error == 0L && java.util.Arrays.equals(m1.serialize(), seqAll.serialize())
+      }
+    })
+  }
 }
