@@ -20,10 +20,15 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.explain("formatted")
+    // timed runs REBUILD the frame and sink to noop — the same window
+    // Bench measures, so gate-construction work (eager stage
+    // checkpoints, driver-side fixture actions) is counted, and no
+    // count()-triggered aggregate pruning skews the number
     (1 to 2).foreach { i =>
       val t0 = System.nanoTime()
-      val n = df.count()
-      println(f"[explain] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[explain] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }

@@ -175,9 +175,16 @@ object PipelineQueries {
         trainBase.withColumn("doc_id", col("doc_id") + 100000))
       val curated = Curation.curate(train, minJ = 0.5,
         pairSource = Curation.PairSource.Lsh(minJ = 0.5))
+      // stage boundary: materialize the curation survivors ONCE
+      // (eager localCheckpoint) — the median subquery, the decontam
+      // semi join and the final write all branch from this frame, and
+      // without the boundary each branch would replay the whole LSH
+      // curation DAG (a production pipeline commits stage outputs to
+      // the table store at exactly this point)
       val kept = train.select(col("doc_id").cast("long").as("doc_id"),
           col("text"), col("source"))
         .join(curated.select("doc_id", "lang_pred"), Seq("doc_id"))
+        .localCheckpoint()
       // SCALE-FREE decontamination threshold: the corpus's own median
       // eval-overlap (exact percentile — one tiny agg — replayed by
       // the oracle's quantile_cont). A fixed absolute threshold can't
@@ -185,7 +192,10 @@ object PipelineQueries {
       // universe saturates as the corpus grows, so every doc overlaps
       // the eval split and a constant cutoff drops everything (sf1)
       // or nearly nothing (sf0.001); the median always splits ~half
+      // second boundary: the overlap frame feeds both the median agg
+      // (an eager driver action) and the clean-id semi join
       val ovl = Decontam.overlap(kept, eval, n = 3, maxOverlap = 0)
+        .localCheckpoint()
       val med = Option(ovl.agg(expr("percentile(n_overlap, 0.5)")).head().get(0))
         .map(_.toString.toDouble).getOrElse(0.0)
       val cleanIds = ovl.filter(col("n_overlap") <= med)
