@@ -310,6 +310,19 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // always-on heavy hitters: per-batch Misra–Gries partials merged
+    // into catalog-sized state; the mergeable-summaries guarantee
+    // must hold against exact per-token truth no matter how the
+    // stream was batched
+    "stream_freq_heavy_hitters" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graftfreq")
+      val in = tmp.resolve("in").toString
+      TokenTable.load(s, dir).repartition(8).write.mode("overwrite").parquet(in)
+      val streamed = graft.streaming.SketchStream.runIncrementalFreq(
+        s, in, tmp.resolve("cp").toString)
+      graft.streaming.SketchStream.compareFreqToBatch(s, in, streamed)
+    }),
+
     // the always-on updater committing every micro-batch merge to a
     // VERSIONED sketch table (no driver collect; batch_id-idempotent
     // commits): final snapshot == one-shot batch, history monotone
@@ -1126,6 +1139,11 @@ object PipelineQueries {
 
     "stream_sketch_incremental" ->
       ("SELECT source, TRUE AS multi_batch_ok, TRUE AS rows_ok, TRUE AS bloom_ok, TRUE AS hll_ok " +
+        "FROM (SELECT DISTINCT source FROM documents) ORDER BY source"),
+
+    "stream_freq_heavy_hitters" ->
+      ("SELECT source, TRUE AS multi_batch_ok, TRUE AS rows_ok, TRUE AS guarantee_ok, " +
+        "TRUE AS heavy_tracked_ok, TRUE AS err_bound_ok " +
         "FROM (SELECT DISTINCT source FROM documents) ORDER BY source"),
 
     "stream_sketch_table" ->

@@ -138,6 +138,66 @@ object SketchStream {
   }
 
   /**
+   * Always-on heavy hitters: per micro-batch Misra–Gries partials
+   * (freq_agg) merged into catalog-sized running state — the
+   * mergeable-summaries combine keeps the published guarantee under
+   * the stream's arbitrary batch boundaries exactly as it does under
+   * batch partial aggregation. Returns (source, freq, n_batches).
+   */
+  def runIncrementalFreq(spark: SparkSession, inDir: String, checkpointDir: String,
+                         k: Int = 32, maxFilesPerTrigger: Int = 2): DataFrame = {
+    import spark.implicits._
+    val state = new java.util.concurrent.ConcurrentHashMap[String, graft.sketch.FrequentItems]()
+    var batches = 0L
+    drainTokenStream(spark, inDir, checkpointDir, maxFilesPerTrigger) { (batch, _) =>
+      val partials = batch.groupBy("source")
+        .agg(freq_agg(col("token").cast("string"), k).as("freq"))
+        .collect() // one summary row per group — the sketch "flush"
+        .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
+      state.synchronized {
+        batches += 1
+        partials.foreach { case (src, bytes) =>
+          val part = graft.sketch.FrequentItems.deserialize(bytes)
+          state.compute(src, (_, prev) => if (prev == null) part else prev.merge(part))
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    state.asScala.toSeq.map { case (src, s) => (src, s.serialize()) }
+      .toDF("source", "freq")
+      .withColumn("n_batches", lit(batches))
+  }
+
+  /**
+   * Streaming heavy-hitter contract vs exact per-token truth: for
+   * every (source, token) the summary must satisfy the merge-order-
+   * invariant guarantee — lower estimate <= true <= estimate + error,
+   * error*(k+1) <= n, weight conserved, any token with true > error
+   * tracked — regardless of how the stream was batched.
+   */
+  def compareFreqToBatch(spark: SparkSession, inDir: String, streamed: DataFrame,
+                         k: Int = 32): DataFrame = {
+    val tokens = spark.read.parquet(inDir)
+      .select(col("source"), explode(col("tokens")).as("tok"))
+      .select(col("source"), col("tok").cast("string").as("token"))
+    val truth = tokens.groupBy("source", "token").agg(count(lit(1)).as("m_true"))
+    val totals = tokens.groupBy("source").agg(count(lit(1)).as("n"))
+    val est = freq_estimate(col("freq"), col("token"))
+    truth.join(broadcast(streamed.join(totals, Seq("source"))), Seq("source"))
+      .select(col("source"), col("n_batches"), col("n"), col("freq"),
+        (est <= col("m_true") && col("m_true") <= est + freq_error(col("freq"))).as("g_ok"),
+        (col("m_true") <= freq_error(col("freq")) || est > 0L).as("h_ok"))
+      .groupBy("source")
+      .agg(
+        (min(col("n_batches")) > 1L).as("multi_batch_ok"),
+        (first(freq_total(col("freq"))) === first(col("n"))).as("rows_ok"),
+        min(col("g_ok")).as("guarantee_ok"),
+        min(col("h_ok")).as("heavy_tracked_ok"),
+        (first(freq_error(col("freq"))) * (k + 1) <= first(col("n"))).as("err_bound_ok"))
+      .orderBy("source")
+  }
+
+  /**
    * The streaming-equals-batch contract: bloom membership bits, bloom
    * estimate, and HLL estimate of the incrementally-merged sketches
    * must equal a one-shot batch aggregation over the same input.

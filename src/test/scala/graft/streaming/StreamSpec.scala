@@ -187,4 +187,21 @@ class StreamSpec extends AnyFunSuite {
       assert(r.getBoolean(4), s"hll estimate mismatch for ${r.getString(0)}")
     }
   }
+
+  test("streaming Misra-Gries: batch-boundary-invariant guarantee holds against exact truth") {
+    val tmp = java.nio.file.Files.createTempDirectory("streamfreq")
+    val in = tmp.resolve("in").toString
+    TokenTable.load(spark, "/root/testdata/sf0.001")
+      .repartition(8).write.mode("overwrite").parquet(in)
+    val streamed = SketchStream.runIncrementalFreq(spark, in, tmp.resolve("cp").toString)
+    val cmp = SketchStream.compareFreqToBatch(spark, in, streamed).collect()
+    assert(cmp.length == 20, "one row per source")
+    cmp.foreach { r =>
+      assert(r.getBoolean(1), s"expected >1 micro-batch for ${r.getString(0)}")
+      assert(r.getBoolean(2), s"weight not conserved for ${r.getString(0)}")
+      assert(r.getBoolean(3), s"estimate guarantee violated for ${r.getString(0)}")
+      assert(r.getBoolean(4), s"heavy item untracked for ${r.getString(0)}")
+      assert(r.getBoolean(5), s"error above n/(k+1) for ${r.getString(0)}")
+    }
+  }
 }
