@@ -71,6 +71,28 @@ case class FreqAgg(
   override def prettyName: String = "freq_agg"
 }
 
+/** KMV bottom-k distinct sketch over string keys (supports set-op
+  * estimates — see [[graft.sketch.Kmv]]). Fully deterministic: any
+  * merge tree yields the same k minimum hashes. */
+case class KmvAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends KeyedSketchAgg[Kmv] {
+
+  override def createAggregationBuffer(): Kmv = Kmv.create(k)
+  override protected def updateKey(buf: Kmv, key: Array[Byte], len: Int): Unit =
+    buf.add(key, len)
+  override def merge(a: Kmv, b: Kmv): Kmv = a.merge(b)
+  override def eval(buf: Kmv): Any = buf.serialize()
+  override def serialize(buf: Kmv): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): Kmv = Kmv.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(n: Int): KmvAgg = copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): KmvAgg = copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): KmvAgg = copy(child = c)
+  override def prettyName: String = "kmv_agg"
+}
+
 /** Numeric sketch aggregates share double-input handling. */
 abstract class DoubleSketchAgg[T] extends TypedImperativeAggregate[T]
     with UnaryLike[Expression] {

@@ -53,6 +53,11 @@ object GraftFunctions {
   def kll_agg(value: Column, k: Int = 200): Column =
     agg(KllAgg(ex(value.cast("double")), k))
 
+  /** KMV bottom-k distinct sketch (set-op capable; MD5-hashed so any
+    * engine can replay it byte-exactly). */
+  def kmv_agg(key: Column, k: Int = 64): Column =
+    agg(KmvAgg(ex(key.cast("string")), k))
+
   // ---- merge/rollup aggregations over serialized sketches ----
 
   def bloom_merge_agg(sketch: Column): Column = agg(BloomMergeAgg(ex(sketch)))
@@ -63,6 +68,7 @@ object GraftFunctions {
   def freq_merge_agg(sketch: Column): Column = agg(FreqMergeAgg(ex(sketch)))
   def tdigest_merge_agg(sketch: Column): Column = agg(TDigestMergeAgg(ex(sketch)))
   def kll_merge_agg(sketch: Column): Column = agg(KllMergeAgg(ex(sketch)))
+  def kmv_merge_agg(sketch: Column): Column = agg(KmvMergeAgg(ex(sketch)))
 
   // ---- probes / inspectors ----
 

@@ -156,3 +156,15 @@ case class FreqMergeAgg(child: Expression,
   override protected def withNewChildInternal(c: Expression): FreqMergeAgg = copy(child = c)
   override def prettyName: String = "freq_merge_agg"
 }
+
+case class KmvMergeAgg(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends SketchMergeAgg[Kmv] {
+  override protected def fromBytes(b: Array[Byte]): Kmv = Kmv.deserialize(b)
+  override protected def mergeSketch(a: Kmv, b: Kmv): Kmv = a.merge(b)
+  override protected def toBytes(s: Kmv): Array[Byte] = s.serialize()
+  override def withNewMutableAggBufferOffset(n: Int): KmvMergeAgg = copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): KmvMergeAgg = copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): KmvMergeAgg = copy(child = c)
+  override def prettyName: String = "kmv_merge_agg"
+}

@@ -39,6 +39,26 @@ class AggSpec extends AnyFunSuite {
     assert(distCount >= seqF.count && distCount <= n, s"dist=$distCount seq=${seqF.count}")
   }
 
+  test("distributed kmv_agg EXACTLY equals sequential bottom-k; merge-agg rollup identical") {
+    import graft.sketch.Kmv
+    import spark.implicits._
+    val keys = (0 until 5000).map(i => s"key${i % 3000}") // dups on purpose
+    val df = keys.toDF("k").repartition(8)
+    val blob = df.agg(kmv_agg(col("k"), 64).as("s")).head().getAs[Array[Byte]]("s")
+    val seq = Kmv.create(64)
+    keys.foreach { k => val b = k.getBytes(UTF_8); seq.add(b, b.length) }
+    assert(Kmv.deserialize(blob).hashes.toSeq == seq.hashes.toSeq,
+      "distributed bottom-k must be order-insensitive and exact")
+    // rollup: per-group sketches merged by kmv_merge_agg == global sketch
+    val rolled = keys.zipWithIndex.map { case (k, i) => (k, i % 7) }.toDF("k", "g")
+      .repartition(8)
+      .groupBy("g").agg(kmv_agg(col("k"), 64).as("s"))
+      .agg(kmv_merge_agg(col("s")).as("s"))
+      .head().getAs[Array[Byte]]("s")
+    assert(Kmv.deserialize(rolled).hashes.toSeq == seq.hashes.toSeq)
+    assert(seq.estimate > 2000 && seq.estimate < 4000, s"est=${seq.estimate}")
+  }
+
   test("bloom_contains probe: zero false negatives, fp within bound via SQL surface") {
     GraftFunctions.register(spark)
     import spark.implicits._

@@ -199,4 +199,44 @@ class MergeLawsSpec extends AnyFunSuite {
       }
     })
   }
+
+  private def kmvOf(k: Int, ks: Seq[String]): Kmv = {
+    val s = Kmv.create(k)
+    ks.foreach { key => val b = key.getBytes(UTF_8); s.add(b, b.length) }
+    s
+  }
+
+  test("kmv bottom-k merge: any split/order == sequential hashes exactly; idempotent") {
+    check(Prop.forAll(splits) { case (ks, i, j) =>
+      val (p1, rest) = ks.splitAt(i)
+      val (p2, p3) = rest.splitAt(j - i)
+      val seq = kmvOf(16, ks).hashes.toSeq
+      kmvOf(16, p1).merge(kmvOf(16, p2)).merge(kmvOf(16, p3)).hashes.toSeq == seq &&
+        kmvOf(16, p1).merge(kmvOf(16, p2).merge(kmvOf(16, p3))).hashes.toSeq == seq &&
+        kmvOf(16, p3).merge(kmvOf(16, p1)).merge(kmvOf(16, p2)).hashes.toSeq == seq &&
+        kmvOf(16, ks).merge(kmvOf(16, ks)).hashes.toSeq == seq && {
+          // below capacity the sketch IS the distinct set
+          val small = kmvOf(1000, ks)
+          small.estimate == ks.distinct.size.toLong
+        } && {
+          val rt = Kmv.deserialize(kmvOf(16, ks).serialize())
+          rt.k == 16 && rt.hashes.toSeq == seq
+        }
+    })
+  }
+
+  test("kmv union lemma: union-bottom-k membership equals full-set membership") {
+    check(Prop.forAll(splits) { case (ks, i, _) =>
+      val (as, bs) = ks.splitAt(i)
+      val a = kmvOf(16, as); val b = kmvOf(16, bs)
+      val u = Kmv.union(a, b)
+      // for any hash in the union's bottom-k, sketch membership must
+      // agree with true-set membership (the estimator's correctness)
+      val aSet = as.map(Kmv.md5Hex).toSet
+      val bSet = bs.map(Kmv.md5Hex).toSet
+      u.hashes.forall { h =>
+        a.containsHash(h) == aSet.contains(h) && b.containsHash(h) == bSet.contains(h)
+      }
+    })
+  }
 }
