@@ -55,6 +55,13 @@ object PipelineQueries {
       TextOps.redactPii(planted).orderBy("doc_id")
     }),
 
+    // BPE merge training: R rounds of most-frequent-pair merging over
+    // the word-frequency table (per-round cost O(|vocab|), corpus
+    // touched once) — every round's argmax and count replayed exactly
+    // by the oracle's CTE chain (Bpe.oracleSql)
+    "text_bpe_train" -> ((s, dir) =>
+      Bpe.train(docs(s, dir), rounds = 6).orderBy("round")),
+
     // ---- dedup ----------------------------------------------------------
 
     // exact dedup demonstrated on a corpus with real duplicates:
@@ -232,6 +239,76 @@ object PipelineQueries {
         s, in, d.filter(col("doc_id") % 7 === 0),
         tmp.resolve("cp").toString, tmp.resolve("out").toString,
         n = 3, maxOverlap = 0).orderBy("doc_id")
+    }),
+
+    // ---- KMV set-operation sketches -------------------------------------
+
+    // bottom-k distinct sketch per source over word trigrams: the kth
+    // hash and the integer estimate are BYTE-EXACT oracle values (MD5
+    // + 48-bit integer estimator); the accuracy bound makes the
+    // estimator falsifiable (k=64 => ~12.7% standard error; the 40%
+    // bound is ~3 sigma)
+    "kmv_distinct_sources" -> ((s, dir) => {
+      import graft.sketch.Kmv
+      val k = 64
+      val grams = docs(s, dir).select(col("source"),
+        explode(TextFunctions.shingles(TextFunctions.words(col("text")), 3)).as("gram"))
+        .distinct()
+      val rows = grams.groupBy("source")
+        .agg(kmv_agg(col("gram"), k).as("sk"), countDistinct(col("gram")).as("n_exact"))
+        .collect()
+        .map { r =>
+          val sk = Kmv.deserialize(r.getAs[Array[Byte]]("sk"))
+          val exact = r.getAs[Long]("n_exact")
+          val est = sk.estimate
+          (r.getString(0), exact, Option(sk.kthHash), est,
+            math.abs(est - exact) * 5 <= exact * 2)
+        }
+      import s.implicits._
+      rows.toSeq.toDF("source", "n_exact", "kth_hash", "est", "est_ok")
+        .orderBy("source")
+    }),
+
+    // KMV set operations across source pairs: the union sketch's
+    // bottom-k is a uniform sample of the union, so the shared-hash
+    // count is an exact-integer Jaccard estimator (theta-sketch
+    // intersection, Beyer et al. 2007). Exact |A∩B|/|A∪B| computed
+    // distributed; only |sources| sketch blobs reach the driver.
+    "kmv_set_ops" -> ((s, dir) => {
+      import graft.sketch.Kmv
+      val k = 64
+      val grams = docs(s, dir).select(col("source"),
+        explode(TextFunctions.shingles(TextFunctions.words(col("text")), 3)).as("gram"))
+        .distinct()
+      val sketches: Map[String, Kmv] = grams.groupBy("source")
+        .agg(kmv_agg(col("gram"), k).as("sk"))
+        .collect()
+        .map(r => r.getString(0) -> Kmv.deserialize(r.getAs[Array[Byte]]("sk")))
+        .toMap
+      val sizes: Map[String, Long] = grams.groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val a = grams.select(col("source").as("sa"), col("gram"))
+      val b = grams.select(col("source").as("sb"), col("gram"))
+      val inters = a.join(b, "gram").where(col("sa") < col("sb"))
+        .groupBy("sa", "sb").count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val srcs = sketches.keys.toSeq.sorted
+      val out = for {
+        i <- srcs.indices; j <- (i + 1) until srcs.size
+        sa = srcs(i); sb = srcs(j)
+      } yield {
+        val inter = inters.getOrElse((sa, sb), 0L)
+        val uni = sizes(sa) + sizes(sb) - inter
+        val u = Kmv.union(sketches(sa), sketches(sb))
+        val nShared = Kmv.sharedInUnion(sketches(sa), sketches(sb)).toLong
+        val denom = math.min(k.toLong, u.size.toLong)
+        val jEst = 1000L * nShared / denom
+        val jExact = 1000L * inter / uni
+        (sa, sb, inter, uni, nShared, jEst, jExact, math.abs(jEst - jExact) <= 250L)
+      }
+      import s.implicits._
+      out.toDF("src_a", "src_b", "n_inter", "n_union", "n_shared",
+        "j_milli_est", "j_milli_exact", "est_ok").orderBy("src_a", "src_b")
     }),
 
     // ---- similarity search ----------------------------------------------
@@ -785,8 +862,26 @@ object PipelineQueries {
       c.intersect(o).withColumn("op", lit("with_orders"))
         .union(c.except(o).withColumn("op", lit("no_orders")))
         .orderBy("op", "k")
-    })
+    }),
+
+    // ---- temporal -------------------------------------------------------
+
+    // as-of join: each purchase attributed to the user's most recent
+    // click at-or-before it — single-exchange union+window plan, no
+    // range join (Temporal.asOfJoin)
+    "q_asof_join" -> ((s, dir) =>
+      Temporal.asOfJoin(s.read.parquet(s"$dir/events.parquet"),
+        probeType = "purchase", refType = "click").orderBy("event_id")),
+
+    // gap sessionization: 8-hour inactivity gap over per-user event
+    // streams; all-integer outputs (micros, cents, counts)
+    "q_sessionize" -> ((s, dir) =>
+      Temporal.sessionize(s.read.parquet(s"$dir/events.parquet"),
+        gapUs = Temporal8hUs).orderBy("user_id", "session_idx"))
   )
+
+  /** 8 hours in microseconds — the gate's session gap */
+  val Temporal8hUs: Long = 8L * 3600 * 1000000
 
   // ---- oracles ----------------------------------------------------------
 
@@ -1339,6 +1434,83 @@ object PipelineQueries {
         "SELECT k, 'with_orders' AS op FROM (SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders) " +
         "UNION ALL " +
         "SELECT k, 'no_orders' AS op FROM (SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders)" +
-        ") ORDER BY op, k")
+        ") ORDER BY op, k"),
+
+    "text_bpe_train" -> Bpe.oracleSql(6),
+
+    "kmv_distinct_sources" ->
+      (s"WITH t AS (SELECT source, $W AS ws FROM documents), " +
+        s"g AS (SELECT DISTINCT source, unnest($Sh) AS gram FROM t), " +
+        "h AS (SELECT source, md5(gram) AS h FROM g), " +
+        "r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn, " +
+        "count(*) OVER (PARTITION BY source) AS nd FROM h), " +
+        "agg AS (SELECT source, CAST(max(nd) AS BIGINT) AS n_exact, " +
+        "CASE WHEN max(nd) >= 64 THEN max(CASE WHEN rn = 64 THEN h END) END AS kth_hash, " +
+        "CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS BIGINT) " +
+        "ELSE 63 * 281474976710656 // CAST(concat('0x', substr(max(CASE WHEN rn = 64 THEN h END), 1, 12)) AS BIGINT) END AS est " +
+        "FROM r GROUP BY source) " +
+        "SELECT source, n_exact, kth_hash, CAST(est AS BIGINT) AS est, " +
+        "abs(est - n_exact) * 5 <= n_exact * 2 AS est_ok FROM agg ORDER BY source"),
+
+    "kmv_set_ops" ->
+      (s"WITH t AS (SELECT source, $W AS ws FROM documents), " +
+        s"g AS (SELECT DISTINCT source, unnest($Sh) AS gram FROM t), " +
+        "sz AS (SELECT source, count(*) AS n FROM g GROUP BY 1), " +
+        "hh AS (SELECT source, md5(gram) AS h FROM g), " +
+        "pairs AS (SELECT a.source AS sa, b.source AS sb FROM sz a JOIN sz b ON a.source < b.source), " +
+        "iv AS (SELECT a.source AS sa, b.source AS sb, count(*) AS n_inter " +
+        "FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source GROUP BY 1, 2), " +
+        "uh AS (SELECT DISTINCT p.sa, p.sb, hh.h FROM pairs p JOIN hh ON hh.source IN (p.sa, p.sb)), " +
+        "rk AS (SELECT sa, sb, h, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn, " +
+        "count(*) OVER (PARTITION BY sa, sb) AS nu FROM uh), " +
+        "shared AS (SELECT rk.sa, rk.sb, count(*) AS n_shared " +
+        "FROM rk JOIN hh ha ON ha.source = rk.sa AND ha.h = rk.h " +
+        "JOIN hh hb ON hb.source = rk.sb AND hb.h = rk.h " +
+        "WHERE rk.rn <= least(64, rk.nu) GROUP BY 1, 2), " +
+        "nuv AS (SELECT sa, sb, CAST(max(nu) AS BIGINT) AS nu FROM rk GROUP BY 1, 2), " +
+        "base AS (SELECT p.sa AS src_a, p.sb AS src_b, " +
+        "CAST(COALESCE(iv.n_inter, 0) AS BIGINT) AS n_inter, " +
+        "za.n + zb.n - CAST(COALESCE(iv.n_inter, 0) AS BIGINT) AS n_union, " +
+        "CAST(COALESCE(shared.n_shared, 0) AS BIGINT) AS n_shared, " +
+        "least(64, nuv.nu) AS denom " +
+        "FROM pairs p JOIN sz za ON za.source = p.sa JOIN sz zb ON zb.source = p.sb " +
+        "JOIN nuv ON nuv.sa = p.sa AND nuv.sb = p.sb " +
+        "LEFT JOIN iv ON iv.sa = p.sa AND iv.sb = p.sb " +
+        "LEFT JOIN shared ON shared.sa = p.sa AND shared.sb = p.sb) " +
+        "SELECT src_a, src_b, n_inter, CAST(n_union AS BIGINT) AS n_union, n_shared, " +
+        "CAST(1000 * n_shared // denom AS BIGINT) AS j_milli_est, " +
+        "CAST(1000 * n_inter // n_union AS BIGINT) AS j_milli_exact, " +
+        "abs(1000 * n_shared // denom - 1000 * n_inter // n_union) <= 250 AS est_ok " +
+        "FROM base ORDER BY src_a, src_b"),
+
+    "q_asof_join" ->
+      ("WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_probe, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents " +
+        "FROM events WHERE event_type IN ('purchase', 'click')), " +
+        "w AS (SELECT event_id, user_id, ts_us, is_probe, " +
+        "last_value(CASE WHEN is_probe = 0 THEN event_id END IGNORE NULLS) OVER ow AS ref_event_id, " +
+        "last_value(CASE WHEN is_probe = 0 THEN ts_us END IGNORE NULLS) OVER ow AS ref_ts_us, " +
+        "last_value(CASE WHEN is_probe = 0 THEN cents END IGNORE NULLS) OVER ow AS ref_cents " +
+        "FROM t WINDOW ow AS (PARTITION BY user_id ORDER BY ts_us, is_probe, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "SELECT event_id, user_id, ts_us, ref_event_id, ref_ts_us, ref_cents, " +
+        "ts_us - ref_ts_us AS lag_us FROM w WHERE is_probe = 1 ORDER BY event_id"),
+
+    "q_sessionize" ->
+      ("WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase FROM events), " +
+        "b AS (SELECT user_id, event_id, ts_us, cents, is_purchase, " +
+        "CASE WHEN lag(ts_us) OVER ow IS NULL OR ts_us - lag(ts_us) OVER ow > 28800000000 " +
+        "THEN 1 ELSE 0 END AS brk " +
+        "FROM t WINDOW ow AS (PARTITION BY user_id ORDER BY ts_us, event_id)), " +
+        "s AS (SELECT user_id, ts_us, cents, is_purchase, " +
+        "CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM b) " +
+        "SELECT user_id, session_idx, count(*) AS n_events, " +
+        "min(ts_us) AS start_us, max(ts_us) AS end_us, " +
+        "CAST(sum(cents) AS BIGINT) AS cents, CAST(sum(is_purchase) AS BIGINT) AS n_purchases " +
+        "FROM s GROUP BY 1, 2 ORDER BY 1, 2")
   )
 }

@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * BPE merge training: hand-computed goldens on a corpus small enough
+ * to trace by eye, including the tie-break order and the documented
+ * single-pass replace semantics on adjacent overlapping pairs.
+ */
+class BpeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def corpus(texts: String*) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  test("golden: merges follow max-count with (lhs, rhs) tie-break") {
+    // words: "aab" x3, "abc" x2  => symbols a a b / a b c
+    // round 1 pairs: (a,a)=3, (a,b)=3+2=5, (b,c)=2 -> merge (a,b) count 5
+    // after: "a ab" x3, "ab c" x2
+    // round 2 pairs: (a,ab)=3, (ab,c)=2 -> merge (a,ab) count 3
+    // after: "aab" x3, "ab c" x2
+    // round 3 pairs: (ab,c)=2 -> merge (ab,c) count 2
+    val out = Bpe.train(corpus("aab aab aab abc abc"), rounds = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1, "a", "b", 5L),
+      (2, "a", "ab", 3L),
+      (3, "ab", "c", 2L)))
+  }
+
+  test("adjacent-overlap semantics: single-pass replace, remaining pairs merge next round") {
+    // word "aaaa" x1 => a a a a; round 1 pair (a,a)=3 -> merge
+    // single-pass replace: ' a a a a ' consumes ' a a ' then resumes
+    // AFTER the replacement, so only the first pair merges: 'aa a a'
+    // round 2 pairs: (aa,a)=1, (a,a)=1 -> count tie, lexicographic
+    // tie-break picks (a,a)
+    val out = Bpe.train(corpus("aaaa"), rounds = 2)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1, "a", "a", 3L), (2, "a", "a", 1L)))
+  }
+
+  test("training exhausts gracefully when all words collapse to one symbol") {
+    val out = Bpe.train(corpus("ab ab"), rounds = 5).collect()
+    // round 1 merges (a,b); afterwards no pairs remain -> 1 row only
+    assert(out.length == 1)
+  }
+
+  test("oracleSql structure covers every round") {
+    val sql = Bpe.oracleSql(4)
+    for (r <- 1 to 4) { assert(sql.contains(s"m$r AS")); assert(sql.contains(s"p$r AS")) }
+    assert(!sql.contains("w4 AS")) // no apply step after the last round
+  }
+}
