@@ -561,6 +561,50 @@ object PipelineQueries {
       graft.streaming.WindowedSketch.compareUserStateToBatch(s, in, streamed)
     }),
 
+    // streaming gap sessionization on the native session_window
+    // aggregation (append mode): time-ordered replay + one far-future
+    // sentinel event whose watermark advance closes — and the trailing
+    // no-data micro-batch emits — every real session; result must
+    // match the batch operator session-for-session
+    "stream_sessionize" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graftsess")
+      val in = tmp.resolve("in").toString
+      def pinMtimes(base: Long, exclude: Set[String]): Set[String] = {
+        val parts = java.nio.file.Files.list(java.nio.file.Paths.get(in)).iterator()
+        val ps = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+        while (parts.hasNext) {
+          val p = parts.next()
+          if (p.toString.endsWith(".parquet") && !exclude.contains(p.toString)) ps += p
+        }
+        ps.sortBy(_.getFileName.toString).zipWithIndex.foreach { case (p, i) =>
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(base + i * 60000L))
+        }
+        exclude ++ ps.map(_.toString)
+      }
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      // time-ordered files so the watermark never drops on-time data
+      // (file source replays in mtime order; see stream_windowed_hll)
+      ev.repartitionByRange(8, col("ts")).sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(in)
+      val phase1 = pinMtimes(1000000000000L, Set.empty)
+      // sentinel: one event 2 gaps past the corpus max — its watermark
+      // advance closes every real session; its own never emits
+      ev.select(max(col("ts")).as("m"))
+        .select(lit(-1L).as("event_id"),
+          (col("m") + expr("INTERVAL 16 HOURS")).as("ts"),
+          lit(graft.streaming.StreamSessionize.SentinelUser).as("user_id"),
+          lit("sentinel").as("event_type"), lit(0.0).as("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.mode("append").parquet(in)
+      pinMtimes(2000000000000L, phase1)
+      val streamed = graft.streaming.StreamSessionize.sessionize(
+        s, in, tmp.resolve("cp").toString, tmp.resolve("out").toString,
+        gap = "8 hours")
+      graft.streaming.StreamSessionize.compareSessionsToBatch(s, in, streamed, Temporal8hUs)
+        .orderBy("user_id", "start_us")
+    }),
+
     // snapshot/time-travel sketch table: v1 = sketches of half the
     // corpus, v2 = full corpus; reading v1 after v2 exists must see the
     // old estimates (immutable snapshots), v2 must equal a direct build
@@ -1327,6 +1371,23 @@ object PipelineQueries {
     "stream_tws_user_state" ->
       ("SELECT user_id, count(DISTINCT event_type) AS n_types_exact, TRUE AS state_ok " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
+
+    "stream_sessionize" ->
+      ("WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase FROM events), " +
+        "b AS (SELECT user_id, event_id, ts_us, cents, is_purchase, " +
+        "CASE WHEN lag(ts_us) OVER ow IS NULL OR ts_us - lag(ts_us) OVER ow > 28800000000 " +
+        "THEN 1 ELSE 0 END AS brk " +
+        "FROM t WINDOW ow AS (PARTITION BY user_id ORDER BY ts_us, event_id)), " +
+        "s AS (SELECT user_id, ts_us, cents, is_purchase, " +
+        "CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM b) " +
+        "SELECT user_id, min(ts_us) AS start_us, " +
+        "CAST(max(ts_us) + 28800000000 AS BIGINT) AS end_us, count(*) AS n_events, " +
+        "CAST(sum(cents) AS BIGINT) AS cents, CAST(sum(is_purchase) AS BIGINT) AS n_purchases, " +
+        "TRUE AS matches_batch " +
+        "FROM s GROUP BY user_id, session_idx ORDER BY user_id, start_us"),
 
     "sketch_table_snapshots" ->
       ("SELECT source, TRUE AS versions_ok, TRUE AS snapshot_isolated, TRUE AS latest_matches_direct " +
