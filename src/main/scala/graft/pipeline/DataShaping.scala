@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -110,5 +110,97 @@ object DataShaping {
       .withColumn("cum_tok", col("bucket_start") + sum(col("n_tok")).over(w))
       .withColumn("bin_id", floor((col("cum_tok") - col("n_tok")) / budget))
       .select("source", "doc_id", "n_tok", "cum_tok", "bin_id")
+  }
+
+  /**
+   * Concat-then-split context chunking — the OTHER standard way
+   * training corpora batch into fixed windows (packSequences bins
+   * whole documents; here each source's token stream is conceptually
+   * CONCATENATED in doc_id order and cut into exact `ctx`-token
+   * chunks, so documents straddle chunk boundaries instead of
+   * leaving tail slack). Emits one row per document with the half-
+   * open global offset range it occupies and the first/last chunk
+   * ids it touches — the narrow per-doc form; exploding to one row
+   * per (doc, chunk) is a row-local `sequence()` away and never
+   * needed for boundary accounting.
+   *
+   * The global per-source offsets reuse [[packSequences]]'s
+   * distributed two-phase prefix sum (same bitwise-exact integer
+   * arithmetic, same S×B-bounded driver round-trip, no
+   * one-task-per-source window), so chunk assignment is a scan +
+   * one bucketed exchange at any corpus size.
+   */
+  def chunkTokenStream(tokenTable: DataFrame, ctx: Long,
+                       targetBuckets: Int = 1024): DataFrame = {
+    require(ctx > 0)
+    packSequences(tokenTable.filter(col("n_tok") > 0), ctx, targetBuckets)
+      .withColumn("start_off", col("cum_tok") - col("n_tok"))
+      .withColumn("first_chunk", expr(s"start_off div ${ctx}L"))
+      .withColumn("last_chunk", expr(s"(cum_tok - 1L) div ${ctx}L"))
+      .withColumn("crosses_chunk", col("last_chunk") > col("first_chunk"))
+      .select("source", "doc_id", "n_tok", "start_off",
+        "first_chunk", "last_chunk", "crosses_chunk")
+  }
+
+  /** 2^32 — the hash space of the 8-hex-char uniform used by the
+    * priority sampler (32 bits, not the KMV's 48, so that
+    * `w * HexSpace32` stays inside a Long for any weight < 2^30 —
+    * a 2^30-token document is a terabyte of text). */
+  val HexSpace32: Long = 1L << 32
+
+  /**
+   * Deterministic weighted top-n sampling by PRIORITY SAMPLING
+   * (Duffield, Lund, Thorup, JACM 2007): each row gets priority
+   * q_i = w_i / u_i with u_i uniform in (0,1]; the n largest
+   * priorities are the sample, and with τ = the (n+1)-th priority
+   * the estimator Σ max(w_i, τ) over the sample is (near-)unbiased
+   * for the population's total weight.
+   *
+   * Everything is exact integer arithmetic on a deterministic
+   * 32-bit uniform (first 8 hex chars of md5(doc_id), the engine's
+   * standard content-independent coin): q = (w · 2^32) div u32 —
+   * so the sample is reproducible across runs AND engines, and the
+   * DuckDB oracle replays it byte-exact. Ties (repeated q) break by
+   * doc_id.
+   *
+   * Scale: `orderBy(...).limit(n)` plans as TakeOrderedAndProject —
+   * per-partition top-n heaps merged once, no global sort, no full
+   * shuffle. τ comes from the same top-(n+1) funnel (a one-scalar
+   * driver round-trip, not row data). The returned sample keeps
+   * `est_w = max(w, τ)` per row plus `est_ok`, the estimator-vs-
+   * exact-total check computed in-plan.
+   */
+  def prioritySample(docs: DataFrame, n: Int, weight: Column,
+                     estTolPct: Int = 30): DataFrame = {
+    require(n > 0)
+    val base = docs
+      .withColumn("doc_id", col("doc_id").cast("long"))
+      .withColumn("w", weight.cast("long"))
+      .filter(col("w") > 0)
+      .withColumn("u32", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) + 1"))
+      .withColumn("q", expr(s"(w * ${HexSpace32}L) div u32"))
+    val topN1 = base.orderBy(col("q").desc, col("doc_id")).limit(n + 1)
+      .select("source", "doc_id", "w", "q").cache()
+    try {
+      // τ = the (n+1)-th priority (0 when the population fits in n):
+      // the SMALLEST q of the top-(n+1) funnel iff it holds n+1 rows.
+      // The collect is the already-funneled O(n) key set, not corpus
+      // row data — the same bounded driver round-trip as packSequences'
+      // offset table.
+      val funnel = topN1.collect()
+      val tau = if (funnel.length == n + 1)
+        funnel.map(r => (r.getLong(3), r.getLong(1))).min._1 else 0L
+      val kept = topN1.orderBy(col("q").desc, col("doc_id")).limit(n)
+        .withColumn("est_w", greatest(col("w"), lit(tau)))
+      val totals = base.agg(sum("w").as("w_total"))
+      kept.crossJoin(broadcast(totals))
+        .withColumn("est_total", sum(col("est_w")).over(
+          Window.partitionBy(lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("est_ok",
+          abs(col("est_total") - col("w_total")) * 100 <= col("w_total") * estTolPct)
+        .select("source", "doc_id", "w", "q", "est_w", "est_ok")
+    } finally topN1.unpersist()
   }
 }

@@ -166,6 +166,22 @@ object PipelineQueries {
       DataShaping.packSequences(TokenTable.load(s, dir), budget = 4096)
         .orderBy("source", "doc_id")),
 
+    // concat-then-split context chunking: per source, the token
+    // stream cut into exact 512-token windows; per-doc offset range +
+    // chunk span, boundary-straddling docs flagged (distributed
+    // prefix sum, no per-source task serialization)
+    "pipeline_chunk_stream" -> ((s, dir) =>
+      DataShaping.chunkTokenStream(TokenTable.load(s, dir), ctx = 512)
+        .orderBy("source", "doc_id")),
+
+    // weighted top-n priority sampling (Duffield-Lund-Thorup) on the
+    // integer 48-bit md5 coin: token-count-weighted sample of 64 docs
+    // via TakeOrdered (no global sort), τ-threshold total-weight
+    // estimator checked in-plan
+    "pipeline_sample_priority" -> ((s, dir) =>
+      DataShaping.prioritySample(TokenTable.load(s, dir), n = 64, weight = col("n_tok"))
+        .orderBy("doc_id")),
+
     // THE end-to-end corpus-prep composition a 100 TB release runs,
     // as ONE gate: curate (quality -> exact dedup -> LSH near-dup) ->
     // decontaminate vs the eval split -> redact PII -> stratified
@@ -1099,6 +1115,34 @@ object PipelineQueries {
         s"CAST(len($W) AS BIGINT) AS n_tok, " +
         s"CAST(SUM(CAST(len($W) AS BIGINT)) OVER (PARTITION BY source ORDER BY CAST(doc_id AS BIGINT) " +
         "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok FROM documents) ORDER BY source, doc_id"),
+
+    "pipeline_chunk_stream" ->
+      ("SELECT source, doc_id, n_tok, start_off, first_chunk, last_chunk, " +
+        "last_chunk > first_chunk AS crosses_chunk FROM (" +
+        "SELECT source, doc_id, n_tok, cum_tok - n_tok AS start_off, " +
+        "(cum_tok - n_tok) // 512 AS first_chunk, (cum_tok - 1) // 512 AS last_chunk FROM (" +
+        "SELECT source, CAST(doc_id AS BIGINT) AS doc_id, " +
+        s"CAST(len($W) AS BIGINT) AS n_tok, " +
+        s"CAST(SUM(CAST(len($W) AS BIGINT)) OVER (PARTITION BY source ORDER BY CAST(doc_id AS BIGINT) " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok FROM documents)) " +
+        "ORDER BY source, doc_id"),
+
+    "pipeline_sample_priority" ->
+      ("WITH b AS (SELECT source, CAST(doc_id AS BIGINT) AS doc_id, " +
+        s"CAST(len($W) AS BIGINT) AS w, " +
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1 AS u32 " +
+        "FROM documents), " +
+        "q AS (SELECT source, doc_id, w, (w * 4294967296) // u32 AS q FROM b WHERE w > 0), " +
+        "r AS (SELECT *, row_number() OVER (ORDER BY q DESC, doc_id) AS rn FROM q), " +
+        "tau AS (SELECT CASE WHEN max(rn) >= 65 THEN max(CASE WHEN rn = 65 THEN q END) " +
+        "ELSE 0 END AS tau FROM r), " +
+        "kept AS (SELECT source, doc_id, w, q, greatest(w, (SELECT tau FROM tau)) AS est_w " +
+        "FROM r WHERE rn <= 64), " +
+        "tot AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM q), " +
+        "et AS (SELECT CAST(sum(est_w) AS BIGINT) AS est_total FROM kept) " +
+        "SELECT source, doc_id, w, q, CAST(est_w AS BIGINT) AS est_w, " +
+        "abs(est_total - w_total) * 100 <= w_total * 30 AS est_ok " +
+        "FROM kept, tot, et ORDER BY doc_id"),
 
     // streaming scrub must equal the batch operator exactly: the
     // SAME oracle string by construction

@@ -413,6 +413,50 @@ class PipelineSpec extends AnyFunSuite {
       Seq("source", "doc_id", "n_tok", "cum_tok", "bin_id") && empty.count() == 0)
   }
 
+  test("context chunking: exact offset ranges, straddlers flagged, per-source streams independent") {
+    import spark.implicits._
+    val t = Seq(
+      ("s", 1L, 100), ("s", 2L, 80), ("s", 3L, 300), ("s", 4L, 32),
+      ("t", 1L, 640)
+    ).toDF("source", "doc_id", "n_tok")
+    val out = DataShaping.chunkTokenStream(t, ctx = 128)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    // s offsets: 0, 100, 180, 480; chunk = off div 128 .. (end-1) div 128
+    assert(out(("s", 1L)) == ((0L, 0L, 0L, false)))     // [0,100)   -> chunk 0
+    assert(out(("s", 2L)) == ((100L, 0L, 1L, true)))    // [100,180) -> 0..1 straddles
+    assert(out(("s", 3L)) == ((180L, 1L, 3L, true)))    // [180,480) -> 1..3 spans two boundaries
+    assert(out(("s", 4L)) == ((480L, 3L, 3L, false)))   // [480,512) -> ends exactly at a boundary
+    // t's stream starts at its own offset 0; [0,640) -> chunks 0..4
+    assert(out(("t", 1L)) == ((0L, 0L, 4L, true)))
+  }
+
+  test("priority sampling: weight dominance, tau estimator, small-population exactness, determinism") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => ("s", i, if (i == 42L) 1000000 else 10))
+      .toDF("source", "doc_id", "n_tok")
+    val sample = DataShaping.prioritySample(docs, n = 5, weight = col("n_tok"))
+    val rows = sample.collect()
+    assert(rows.length == 5)
+    // a weight 10^5 times everyone else's has priority ~10^5 larger: always sampled
+    assert(rows.exists(_.getLong(1) == 42L), "dominant-weight doc missing from sample")
+    // est_w = max(w, tau) with one shared tau: every light doc gets the same est_w >= w
+    val estByDoc = rows.map(r => r.getLong(1) -> (r.getLong(2), r.getLong(4))).toMap
+    val tau = estByDoc.collect { case (id, (w, e)) if id != 42L => e }.toSet
+    assert(tau.size == 1, s"light docs must share the tau estimate, got $tau")
+    assert(estByDoc.forall { case (_, (w, e)) => e >= w })
+    // population <= n: tau = 0, estimator EXACT, everything kept
+    val tiny = (1L to 3L).map(i => ("s", i, 10 * i.toInt)).toDF("source", "doc_id", "n_tok")
+    val all = DataShaping.prioritySample(tiny, n = 5, weight = col("n_tok")).collect()
+    assert(all.length == 3 && all.forall(r => r.getLong(4) == r.getLong(2)),
+      "small population must estimate exactly (tau = 0)")
+    assert(all.forall(_.getBoolean(5)), "exact estimate must pass est_ok")
+    // deterministic: same coin, same sample
+    val again = DataShaping.prioritySample(docs, n = 5, weight = col("n_tok"))
+      .collect().map(_.getLong(1)).toSet
+    assert(again == rows.map(_.getLong(1)).toSet)
+  }
+
   test("curation pair sources: LSH and capped modes keep the same survivors as the exact pipeline") {
     def survivors(ps: Curation.PairSource): Set[Long] =
       Curation.curate(docs, minJ = 0.5, pairSource = ps)
