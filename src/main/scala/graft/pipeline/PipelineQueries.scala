@@ -621,6 +621,35 @@ object PipelineQueries {
         .orderBy("user_id", "start_us")
     }),
 
+    // stream-stream watermarked interval join: purchases x clicks of
+    // the same user within the trailing 8h, both sides live streams;
+    // inner-join emission is match-driven (no sentinel), watermarks
+    // bound the symmetric join state; drained pairs == batch interval
+    // join exactly
+    "stream_interval_join" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graftsij")
+      val in = tmp.resolve("in").toString
+      s.read.parquet(s"$dir/events.parquet")
+        .repartitionByRange(8, col("ts")).sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(in)
+      val parts = java.nio.file.Files.list(java.nio.file.Paths.get(in)).iterator()
+      val sorted = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+      while (parts.hasNext) { val p = parts.next(); if (p.toString.endsWith(".parquet")) sorted += p }
+      sorted.sortBy(_.getFileName.toString).zipWithIndex.foreach { case (p, i) =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      // 2 data batches per source and 4 state partitions: multi-batch
+      // cross-batch matching still exercised, but the dominant cost —
+      // 4 join state stores x partitions x batches of commit constants
+      // — stays proportionate to the 10k-row gate corpus
+      graft.streaming.StreamJoins.intervalJoin(
+          s, in, tmp.resolve("cp").toString, tmp.resolve("out").toString,
+          probeType = "purchase", refType = "click", window = "8 hours",
+          maxFilesPerTrigger = 4, statePartitions = 4)
+        .orderBy("p_id", "c_id")
+    }),
+
     // snapshot/time-travel sketch table: v1 = sketches of half the
     // corpus, v2 = full corpus; reading v1 after v2 exists must see the
     // old estimates (immutable snapshots), v2 must equal a direct build
@@ -1432,6 +1461,15 @@ object PipelineQueries {
         "CAST(sum(cents) AS BIGINT) AS cents, CAST(sum(is_purchase) AS BIGINT) AS n_purchases, " +
         "TRUE AS matches_batch " +
         "FROM s GROUP BY user_id, session_idx ORDER BY user_id, start_us"),
+
+    "stream_interval_join" ->
+      ("SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id, " +
+        "epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS c_us, " +
+        "epoch_us(p.ts) - epoch_us(c.ts) AS lag_us " +
+        "FROM events p JOIN events c ON p.user_id = c.user_id " +
+        "AND p.event_type = 'purchase' AND c.event_type = 'click' " +
+        "AND c.ts >= p.ts - INTERVAL 8 HOUR AND c.ts <= p.ts " +
+        "ORDER BY p_id, c_id"),
 
     "sketch_table_snapshots" ->
       ("SELECT source, TRUE AS versions_ok, TRUE AS snapshot_isolated, TRUE AS latest_matches_direct " +
