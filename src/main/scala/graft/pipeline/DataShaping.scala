@@ -203,4 +203,54 @@ object DataShaping {
         .select("source", "doc_id", "w", "q", "est_w", "est_ok")
     } finally topN1.unpersist()
   }
+
+  /**
+   * Deterministic per-epoch global shuffle — the data-order step of a
+   * training run: epoch `e` reads the corpus in the order of
+   * `md5(e || ':' || doc_id)`, so every epoch is a different
+   * permutation, every permutation is reproducible across runs,
+   * engines, and partitionings (the coin is content-independent), and
+   * a resumed job can recompute any row's position without state.
+   * Emits `(epoch, doc_id, pos)` with `pos` the 0-based global rank
+   * by `(shuffle_key, doc_id)` within the epoch.
+   *
+   * Global ranking without a global sort OR a one-task window: the
+   * first `bucketHexChars` hex chars of the key form 16^c uniform
+   * buckets that are PREFIXES of the sort key (bucket order == key
+   * order), so phase 1 counts rows per (epoch, bucket) — a map-side-
+   * combined agg whose output is epochs × 16^c tiny rows prefix-summed
+   * on the driver — and phase 2 ranks within each bucket and adds the
+   * bucket's starting offset. Same two-phase discipline as
+   * [[packSequences]]: the driver round-trip carries offsets, never
+   * rows, and parallelism is 16^c per epoch instead of 1.
+   */
+  def epochShuffle(docs: DataFrame, epochs: Seq[Int],
+                   bucketHexChars: Int = 2): DataFrame = {
+    require(epochs.nonEmpty && bucketHexChars >= 1 && bucketHexChars <= 8)
+    val spark = docs.sparkSession
+    val keyed = docs
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .withColumn("epoch", explode(array(epochs.map(e => lit(e)): _*)))
+      .withColumn("skey", md5(concat(col("epoch").cast("string"), lit(":"),
+        col("doc_id").cast("string"))))
+      .withColumn("bucket",
+        expr(s"cast(conv(substring(skey, 1, $bucketHexChars), 16, 10) as int)"))
+    // phase 1: per-(epoch, bucket) row counts -> driver prefix sum
+    val counts = keyed.groupBy("epoch", "bucket").count().collect()
+    val starts: Seq[(Int, Int, Long)] = counts
+      .groupBy(_.getInt(0)).toSeq.flatMap { case (e, rows) =>
+        var acc = 0L
+        rows.sortBy(_.getInt(1)).map { r =>
+          val s = acc; acc += r.getLong(2); (e, r.getInt(1), s)
+        }
+      }
+    import spark.implicits._
+    val startDf = starts.toDF("epoch", "bucket", "bucket_start")
+    // phase 2: within-bucket rank + bucket offset (bucket is a key
+    // prefix, so this equals the global row_number by (skey, doc_id))
+    val w = Window.partitionBy("epoch", "bucket").orderBy("skey", "doc_id")
+    keyed.join(broadcast(startDf), Seq("epoch", "bucket"))
+      .withColumn("pos", col("bucket_start") + row_number().over(w) - 1)
+      .select(col("epoch"), col("doc_id"), col("pos").cast("long").as("pos"))
+  }
 }

@@ -356,6 +356,50 @@ object Dedup {
       (col("id") === col("label")).as("keep"))
   }
 
+  /**
+   * C4-style exact SPAN dedup (Raffel et al. 2020 §2.2 deduplicate
+   * whole repeated spans, not whole documents): each document splits
+   * into consecutive `w`-token blocks; of all occurrences of the same
+   * block text anywhere in the corpus — across documents AND within
+   * one — only the first (smallest `(doc_id, block_idx)`) survives,
+   * and each document is reconstructed from its surviving blocks in
+   * order. Catches boilerplate (headers, footers, license blurbs)
+   * that document-level dedup can't: the containing documents differ,
+   * the span repeats.
+   *
+   * Scale: blocks are a row-local posexplode; the global first-wins
+   * vote is ONE hash agg on a 16-hex-char md5 prefix of the block
+   * text, so that exchange carries (key, ids) — never text. The only
+   * text-bearing exchange is the final per-document regroup, the same
+   * volume as writing the cleaned corpus out (unavoidable for an
+   * operator whose OUTPUT is the cleaned corpus). 64-bit-equivalent
+   * keys make cross-block collisions ~N²/2⁶⁵ — the accepted C4
+   * trade; the oracle groups on raw block text, so a collision would
+   * fail the gate rather than hide.
+   */
+  def spanDedup(docs: DataFrame, w: Int): DataFrame = {
+    require(w >= 1, s"block width $w")
+    val blocks = docs
+      .select(col("doc_id").cast("long").as("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(ws) / ${w}.0) as int) - 1), " +
+          s"i -> array_join(slice(ws, i * $w + 1, $w), ' '))")).as(Seq("bidx", "btext")))
+      .withColumn("bkey", substring(md5(col("btext")), 1, 16))
+    val winners = blocks.groupBy("bkey")
+      .agg(min(struct(col("doc_id"), col("bidx"))).as("first"))
+    blocks.join(winners, "bkey")
+      .withColumn("keep", struct(col("doc_id"), col("bidx")) === col("first"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_blocks"),
+        sum(when(col("keep"), 0).otherwise(1)).cast("int").as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("bidx"), col("btext"))))),
+            s => s.getField("btext")), " ").as("clean_text"))
+  }
+
   /** Exact-Jaccard verification of candidate pairs against shingle sets. */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame, minJ: Double): DataFrame =
     cand

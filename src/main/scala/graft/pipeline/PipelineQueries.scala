@@ -21,6 +21,9 @@ object PipelineQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+  /** Ten corpus-vocabulary words = exactly two 5-token blocks — the
+    * boilerplate paragraph dedup_spans plants on every 50th doc. */
+  private val SpanPlant = "the quick scan row data merge hash join sort table"
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -55,6 +58,19 @@ object PipelineQueries {
       TextOps.redactPii(planted).orderBy("doc_id")
     }),
 
+    // Gopher repetition stats over docs with deterministically PLANTED
+    // repetition (every 40th doc gets ' spam' x30 appended — the
+    // natural corpus is near-uniform, so without the plant the keep
+    // rule would never fire and the gate couldn't falsify it); the
+    // oracle replays the explode -> groupBy -> window form in SQL
+    "text_repetition" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 40 === 0,
+          concat(col("text"), expr("repeat(' spam', 30)")))
+          .otherwise(col("text")).as("text"))
+      TextOps.repetition(planted).orderBy("doc_id")
+    }),
+
     // BPE merge training: R rounds of most-frequent-pair merging over
     // the word-frequency table (per-round cost O(|vocab|), corpus
     // touched once) — every round's argmax and count replayed exactly
@@ -70,6 +86,19 @@ object PipelineQueries {
       val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"), col("text"))
       val dup = d.union(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
       Dedup.exactDedup(dup).orderBy("kept_doc_id")
+    }),
+
+    // C4-style exact span dedup (5-token blocks, global first-wins)
+    // on docs with a PLANTED shared boilerplate paragraph (two blocks
+    // prepended to every 50th doc — the cross-document repeated span
+    // document-level dedup can't see); natural within/cross-doc block
+    // collisions are covered by the oracle grouping on raw block text
+    "dedup_spans" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 50 === 0,
+          concat(lit(SpanPlant + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      Dedup.spanDedup(planted, w = 5).orderBy("doc_id")
     }),
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -181,6 +210,15 @@ object PipelineQueries {
     "pipeline_sample_priority" -> ((s, dir) =>
       DataShaping.prioritySample(TokenTable.load(s, dir), n = 64, weight = col("n_tok"))
         .orderBy("doc_id")),
+
+    // deterministic per-epoch global shuffle: epochs 1 and 2 rank the
+    // corpus by md5(epoch:doc_id) — two different reproducible
+    // permutations from the two-phase bucket-prefix ranking (no global
+    // sort, no one-task window); the oracle replays the rank as a
+    // plain row_number over the same key
+    "pipeline_epoch_shuffle" -> ((s, dir) =>
+      DataShaping.epochShuffle(docs(s, dir), epochs = Seq(1, 2))
+        .orderBy("epoch", "pos")),
 
     // THE end-to-end corpus-prep composition a 100 TB release runs,
     // as ONE gate: curate (quality -> exact dedup -> LSH near-dup) ->
@@ -1172,6 +1210,50 @@ object PipelineQueries {
         "SELECT source, doc_id, w, q, CAST(est_w AS BIGINT) AS est_w, " +
         "abs(est_total - w_total) * 100 <= w_total * 30 AS est_ok " +
         "FROM kept, tot, et ORDER BY doc_id"),
+
+    "pipeline_epoch_shuffle" ->
+      ("WITH k AS (SELECT epoch, CAST(doc_id AS BIGINT) AS doc_id, " +
+        "md5(epoch || ':' || doc_id) AS skey " +
+        "FROM (SELECT unnest([1, 2]) AS epoch) CROSS JOIN documents) " +
+        "SELECT CAST(epoch AS INT) AS epoch, doc_id, " +
+        "CAST(row_number() OVER (PARTITION BY epoch ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos " +
+        "FROM k ORDER BY epoch, pos"),
+
+    "text_repetition" ->
+      ("WITH planted AS (SELECT doc_id, CASE WHEN doc_id % 40 = 0 " +
+        "THEN text || repeat(' spam', 30) ELSE text END AS text FROM documents), " +
+        "t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(length(text) AS INT) AS n_chars_doc, " +
+        s"$W AS ws FROM planted), " +
+        "e2 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS gram FROM t), " +
+        "c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM e2 GROUP BY 1, 2), " +
+        "a2 AS (SELECT doc_id, CAST(sum(cnt) AS INT) AS g2, " +
+        "CAST(COALESCE(sum(CASE WHEN cnt > 1 THEN cnt * length(gram) END), 0) AS BIGINT) AS dup2_chars FROM c2 GROUP BY 1), " +
+        "t2 AS (SELECT doc_id, CAST(cnt AS INT) AS top2_cnt, CAST(cnt * length(gram) AS BIGINT) AS top2_chars FROM " +
+        "(SELECT doc_id, gram, cnt, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn FROM c2) WHERE rn = 1), " +
+        "e3 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram FROM t), " +
+        "c3 AS (SELECT doc_id, gram, count(*) AS cnt FROM e3 GROUP BY 1, 2), " +
+        "a3 AS (SELECT doc_id, CAST(sum(cnt) AS INT) AS g3, " +
+        "CAST(COALESCE(sum(CASE WHEN cnt > 1 THEN cnt * length(gram) END), 0) AS BIGINT) AS dup3_chars FROM c3 GROUP BY 1), " +
+        "t3 AS (SELECT doc_id, CAST(cnt AS INT) AS top3_cnt, CAST(cnt * length(gram) AS BIGINT) AS top3_chars FROM " +
+        "(SELECT doc_id, gram, cnt, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn FROM c3) WHERE rn = 1) " +
+        "SELECT t.doc_id, t.n_chars_doc, a2.g2, t2.top2_cnt, t2.top2_chars, a2.dup2_chars, " +
+        "a3.g3, t3.top3_cnt, t3.top3_chars, a3.dup3_chars, " +
+        "(t2.top2_chars * 5 <= t.n_chars_doc AND a3.dup3_chars * 20 <= t.n_chars_doc * 3) AS rep_keep " +
+        "FROM t JOIN a2 USING (doc_id) JOIN t2 USING (doc_id) JOIN a3 USING (doc_id) JOIN t3 USING (doc_id) " +
+        "ORDER BY doc_id"),
+
+    "dedup_spans" ->
+      (s"WITH planted AS (SELECT doc_id, CASE WHEN doc_id % 50 = 0 " +
+        s"THEN '$SpanPlant ' || text ELSE text END AS text FROM documents), " +
+        s"t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, $W AS ws FROM planted), " +
+        "b0 AS (SELECT doc_id, unnest(range(0, CAST(ceil(len(ws) / 5.0) AS BIGINT))) AS bidx, ws FROM t), " +
+        "b AS (SELECT doc_id, bidx, array_to_string(ws[bidx * 5 + 1 : bidx * 5 + 5], ' ') AS btext FROM b0), " +
+        "k AS (SELECT doc_id, bidx, btext, " +
+        "row_number() OVER (PARTITION BY btext ORDER BY doc_id, bidx) = 1 AS keep FROM b) " +
+        "SELECT doc_id, CAST(count(*) AS INT) AS n_blocks, " +
+        "CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS INT) AS n_removed, " +
+        "COALESCE(string_agg(CASE WHEN keep THEN btext END, ' ' ORDER BY bidx), '') AS clean_text " +
+        "FROM k GROUP BY doc_id ORDER BY doc_id"),
 
     // streaming scrub must equal the batch operator exactly: the
     // SAME oracle string by construction

@@ -173,6 +173,72 @@ case class WordShingles(child: Expression, n: Int)
   override def prettyName: String = "word_shingles"
 }
 
+/**
+ * Per-document n-gram repetition statistics (the Gopher repetition
+ * signals, Rae et al. 2021 §A1.1): over the OVERLAPPING word n-grams
+ * of one document — total gram count, the most frequent gram's
+ * occurrence count and character coverage (count × gram chars, ties
+ * broken by lexicographically smallest gram so the answer is unique),
+ * and the character coverage of all duplicated grams (Σ count × chars
+ * over grams with count > 1).
+ *
+ * One native pass with a per-row hash map — a SCALAR of the document,
+ * so at 100 TB the repetition filter is scan + WholeStageCodegen
+ * projection, no shuffle (the explode → groupBy(doc, gram) alternative
+ * exchanges every token of the corpus). The oracle replays the explode
+ * form in SQL; equality is exact because counts and character sums are
+ * integers and the tie-break is total.
+ */
+case class RepetitionStats(child: Expression, n: Int)
+    extends UnaryExpression with UnaryRefCodegen {
+  override def evalRef(input: AnyRef): AnyRef = nullSafeEval(input).asInstanceOf[AnyRef]
+  require(n >= 1, s"gram width $n")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", IntegerType, nullable = false),
+    StructField("top_cnt", IntegerType, nullable = false),
+    StructField("top_chars", LongType, nullable = false),
+    StructField("dup_chars", LongType, nullable = false)))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val nw = arr.numElements()
+    if (nw < n)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0, 0, 0L, 0L))
+    val counts = new java.util.HashMap[UTF8String, Integer]()
+    val sep = UTF8String.fromString(" ")
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i + n <= nw) {
+      var j = 0
+      while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      val g = UTF8String.concatWs(sep, parts: _*)
+      val prev = counts.get(g)
+      counts.put(g, if (prev == null) 1 else prev + 1)
+      i += 1
+    }
+    var topCnt = 0
+    var topGram: UTF8String = null
+    var dupChars = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue.intValue()
+      if (c > topCnt || (c == topCnt && e.getKey.compareTo(topGram) < 0)) {
+        topCnt = c
+        topGram = e.getKey
+      }
+      if (c > 1) dupChars += c.toLong * e.getKey.numChars()
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nw - n + 1, topCnt, topCnt.toLong * topGram.numChars(), dupChars))
+  }
+
+  override protected def withNewChildInternal(c: Expression): RepetitionStats = copy(child = c)
+  override def prettyName: String = "repetition_stats"
+}
+
 /** Column builders + builtin-composed text helpers (codegen'd where possible). */
 object TextFunctions {
 
@@ -188,6 +254,11 @@ object TextFunctions {
   /** Distinct word n-gram shingles (native single pass, see WordShingles). */
   def shingles(wordsCol: Column, n: Int): Column =
     ColumnShim.column(WordShingles(ColumnShim.expression(wordsCol), n))
+
+  /** Per-doc n-gram repetition stats struct (native single pass, see
+    * RepetitionStats). */
+  def repetitionStats(wordsCol: Column, n: Int): Column =
+    ColumnShim.column(RepetitionStats(ColumnShim.expression(wordsCol), n))
 
   /**
    * Stopword-profile language scores. Honest n-gram/stopword heuristic

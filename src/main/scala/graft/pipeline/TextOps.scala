@@ -88,6 +88,36 @@ object TextOps {
       expr("aggregate(transform(split(text, ''), c -> ascii(c)), 0L, (a, c) -> (a * 31 + c) % 1000000007)")
         .as("fp_rolling"))
 
+  /**
+   * Gopher-style repetition filtering (Rae et al. 2021 §A1.1): per
+   * document, the character coverage of the most frequent word 2-gram
+   * and of all duplicated 3-grams, plus the keep rule — drop when the
+   * top 2-gram covers more than 1/5 of the document's characters or
+   * duplicated 3-grams cover more than 3/20 (the published 0.20/0.15
+   * thresholds as exact integer comparisons; overlapping grams count
+   * each occurrence's characters, the Gopher convention).
+   *
+   * The stats come from [[TextFunctions.repetitionStats]] — one native
+   * row-local pass per document — so the whole filter is a parquet
+   * scan + codegen'd projection: nothing shuffles, which is the only
+   * acceptable shape for a filter that reads all 100 TB. (The oracle
+   * replays the explode → groupBy form in SQL; integer counts and a
+   * total tie-break make the two forms byte-equal.)
+   */
+  def repetition(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id").cast("long").as("doc_id"),
+        length(col("text")).as("n_chars_doc"),
+        repetitionStats(ws, 2).as("r2"),
+        repetitionStats(ws, 3).as("r3"))
+      .select(col("doc_id"), col("n_chars_doc"),
+        col("r2.n_grams").as("g2"), col("r2.top_cnt").as("top2_cnt"),
+        col("r2.top_chars").as("top2_chars"), col("r2.dup_chars").as("dup2_chars"),
+        col("r3.n_grams").as("g3"), col("r3.top_cnt").as("top3_cnt"),
+        col("r3.top_chars").as("top3_chars"), col("r3.dup_chars").as("dup3_chars"),
+        (col("r2.top_chars") * 5 <= col("n_chars_doc") &&
+          col("r3.dup_chars") * 20 <= col("n_chars_doc") * 3).as("rep_keep"))
+
   /** Email-address pattern: simple char classes only (no backslash
     * escapes — `[.]` instead of `\.`), so the Java (Spark) and RE2
     * (DuckDB/production scrubbers) dialects agree AND the pattern

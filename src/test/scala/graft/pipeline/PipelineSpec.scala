@@ -473,6 +473,71 @@ class PipelineSpec extends AnyFunSuite {
     assert(survivors(Curation.PairSource.Capped(3, 0.5, 64)) == exact)
   }
 
+  test("repetition stats: counts, char coverage, lex tie-break, short-doc zeros, keep rule") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a"), // 2-grams: "a b"x2, "b a"x2 (tie -> "a b"); 3-grams: "a b a"x2, "b a b"
+      (2L, "x"),         // shorter than any gram: all zeros
+      (3L, "x y"))       // one 2-gram, no dup; no 3-gram
+      .toDF("doc_id", "text")
+    val out = TextOps.repetition(df).orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert((r1.getInt(2), r1.getInt(3), r1.getLong(4), r1.getLong(5)) == ((4, 2, 6L, 12L)),
+      s"2-gram stats of doc1: $r1")
+    assert((r1.getInt(6), r1.getInt(7), r1.getLong(8), r1.getLong(9)) == ((3, 2, 10L, 10L)),
+      s"3-gram stats of doc1: $r1")
+    assert(!r1.getBoolean(10), "top 2-gram covers 6*5 > 9 chars: drop")
+    val r2 = out(1)
+    assert((r2.getInt(2), r2.getInt(3), r2.getLong(4), r2.getLong(5)) == ((0, 0, 0L, 0L)))
+    assert(r2.getBoolean(10), "no grams => nothing repetitive => keep")
+    val r3 = out(2)
+    assert((r3.getInt(2), r3.getInt(3), r3.getLong(4), r3.getLong(5)) == ((1, 1, 3L, 0L)))
+    // a genuinely diverse doc keeps
+    val keep = TextOps.repetition(Seq((9L,
+      "one two three four five six seven eight nine ten eleven twelve")).toDF("doc_id", "text"))
+      .collect()(0)
+    assert(keep.getBoolean(10))
+  }
+
+  test("span dedup: global first-wins across and within docs, reconstruction in block order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f"),  // both blocks first occurrences
+      (2L, "a b c x y z"),  // block 0 duplicates doc1's
+      (3L, "d e f d e f"),  // both blocks duplicate doc1's block 1
+      (4L, "q q q q q q"))  // WITHIN-doc dup: second block removed
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedup(df, w = 3).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2, 0, "a b c d e f"),
+      (2L, 2, 1, "x y z"),
+      (3L, 2, 2, ""),
+      (4L, 2, 1, "q q q")), s"got ${out.toSeq}")
+  }
+
+  test("epoch shuffle: per-epoch permutation, epochs differ, bucketed rank equals global row_number") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val out = DataShaping.epochShuffle(df, epochs = Seq(1, 2), bucketHexChars = 1)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 200)
+    val byEpoch = out.groupBy(_._1)
+    // expected global order: md5("e:id") ascending (hex strings sort
+    // like their bytes), doc_id tie-break
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    for (e <- Seq(1, 2)) {
+      val got = byEpoch(e).sortBy(_._3).map(_._2).toSeq
+      assert(byEpoch(e).map(_._3).sorted.toSeq == (0L until 100L), s"epoch $e positions")
+      val expected = (0L until 100L).sortBy(i => (md5hex(s"$e:$i"), i))
+      assert(got == expected, s"epoch $e order")
+    }
+    assert(byEpoch(1).sortBy(_._3).map(_._2).toSeq != byEpoch(2).sortBy(_._3).map(_._2).toSeq,
+      "different epochs must be different permutations")
+  }
+
   test("exact-fixture cache invalidates when a corpus file is rewritten in place") {
     import spark.implicits._
     import java.nio.file.{Files, StandardCopyOption}
