@@ -205,6 +205,57 @@ object DataShaping {
   }
 
   /**
+   * Token-budget MIXTURE sampling — the data-mixing step of a corpus
+   * release (cf. The Pile / LLaMA source weighting): given per-source
+   * mixture weights and a token budget expressed as a fraction
+   * `budgetNum/budgetDen` of the corpus (scale-free: the same call
+   * works at sf0.01 and at 100 TB), each source's keep rate is
+   *
+   *   rate4096_s = min(4096, (T · budgetNum · w_s · 4096)
+   *                          div (budgetDen · ΣW · actual_s))
+   *
+   * — i.e. its token target `B · w_s / ΣW` over its actual tokens,
+   * quantized to 1/4096ths in ONE integer floor-division so the
+   * DuckDB oracle replays it exactly (BigInt here, HUGEINT there).
+   * A document keeps iff its 12-bit md5 coin < rate: the same
+   * content-independent, engine-reproducible coin as
+   * [[stratifiedSample]], so the whole sample is a scan-level filter.
+   *
+   * Scale: phase 1 is a map-side-combined per-source token total (S
+   * tiny rows to the driver), phase 2 a broadcast-joined row-local
+   * filter. Sources missing from `weights` get weight `defaultW`.
+   */
+  def mixtureSample(tokenTable: DataFrame, weights: Map[String, Long],
+                    budgetNum: Long, budgetDen: Long,
+                    defaultW: Long = 1L): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0 && defaultW >= 0 &&
+      weights.values.forall(_ >= 0))
+    val spark = tokenTable.sparkSession
+    val base = tokenTable.select(
+      col("source"), col("doc_id").cast("long").as("doc_id"),
+      col("n_tok").cast("int").as("n_tok"))
+    val totals = base.groupBy("source").agg(sum("n_tok").as("actual")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t = totals.values.sum
+    // keysIterator, not keys.map: a Set.map would DEDUPLICATE equal
+    // weights before summing
+    val wsum = totals.keysIterator.map(s => weights.getOrElse(s, defaultW)).sum
+    val rates: Seq[(String, Int)] = totals.toSeq.map { case (s, actual) =>
+      val w = weights.getOrElse(s, defaultW)
+      val r = (BigInt(t) * budgetNum * w * 4096) /
+        (BigInt(budgetDen) * wsum * actual)
+      s -> math.min(4096L, r.toLong).toInt
+    }
+    import spark.implicits._
+    val rateDf = rates.toDF("source", "rate4096")
+    base.join(broadcast(rateDf), Seq("source"))
+      .withColumn("coin", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 3), 16, 10) as int)"))
+      .filter(col("coin") < col("rate4096"))
+      .select("source", "doc_id", "n_tok", "rate4096", "coin")
+  }
+
+  /**
    * Deterministic per-epoch global shuffle — the data-order step of a
    * training run: epoch `e` reads the corpus in the order of
    * `md5(e || ':' || doc_id)`, so every epoch is a different

@@ -211,6 +211,17 @@ object PipelineQueries {
       DataShaping.prioritySample(TokenTable.load(s, dir), n = 64, weight = col("n_tok"))
         .orderBy("doc_id")),
 
+    // token-budget mixture sampling: even sources weighted 8, odd 1,
+    // budget = 3/5 of corpus tokens — heavy sources hit the rate cap
+    // (keep-all), light ones thin to their token target; rates are one
+    // scale-free integer division, the coin the engine's 12-bit md5
+    "pipeline_mixture" -> ((s, dir) => {
+      val evens = (0 until 20 by 2).map(i => s"src$i" -> 8L).toMap
+      DataShaping.mixtureSample(TokenTable.load(s, dir), evens,
+        budgetNum = 3, budgetDen = 5, defaultW = 1L)
+        .orderBy("doc_id")
+    }),
+
     // deterministic per-epoch global shuffle: epochs 1 and 2 rank the
     // corpus by md5(epoch:doc_id) — two different reproducible
     // permutations from the two-phase bucket-prefix ranking (no global
@@ -1210,6 +1221,21 @@ object PipelineQueries {
         "SELECT source, doc_id, w, q, CAST(est_w AS BIGINT) AS est_w, " +
         "abs(est_total - w_total) * 100 <= w_total * 30 AS est_ok " +
         "FROM kept, tot, et ORDER BY doc_id"),
+
+    "pipeline_mixture" ->
+      ("WITH tt AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source, " +
+        s"CAST(len($W) AS INT) AS n_tok FROM documents), " +
+        "wts AS (SELECT source, CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 " +
+        "THEN 8 ELSE 1 END AS wt FROM (SELECT DISTINCT source FROM tt)), " +
+        "act AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS actual FROM tt GROUP BY 1), " +
+        "g AS (SELECT CAST(sum(actual) AS BIGINT) AS t, " +
+        "(SELECT CAST(sum(wt) AS BIGINT) FROM wts) AS wsum FROM act), " +
+        "r AS (SELECT act.source, CAST(least(4096, " +
+        "(CAST(t AS HUGEINT) * 3 * wt * 4096) // (CAST(5 AS HUGEINT) * wsum * actual)) AS INT) AS rate4096 " +
+        "FROM act JOIN wts USING (source) CROSS JOIN g) " +
+        "SELECT source, doc_id, n_tok, rate4096, coin FROM " +
+        "(SELECT *, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 3)) AS INT) AS coin FROM tt) " +
+        "JOIN r USING (source) WHERE coin < rate4096 ORDER BY doc_id"),
 
     "pipeline_epoch_shuffle" ->
       ("WITH k AS (SELECT epoch, CAST(doc_id AS BIGINT) AS doc_id, " +

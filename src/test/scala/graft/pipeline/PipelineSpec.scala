@@ -516,6 +516,40 @@ class PipelineSpec extends AnyFunSuite {
       (4L, 2, 1, "q q q")), s"got ${out.toSeq}")
   }
 
+  test("mixture sampling: rate cap and thinning branches, equal weights don't collapse, determinism") {
+    import spark.implicits._
+    // two sources, 100 docs each, 10 tokens per doc => actual = 1000
+    // each, T = 2000
+    val tt = (0L until 200L).map(i =>
+      (i.toString, (if (i < 100) "big" else "small"), 10))
+      .toDF("doc_id", "source", "n_tok")
+    // weights 3:1, budget = half the corpus: big's target = 2000/2 *
+    // 3/4 = 750 of 1000 actual -> rate 3072; small's = 250 -> 1024
+    val out = DataShaping.mixtureSample(tt, Map("big" -> 3L, "small" -> 1L),
+      budgetNum = 1, budgetDen = 2)
+    val rates = out.select("source", "rate4096").distinct().collect()
+      .map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(rates == Map("big" -> 3072, "small" -> 1024), s"got $rates")
+    // EQUAL weights on multiple sources must not collapse in the
+    // weight-sum (a Set.map would dedupe 1+1 -> 1): rate = whole
+    // budget fraction, 2048 each
+    val eq = DataShaping.mixtureSample(tt, Map.empty, budgetNum = 1, budgetDen = 2)
+      .select("source", "rate4096").distinct().collect()
+      .map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(eq == Map("big" -> 2048, "small" -> 2048), s"got $eq")
+    // over-budget source hits the 4096 cap (keep everything)
+    val capped = DataShaping.mixtureSample(tt, Map("big" -> 100L),
+      budgetNum = 1, budgetDen = 1)
+      .select("source", "rate4096").distinct().collect()
+      .map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(capped("big") == 4096)
+    // deterministic: same call, same kept set
+    val kept1 = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept2 = DataShaping.mixtureSample(tt, Map("big" -> 3L, "small" -> 1L),
+      budgetNum = 1, budgetDen = 2).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept1 == kept2 && kept1.nonEmpty)
+  }
+
   test("epoch shuffle: per-epoch permutation, epochs differ, bucketed rank equals global row_number") {
     import spark.implicits._
     val df = (0L until 100L).map(i => (i, s"t$i")).toDF("doc_id", "text")
