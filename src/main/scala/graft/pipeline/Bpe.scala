@@ -76,29 +76,107 @@ object Bpe {
     } finally words.unpersist()
   }
 
-  /** DuckDB replay of `train`: one CTE chain per round, same
-    * pair-count, same (c DESC, lhs, rhs) argmax, same single-pass
-    * replace application. */
-  def oracleSql(rounds: Int): String = {
+  /**
+   * Encode every document with an already-trained merge table — the
+   * APPLY half of the tokenizer (training's complement; together they
+   * are the reference-style "build once, probe everywhere" shape for
+   * tokenization). Per word: characters become symbols, then each
+   * merge is applied IN ROUND ORDER with the identical single-pass
+   * replace semantics as training. Words are separated in the symbol
+   * stream by the boundary token `|` — training requires merge
+   * symbols to be alphanumeric, so no ` lhs rhs ` pattern can ever
+   * span it.
+   *
+   * 100 TB posture: the merge table is a driver-side literal (R is
+   * tokenizer-sized, not data-sized), so encoding is a scan + R
+   * nested codegen'd string replaces + projection — row-local, zero
+   * shuffle, no state. Emits per doc:
+   *   - `encoded`   the final space-joined symbol stream (hashing this
+   *                 forces the oracle to replay every merge exactly —
+   *                 a no-op encoder cannot pass),
+   *   - `n_tokens`  symbols excluding word boundaries,
+   *   - `lossless`  decode(encode(text)) == whitespace-normalized text,
+   *                 computed in-plan so the round-trip is part of the
+   *                 gated answer, not a side assertion.
+   */
+  def encode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    merges.foreach { case (l, r) =>
+      require(l.matches("[a-z0-9]+") && r.matches("[a-z0-9]+"),
+        s"merge symbols must be alphanumeric: '$l' '$r'")
+    }
+    val seq0 = expr(
+      "array_join(transform(split(trim(text), '\\\\s+'), " +
+        "w -> trim(regexp_replace(w, '(.)', '$1 '))), ' | ')")
+    var enc = docs.select(col("doc_id"), seq0.as("seq"),
+      expr("array_join(split(trim(text), '\\\\s+'), ' ')").as("norm"))
+    for ((l, r) <- merges)
+      enc = enc.select(col("doc_id"),
+        trim(expr(s"replace(' ' || seq || ' ', ' $l $r ', ' $l$r ')")).as("seq"),
+        col("norm"))
+    enc.select(
+      col("doc_id"),
+      col("seq").as("encoded"),
+      expr("size(filter(split(seq, ' '), x -> x != '|' AND x != ''))").as("n_tokens"),
+      (expr("replace(replace(seq, ' ', ''), '|', ' ')") === col("norm")).as("lossless"))
+  }
+
+  /** Shared training CTE chain: w0 (word-frequency char seqs),
+    * p_r/m_r (pair counts + argmax) per round, w_r re-applications up
+    * to `applyThrough`. Every CTE is `MATERIALIZED`: DuckDB inlines
+    * CTEs by default, and each round references the previous one
+    * several times (scalar subqueries on m_r inside the replace), so
+    * an inlined chain re-evaluates the base exponentially in rounds —
+    * >300 s at 500 docs vs <1 s materialized. */
+  private def trainCtes(rounds: Int, applyThrough: Int): String = {
     val sb = new StringBuilder
-    sb.append("WITH w0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq, ")
+    sb.append("WITH w0 AS MATERIALIZED (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq, ")
       .append("CAST(count(*) AS BIGINT) AS cnt FROM ")
       .append("(SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents) GROUP BY 1)")
     for (r <- 1 to rounds) {
       val prev = s"w${r - 1}"
-      sb.append(s", p$r AS (SELECT ws[i] AS lhs, ws[i+1] AS rhs, CAST(sum(cnt) AS BIGINT) AS c ")
+      sb.append(s", p$r AS MATERIALIZED (SELECT ws[i] AS lhs, ws[i+1] AS rhs, CAST(sum(cnt) AS BIGINT) AS c ")
         .append(s"FROM (SELECT regexp_split_to_array(seq, ' ') AS ws, cnt FROM $prev) t, ")
         .append("unnest(range(1, len(ws))) AS u(i) GROUP BY 1, 2)")
-      sb.append(s", m$r AS (SELECT lhs, rhs, c FROM p$r ORDER BY c DESC, lhs, rhs LIMIT 1)")
-      if (r < rounds)
-        sb.append(s", w$r AS (SELECT trim(replace(' ' || seq || ' ', ")
+      sb.append(s", m$r AS MATERIALIZED (SELECT lhs, rhs, c FROM p$r ORDER BY c DESC, lhs, rhs LIMIT 1)")
+      if (r <= applyThrough)
+        sb.append(s", w$r AS MATERIALIZED (SELECT trim(replace(' ' || seq || ' ', ")
           .append(s"' ' || (SELECT lhs FROM m$r) || ' ' || (SELECT rhs FROM m$r) || ' ', ")
           .append(s"' ' || (SELECT lhs FROM m$r) || (SELECT rhs FROM m$r) || ' ')) AS seq, cnt FROM $prev)")
     }
+    sb.toString
+  }
+
+  /** DuckDB replay of `train`: one CTE chain per round, same
+    * pair-count, same (c DESC, lhs, rhs) argmax, same single-pass
+    * replace application. */
+  def oracleSql(rounds: Int): String = {
+    val sb = new StringBuilder(trainCtes(rounds, rounds - 1))
     sb.append(" SELECT * FROM (")
     sb.append((1 to rounds).map(r =>
       s"SELECT $r AS round, lhs, rhs, c AS pair_count FROM m$r").mkString(" UNION ALL "))
     sb.append(") ORDER BY round")
+    sb.toString
+  }
+
+  /** DuckDB replay of train-then-`encode`: the training chain yields
+    * m_1..m_R, then every document's boundary-joined char stream gets
+    * the R merges applied in order (d_0..d_R), reproducing `encoded`,
+    * `n_tokens` and the `lossless` round-trip byte-for-byte. */
+  def encodeOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder(trainCtes(rounds, rounds - 1))
+    sb.append(", d0 AS MATERIALIZED (SELECT doc_id, array_to_string(list_transform(")
+      .append("regexp_split_to_array(trim(text), '\\s+'), ")
+      .append("w -> trim(regexp_replace(w, '(.)', '\\1 ', 'g'))), ' | ') AS seq FROM documents)")
+    for (r <- 1 to rounds)
+      sb.append(s", d$r AS MATERIALIZED (SELECT doc_id, trim(replace(' ' || seq || ' ', ")
+        .append(s"' ' || (SELECT lhs FROM m$r) || ' ' || (SELECT rhs FROM m$r) || ' ', ")
+        .append(s"' ' || (SELECT lhs FROM m$r) || (SELECT rhs FROM m$r) || ' ')) AS seq FROM d${r - 1})")
+    sb.append(s" SELECT doc_id, seq AS encoded, ")
+      .append("CAST(len(list_filter(regexp_split_to_array(seq, ' '), ")
+      .append("x -> x != '|' AND x != '')) AS INT) AS n_tokens, ")
+      .append("replace(replace(seq, ' ', ''), '|', ' ') = ")
+      .append("array_to_string(regexp_split_to_array(trim(text), '\\s+'), ' ') AS lossless ")
+      .append(s"FROM d$rounds JOIN documents USING (doc_id) ORDER BY doc_id")
     sb.toString
   }
 }

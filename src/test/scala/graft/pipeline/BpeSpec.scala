@@ -60,4 +60,49 @@ class BpeSpec extends AnyFunSuite {
     for (r <- 1 to 4) { assert(sql.contains(s"m$r AS")); assert(sql.contains(s"p$r AS")) }
     assert(!sql.contains("w4 AS")) // no apply step after the last round
   }
+
+  test("encode golden: merges applied in round order across word boundaries") {
+    // merges from the first golden: (a,b), (a,ab), (ab,c)
+    // "aab abc" -> "a a b | a b c" -> "a ab | ab c" -> "aab | ab c"
+    //           -> "aab | abc"
+    val out = Bpe.encode(corpus("aab abc"),
+        Seq(("a", "b"), ("a", "ab"), ("ab", "c")))
+      .collect().map(r => (r.getString(1), r.getInt(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(("aab | abc", 2, true)))
+  }
+
+  test("encode matches training's single-pass adjacent-overlap semantics") {
+    // merge (a,a) on "aaaa": ' a a a a ' consumes the first pair and
+    // resumes after it -> "aa a a" (three tokens), same rule as train
+    val out = Bpe.encode(corpus("aaaa"), Seq(("a", "a")))
+      .collect().map(r => (r.getString(1), r.getInt(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(("aa a a", 3, true)))
+  }
+
+  test("encode round-trip is lossless modulo whitespace normalization") {
+    val d = corpus("ab  ab\naab", "c c  c")
+    val m = Bpe.train(d, rounds = 2).orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val out = Bpe.encode(d, m).orderBy("doc_id").collect()
+    assert(out.forall(_.getBoolean(3)), "every doc must decode back")
+    // merges actually fired: the corpus contains trained pairs, so at
+    // least one doc must have fewer tokens than characters-in-words
+    val enc = out.map(_.getString(1))
+    assert(enc.exists(_.split(' ').exists(_.length > 1)),
+      s"no merged symbol in ${enc.toSeq}")
+  }
+
+  test("encode with zero merges is the raw character stream") {
+    val out = Bpe.encode(corpus("ab c"), Nil).collect()
+      .map(r => (r.getString(1), r.getInt(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(("a b | c", 3, true)))
+  }
+
+  test("encodeOracleSql applies every round to the document chain") {
+    val sql = Bpe.encodeOracleSql(4)
+    for (r <- 1 to 4) assert(sql.contains(s"d$r AS"))
+    assert(sql.contains("m4"))      // last merge applied to docs
+    assert(!sql.contains("w4 AS"))  // but training stops re-applying
+    assert(sql.contains("lossless"))
+  }
 }
