@@ -78,6 +78,92 @@ object PipelineQueries {
     "text_bpe_train" -> ((s, dir) =>
       Bpe.train(docs(s, dir), rounds = 6).orderBy("round")),
 
+    // the APPLY half of the tokenizer: train 6 merges, then encode
+    // every document row-locally (merge table inlined as plan
+    // literals — scan + 6 codegen'd replaces, zero shuffle); hashing
+    // `encoded` forces the oracle to replay every merge, and the
+    // decode(encode(x)) == normalize(x) round-trip is a gated COLUMN,
+    // not a side assertion
+    "text_bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val m = Bpe.train(d, rounds = 6).orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.encode(d, m).orderBy("doc_id")
+    }),
+
+    // ---- physical layout (shuffle-free joins, scan pruning) -------------
+
+    // bucketed co-located join: both sides written hash-bucketed on
+    // their join key — the shuffle is paid ONCE at write time and
+    // amortizes over every later join. The fact⋈dim join then runs
+    // with ZERO exchanges under the join node, pinned into the
+    // oracle via the join_shuffles column (counted on the pre-AQE
+    // physical plan, so AQE's runtime rewrites can't mask a shuffle)
+    "q_bucketed_join" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("bkt").toString
+      Layout.writeBucketed(s.read.parquet(s"$dir/customer.parquet"),
+        "graft_bkt_customer", s"$root/customer", "c_custkey", 8)
+      Layout.writeBucketed(s.read.parquet(s"$dir/orders.parquet"),
+        "graft_bkt_orders", s"$root/orders", "o_custkey", 8)
+      val j = s.table("graft_bkt_customer").hint("merge")
+        .join(s.table("graft_bkt_orders"), col("c_custkey") === col("o_custkey"))
+      val shuffles = Layout.joinShuffles(j)
+      j.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .withColumn("join_shuffles", lit(shuffles))
+        .orderBy("c_mktsegment")
+    }),
+
+    // hive-style directory partitioning: an equality predicate on the
+    // partition column prunes at PLAN time — directories for the
+    // other 19 sources are never opened or read. Evidence (non-empty
+    // partitionFilters on every scan AND the executed scan's numFiles
+    // metric equal to the one selected directory's file count) is
+    // part of the gated answer
+    "q_partition_prune" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("hivep").toString
+      Layout.writeHivePartitioned(docs(s, dir), root, "source")
+      val r = s.read.parquet(root).filter(col("source") === "src7")
+      val dirFiles = new java.io.File(s"$root/source=src7").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      val pruned = Layout.usesPartitionFilter(r) &&
+        Layout.scannedFiles(r) == dirFiles
+      r.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("chars"))
+        .withColumn("partition_pruned", lit(pruned))
+        .orderBy("lang")
+    }),
+
+    // sorted-shard zone maps: range-partition + sort-within by time,
+    // so parquet row-group min/max stats line up with the predicate
+    // axis and a pushed range filter skips whole row groups — scan
+    // cost ∝ selected range, not table size. The gate pins that both
+    // range bounds actually REACHED the reader (PushedFilters); the
+    // row-group-skip ratio itself is spec-measured (LayoutSpec)
+    "q_zonemap_prune" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("zmap").toString
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        // ts is TIMESTAMP_NTZ; session TZ is UTC, so the cast is identity
+        .withColumn("ts_ms", unix_millis(col("ts").cast("timestamp")))
+      Layout.writeSortedShards(ev, root, "ts_ms", 8)
+      val lo = 1704844800000L // 2024-01-10T00:00:00Z
+      val hi = 1705017600000L // 2024-01-12T00:00:00Z
+      val r = s.read.parquet(root)
+        .filter(col("ts_ms") >= lo && col("ts_ms") < hi)
+      val pushed = {
+        val fs = Layout.pushedFilters(r)
+        fs.nonEmpty && fs.forall(f =>
+          f.contains("GreaterThanOrEqual(ts_ms") && f.contains("LessThan(ts_ms"))
+      }
+      r.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 1000).cast("long")).as("value_mils"))
+        .withColumn("range_pushed", lit(pushed))
+        .orderBy("event_type")
+    }),
+
     // ---- dedup ----------------------------------------------------------
 
     // exact dedup demonstrated on a corpus with real duplicates:
@@ -1688,6 +1774,27 @@ object PipelineQueries {
         ") ORDER BY op, k"),
 
     "text_bpe_train" -> Bpe.oracleSql(6),
+    "text_bpe_encode" -> Bpe.encodeOracleSql(6),
+
+    "q_bucketed_join" ->
+      ("SELECT c_mktsegment, count(*) AS n_orders, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents, " +
+        "0 AS join_shuffles " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "GROUP BY 1 ORDER BY 1"),
+
+    "q_partition_prune" ->
+      ("SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars, " +
+        "TRUE AS partition_pruned " +
+        "FROM documents WHERE source = 'src7' GROUP BY 1 ORDER BY 1"),
+
+    "q_zonemap_prune" ->
+      ("SELECT event_type, count(*) AS n_events, " +
+        "CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_mils, " +
+        "TRUE AS range_pushed " +
+        "FROM events WHERE epoch_ms(ts) >= 1704844800000 AND epoch_ms(ts) < 1705017600000 " +
+        "GROUP BY 1 ORDER BY 1"),
 
     "kmv_distinct_sources" ->
       (s"WITH t AS (SELECT source, $W AS ws FROM documents), " +
