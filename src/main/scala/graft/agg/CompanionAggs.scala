@@ -4,7 +4,7 @@ import graft.sketch._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -144,4 +144,42 @@ case class KllAgg(
   override def withNewInputAggBufferOffset(n: Int): KllAgg = copy(inputAggBufferOffset = n)
   override protected def withNewChildInternal(c: Expression): KllAgg = copy(child = c)
   override def prettyName: String = "kll_agg"
+}
+
+/**
+ * Exact bounded top-k rows by an explicit score (score DESC, item ASC
+ * — deterministic, SQL-replayable). Two children: the score (long)
+ * and the item (string). Partial aggregation keeps k rows per
+ * partition; the exchange carries k-sized serialized buffers, never
+ * the group's rows — the scalable replacement for sort+window
+ * "top-k per group".
+ */
+case class TopKAgg(
+    left: Expression,
+    right: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends TypedImperativeAggregate[TopK]
+    with BinaryLike[Expression] {
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): TopK = TopK.create(k)
+  override def update(buf: TopK, input: InternalRow): TopK = {
+    val s = left.eval(input)
+    val it = right.eval(input)
+    if (s != null && it != null)
+      buf.add(s.asInstanceOf[Long], it.asInstanceOf[UTF8String].toString)
+    buf
+  }
+  override def merge(a: TopK, b: TopK): TopK = a.merge(b)
+  override def eval(buf: TopK): Any = buf.serialize()
+  override def serialize(buf: TopK): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): TopK = TopK.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(n: Int): TopKAgg = copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): TopKAgg = copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TopKAgg =
+    copy(left = l, right = r)
+  override def prettyName: String = "topk_agg"
 }

@@ -131,3 +131,21 @@ case class FreqNumTracked(child: Expression) extends SketchInspect[FrequentItems
   override protected def withNewChildInternal(c: Expression) = copy(c)
   override def prettyName: String = "freq_num_tracked"
 }
+
+/** the ranked rows of a serialized TopK: array<struct<score, item>>,
+  * best-first under the sketch's (score DESC, item ASC) order */
+case class TopKItems(child: Expression) extends SketchInspect[TopK] {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("score", LongType, nullable = false),
+      StructField("item", StringType, nullable = false))),
+    containsNull = false)
+  override protected def parse(bytes: Array[Byte]): TopK = TopK.deserialize(bytes)
+  override protected def inspect(s: TopK): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      s.result.map { case (sc, it) =>
+        org.apache.spark.sql.catalyst.InternalRow(sc, UTF8String.fromString(it))
+      })
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+  override def prettyName: String = "topk_items"
+}

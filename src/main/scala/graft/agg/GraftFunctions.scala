@@ -2,7 +2,7 @@ package graft.agg
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
-import org.apache.spark.sql.types.{DoubleType, StringType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 import org.apache.spark.sql.graftshim.ColumnShim
 
@@ -58,6 +58,11 @@ object GraftFunctions {
   def kmv_agg(key: Column, k: Int = 64): Column =
     agg(KmvAgg(ex(key.cast("string")), k))
 
+  /** Exact top-k rows by score (score DESC, item ASC — deterministic
+    * and SQL-replayable); partials carry k rows, never the group. */
+  def topk_agg(score: Column, item: Column, k: Int = 10): Column =
+    agg(TopKAgg(ex(score.cast("long")), ex(item.cast("string")), k))
+
   // ---- merge/rollup aggregations over serialized sketches ----
 
   def bloom_merge_agg(sketch: Column): Column = agg(BloomMergeAgg(ex(sketch)))
@@ -69,8 +74,12 @@ object GraftFunctions {
   def tdigest_merge_agg(sketch: Column): Column = agg(TDigestMergeAgg(ex(sketch)))
   def kll_merge_agg(sketch: Column): Column = agg(KllMergeAgg(ex(sketch)))
   def kmv_merge_agg(sketch: Column): Column = agg(KmvMergeAgg(ex(sketch)))
+  def topk_merge_agg(sketch: Column): Column = agg(TopKMergeAgg(ex(sketch)))
 
   // ---- probes / inspectors ----
+
+  /** ranked rows of a serialized TopK: array<struct<score, item>> */
+  def topk_items(sketch: Column): Column = col(TopKItems(ex(sketch)))
 
   def bloom_contains(sketch: Column, key: Column): Column = col(BloomContains(ex(sketch), ex(key.cast("string"))))
   def sbf_contains(sketch: Column, key: Column): Column = col(SbfContains(ex(sketch), ex(key.cast("string"))))
@@ -163,6 +172,11 @@ object GraftFunctions {
     add("graft_kll_quantile")(es => KllQuantile(es.head, Cast(es(1), DoubleType)))
     add("graft_kll_rank")(es => KllRank(es.head, Cast(es(1), DoubleType)))
     add("graft_kll_n")(es => KllN(es.head))
+    add("graft_topk_agg")(es => AggregateExpression(
+      TopKAgg(Cast(es.head, LongType), Cast(es(1), StringType),
+        if (es.length > 2) lit2Int(es(2)) else 10),
+      org.apache.spark.sql.catalyst.expressions.aggregate.Complete, isDistinct = false))
+    add("graft_topk_items")(es => TopKItems(es.head))
     def addMerge(name: String)(builder: Expression => org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction): Unit =
       add(name)(es => AggregateExpression(builder(es.head),
         org.apache.spark.sql.catalyst.expressions.aggregate.Complete, isDistinct = false))
@@ -174,6 +188,7 @@ object GraftFunctions {
     addMerge("graft_freq_merge_agg")(FreqMergeAgg(_))
     addMerge("graft_tdigest_merge_agg")(TDigestMergeAgg(_))
     addMerge("graft_kll_merge_agg")(KllMergeAgg(_))
+    addMerge("graft_topk_merge_agg")(TopKMergeAgg(_))
     acc.toSeq
   }
 

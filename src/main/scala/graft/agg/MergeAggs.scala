@@ -168,3 +168,15 @@ case class KmvMergeAgg(child: Expression,
   override protected def withNewChildInternal(c: Expression): KmvMergeAgg = copy(child = c)
   override def prettyName: String = "kmv_merge_agg"
 }
+
+case class TopKMergeAgg(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends SketchMergeAgg[TopK] {
+  override protected def fromBytes(b: Array[Byte]): TopK = TopK.deserialize(b)
+  override protected def mergeSketch(a: TopK, b: TopK): TopK = a.merge(b)
+  override protected def toBytes(s: TopK): Array[Byte] = s.serialize()
+  override def withNewMutableAggBufferOffset(n: Int): TopKMergeAgg = copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): TopKMergeAgg = copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): TopKMergeAgg = copy(child = c)
+  override def prettyName: String = "topk_merge_agg"
+}

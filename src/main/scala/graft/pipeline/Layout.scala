@@ -64,6 +64,30 @@ object Layout {
     df.repartitionByRange(shards, col(key)).sortWithinPartitions(key)
       .write.mode("overwrite").parquet(path)
 
+  /**
+   * Skew-safe shuffle equi-join: the dim side is replicated once per
+   * salt value and the fact side deterministically splits across
+   * salts (hash of the whole fact row), so a hot join key occupies
+   * `salts` tasks instead of one — the join-side complement of the
+   * two-phase salted aggregation (`q_skew_salted`). Row-identical to
+   * the plain join (the salt is join-key-extending, never filtering).
+   *
+   * Forces a shuffle join (`merge` hint): salting exists for exactly
+   * the case where the dim is too big to broadcast — at test scale a
+   * broadcast would otherwise hide the exchange being demonstrated.
+   * Cost: dim is written `salts`× into the exchange; use for
+   * moderate dims with skewed facts (tiny dims should broadcast,
+   * which needs no salt at all).
+   */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 salts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(fact.columns.map(col).toSeq: _*), lit(salts)).cast("int"))
+    val expanded = dim.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    saltedFact.hint("merge").join(expanded, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** The PREPARED physical plan, with `EnsureRequirements` applied
     * (so exchanges are visible) but before AQE re-planning: the
     * adaptive wrapper's current plan is its initial plan until the
@@ -88,6 +112,18 @@ object Layout {
     firstJoin(preparedPlan(df))
       .map(_.collect { case e: ShuffleExchangeExec => e }.size)
       .getOrElse(-1)
+
+  /** For each ShuffleExchange under the first shuffle-class join,
+    * the number of clustering expressions in its hash partitioning —
+    * a salted join shows 2 (key + salt) on both sides. */
+  def joinExchangeArities(df: DataFrame): Seq[Int] =
+    firstJoin(preparedPlan(df)).toSeq.flatMap(_.collect {
+      case e: ShuffleExchangeExec => e.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          h.expressions.size
+        case _ => 0
+      }
+    })
 
   private def scans(p: SparkPlan): Seq[FileSourceScanExec] = (p match {
     case a: AdaptiveSparkPlanExec => a.executedPlan

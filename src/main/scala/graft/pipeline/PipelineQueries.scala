@@ -115,6 +115,26 @@ object PipelineQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // skew-safe salted shuffle join (the join-side complement of
+    // q_skew_salted's two-phase agg): dim replicated per salt, fact
+    // hash-split across salts, so a hot key runs on `salts` tasks.
+    // Row-identical to the plain join — the oracle replays it plainly
+    // — and both exchanges hashing on (key, salt) is pinned via the
+    // salted_exchange column (clustering arity 2 on both sides)
+    "q_salted_join" -> ((s, dir) => {
+      val fact = s.read.parquet(s"$dir/orders.parquet")
+      val dim = s.read.parquet(s"$dir/customer.parquet")
+        .withColumnRenamed("c_custkey", "o_custkey")
+      val j = Layout.saltedJoin(fact, dim, "o_custkey", 8)
+      val arities = Layout.joinExchangeArities(j)
+      val salted = arities.nonEmpty && arities.forall(_ == 2)
+      j.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .withColumn("salted_exchange", lit(salted))
+        .orderBy("c_mktsegment")
+    }),
+
     // hive-style directory partitioning: an equality predicate on the
     // partition column prunes at PLAN time — directories for the
     // other 19 sources are never opened or read. Evidence (non-empty
@@ -460,6 +480,30 @@ object PipelineQueries {
       import s.implicits._
       out.toDF("src_a", "src_b", "n_inter", "n_union", "n_shared",
         "j_milli_est", "j_milli_exact", "est_ok").orderBy("src_a", "src_b")
+    }),
+
+    // exact top-k per group as a MERGEABLE aggregate: partials carry
+    // k rows per partition (never the group), and the two-level
+    // rollup (per-(source,lang) partials topk_merge_agg'd per source)
+    // must equal the direct per-source sketch — exactness under
+    // re-aggregation, pinned as the oracle-checked rollup_ok column.
+    // Deterministic (score DESC, item ASC), so a row_number() window
+    // replays it byte-exactly
+    "topk_per_source" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val direct = d.groupBy("source")
+        .agg(topk_agg(col("n_chars"), col("doc_id"), 3).as("sk"))
+      val rolled = d.groupBy("source", "lang")
+        .agg(topk_agg(col("n_chars"), col("doc_id"), 3).as("psk"))
+        .groupBy("source").agg(topk_merge_agg(col("psk")).as("sk2"))
+      direct.join(rolled, "source")
+        .select(col("source"),
+          posexplode(topk_items(col("sk"))).as(Seq("pos", "row")),
+          (topk_items(col("sk")) === topk_items(col("sk2"))).as("rollup_ok"))
+        .select(col("source"), (col("pos") + 1).as("rank"),
+          col("row.score").as("n_chars"), col("row.item").as("doc_id"),
+          col("rollup_ok"))
+        .orderBy("source", "rank")
     }),
 
     // ---- similarity search ----------------------------------------------
@@ -1783,6 +1827,13 @@ object PipelineQueries {
         "FROM customer JOIN orders ON c_custkey = o_custkey " +
         "GROUP BY 1 ORDER BY 1"),
 
+    "q_salted_join" ->
+      ("SELECT c_mktsegment, count(*) AS n_orders, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents, " +
+        "TRUE AS salted_exchange " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "GROUP BY 1 ORDER BY 1"),
+
     "q_partition_prune" ->
       ("SELECT lang, count(*) AS n_docs, " +
         "CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars, " +
@@ -1840,6 +1891,13 @@ object PipelineQueries {
         "CAST(1000 * n_inter // n_union AS BIGINT) AS j_milli_exact, " +
         "abs(1000 * n_shared // denom - 1000 * n_inter // n_union) <= 250 AS est_ok " +
         "FROM base ORDER BY src_a, src_b"),
+
+    "topk_per_source" ->
+      ("SELECT source, CAST(rank AS INT) AS rank, n_chars, doc_id, TRUE AS rollup_ok FROM (" +
+        "SELECT source, CAST(n_chars AS BIGINT) AS n_chars, CAST(doc_id AS VARCHAR) AS doc_id, " +
+        "row_number() OVER (PARTITION BY source " +
+        "ORDER BY CAST(n_chars AS BIGINT) DESC, CAST(doc_id AS VARCHAR)) AS rank " +
+        "FROM documents) WHERE rank <= 3 ORDER BY source, rank"),
 
     "q_asof_join" ->
       ("WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, " +

@@ -54,6 +54,32 @@ class LayoutSpec extends AnyFunSuite {
     assert(one.count() == 25) // 5000 rows, i % 200 == 7
   }
 
+  test("salted join: row parity on skewed data, exchanges hash on (key, salt)") {
+    import spark.implicits._
+    // 90% of fact rows hit one hot key
+    val fact = (0 until 2000)
+      .map(i => (if (i % 10 == 0) i % 50L else 7L, i.toLong)).toDF("k", "v")
+    val dim = (0 until 50).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+
+    val j = Layout.saltedJoin(fact, dim, "k", 8)
+    val arities = Layout.joinExchangeArities(j)
+    assert(arities.length == 2 && arities.forall(_ == 2),
+      s"expected 2 exchanges clustering on (key, salt), got $arities")
+
+    val got = j.groupBy("name").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .orderBy("name").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = fact.join(dim, "k").groupBy("name")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .orderBy("name").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.sameElements(want))
+
+    // the hot key's fact rows really do span multiple salt values
+    val hotSalts = fact.filter(col("k") === 7L)
+      .withColumn("__salt", pmod(xxhash64(fact.columns.map(col).toSeq: _*), lit(8)))
+      .select("__salt").distinct().count()
+    assert(hotSalts > 1, s"hot key landed on $hotSalts salt value(s)")
+  }
+
   test("partition pruning: only the selected directory is listed or read") {
     import spark.implicits._
     val df = (0 until 1000)

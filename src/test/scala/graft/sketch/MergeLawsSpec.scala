@@ -239,4 +239,30 @@ class MergeLawsSpec extends AnyFunSuite {
       }
     })
   }
+
+  test("topk merge: any split/order/association == sequential rows exactly; serialize round-trips") {
+    def build(rows: Seq[(Long, String)]): TopK = {
+      val t = TopK.create(5); rows.foreach { case (s, it) => t.add(s, it) }; t
+    }
+    check(Prop.forAll(splits) { case (ks, i, j) =>
+      // duplicates across partials are multiset rows, kept by both paths
+      val all = ks.map(x => ((x.hashCode % 100).toLong, x))
+      val (p1, rest) = all.splitAt(i)
+      val (p2, p3) = rest.splitAt(j - i)
+      val seq = build(all).result
+      build(p1).merge(build(p2)).merge(build(p3)).result == seq &&
+        build(p3).merge(build(p1).merge(build(p2))).result == seq &&
+        build(p2).merge(build(p1)).merge(build(p3)).result == seq &&
+        TopK.deserialize(build(all).serialize()).result == seq
+    })
+  }
+
+  test("topk order and bound: best-first by (score desc, item asc), at most k rows") {
+    val t = TopK.create(3)
+    Seq(5L -> "b", 5L -> "a", 9L -> "z", 1L -> "x", 9L -> "a", 5L -> "a").foreach {
+      case (s, it) => t.add(s, it)
+    }
+    // 9a, 9z, then the better of the 5s: "a" (dup "a" rows both beaten by 9s)
+    assert(t.result == Seq((9L, "a"), (9L, "z"), (5L, "a")))
+  }
 }
