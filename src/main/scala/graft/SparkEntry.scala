@@ -267,6 +267,8 @@ object SparkEntry {
                  graft_tdigest_agg(CAST(token AS DOUBLE), 100.0) AS td,
                  graft_kll_agg(CAST(token AS DOUBLE), 200) AS kll,
                  graft_freq_agg(token, 32) AS freq,
+                 graft_topk_agg(CAST(token AS BIGINT), token, 5) AS tk,
+                 MAX(CAST(token AS BIGINT)) AS max_tok,
                  COUNT(*) AS n,
                  COUNT(DISTINCT token) AS nd,
                  MIN(token) AS probe_tok
@@ -285,6 +287,8 @@ object SparkEntry {
                graft_freq_total(freq) = n AND graft_freq_error(freq) * 33 <= n
                  AND graft_freq_estimate(freq, probe_tok) <= n AS freq_ok,
                graft_tdigest_cdf(td, graft_tdigest_quantile(td, 0.5)) BETWEEN 0.4 AND 0.6 AS td_ok,
+               graft_topk_items(tk)[0].score = max_tok
+                 AND SIZE(graft_topk_items(tk)) = LEAST(5, CAST(n AS INT)) AS topk_ok,
                ABS(g.global_est - truth.global_nd) <=
                  GREATEST(2.0, truth.global_nd * 3 * 1.04 / SQRT(16384)) AS merged_hll_ok
         FROM sk CROSS JOIN g CROSS JOIN truth ORDER BY source""")
@@ -465,7 +469,7 @@ object SparkEntry {
         ") AS t(step, op, result) ORDER BY step"),
     "q_sql_surface" ->
       (s"SELECT source, count(*) AS n, TRUE AS bloom_ok, TRUE AS sbf_ok, TRUE AS lbf_ok, " +
-        "TRUE AS hll_ok, TRUE AS cms_ok, TRUE AS kll_ok, TRUE AS freq_ok, TRUE AS td_ok, TRUE AS merged_hll_ok " +
+        "TRUE AS hll_ok, TRUE AS cms_ok, TRUE AS kll_ok, TRUE AS freq_ok, TRUE AS td_ok, TRUE AS topk_ok, TRUE AS merged_hll_ok " +
         s"FROM $tokensFrom GROUP BY source ORDER BY source"),
     "op_multi_filter_check" ->
       ("SELECT * FROM (VALUES " +

@@ -595,6 +595,19 @@ object PipelineQueries {
       graft.streaming.SketchStream.compareFreqToBatch(s, in, streamed)
     }),
 
+    // always-on exact top-k: per-batch TopK partials merged into
+    // k-row running state; exactness under arbitrary batch
+    // boundaries means the drained ranks are DuckDB-replayable row
+    // for row (stronger than the heavy-hitter contract gate)
+    "stream_topk" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("grafttopk")
+      val in = tmp.resolve("in").toString
+      TokenTable.load(s, dir).repartition(8).write.mode("overwrite").parquet(in)
+      graft.streaming.SketchStream.runIncrementalTopK(
+        s, in, tmp.resolve("cp").toString)
+        .orderBy("source", "rank")
+    }),
+
     // the always-on updater committing every micro-batch merge to a
     // VERSIONED sketch table (no driver collect; batch_id-idempotent
     // commits): final snapshot == one-shot batch, history monotone
@@ -1595,6 +1608,13 @@ object PipelineQueries {
       ("SELECT source, TRUE AS multi_batch_ok, TRUE AS rows_ok, TRUE AS guarantee_ok, " +
         "TRUE AS heavy_tracked_ok, TRUE AS err_bound_ok " +
         "FROM (SELECT DISTINCT source FROM documents) ORDER BY source"),
+
+    "stream_topk" ->
+      (s"SELECT source, CAST(rank AS INT) AS rank, n_tok, doc_id, TRUE AS multi_batch_ok FROM (" +
+        s"SELECT source, CAST(len($W) AS BIGINT) AS n_tok, CAST(doc_id AS VARCHAR) AS doc_id, " +
+        s"row_number() OVER (PARTITION BY source " +
+        s"ORDER BY CAST(len($W) AS BIGINT) DESC, CAST(doc_id AS VARCHAR)) AS rank " +
+        "FROM documents) WHERE rank <= 3 ORDER BY source, rank"),
 
     "stream_sketch_table" ->
       ("SELECT source, TRUE AS multi_version_ok, TRUE AS history_monotone, " +

@@ -70,6 +70,60 @@ object SketchStream {
     q.awaitTermination()
   }
 
+  /** Like [[drainTokenStream]] but at document granularity
+    * (doc_id, n_tok, source) — for per-doc scored aggregates. */
+  private def drainDocStream(spark: SparkSession, inDir: String,
+                             checkpointDir: String, maxFilesPerTrigger: Int)(
+      body: (DataFrame, Long) => Unit): Unit = {
+    val schema = spark.read.parquet(inDir).schema
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+      .select(col("doc_id"), col("n_tok"), col("source"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) => body(batch, id) }
+      .start()
+    q.awaitTermination()
+  }
+
+  /**
+   * Always-on exact top-k over the stream: per micro-batch TopK
+   * partials (k rows per source per batch reach the driver) merged
+   * into k-row running state. TopK's merge is EXACT under any batch
+   * boundaries, so unlike the heavy-hitter CONTRACT gate the drained
+   * state must equal the one-shot batch answer row for row — the
+   * gate emits the ranked rows themselves and DuckDB replays them
+   * with a row_number() window.
+   */
+  def runIncrementalTopK(spark: SparkSession, inDir: String, checkpointDir: String,
+                         k: Int = 3, maxFilesPerTrigger: Int = 2): DataFrame = {
+    import spark.implicits._
+    val state = new java.util.concurrent.ConcurrentHashMap[String, graft.sketch.TopK]()
+    var batches = 0L
+    drainDocStream(spark, inDir, checkpointDir, maxFilesPerTrigger) { (batch, _) =>
+      val partials = batch.groupBy("source")
+        .agg(topk_agg(col("n_tok"), col("doc_id"), k).as("tk"))
+        .collect()
+        .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
+      state.synchronized {
+        batches += 1
+        partials.foreach { case (src, bytes) =>
+          val part = graft.sketch.TopK.deserialize(bytes)
+          state.compute(src, (_, prev) => if (prev == null) part else prev.merge(part))
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val rows = state.asScala.toSeq.flatMap { case (src, tk) =>
+      tk.result.zipWithIndex.map { case ((score, item), i) => (src, i + 1, score, item) }
+    }
+    rows.toDF("source", "rank", "n_tok", "doc_id")
+      .withColumn("multi_batch_ok", lit(batches > 1))
+  }
+
   def runIncremental(spark: SparkSession, inDir: String, checkpointDir: String,
                      capacity: Long = 100000L, fpProb: Double = 1e-4,
                      maxFilesPerTrigger: Int = 2): DataFrame = {
