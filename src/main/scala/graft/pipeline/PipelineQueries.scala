@@ -337,6 +337,22 @@ object PipelineQueries {
       DataShaping.epochShuffle(docs(s, dir), epochs = Seq(1, 2))
         .orderBy("epoch", "pos")),
 
+    // DSIR-style target-domain selection: src0 is the target domain;
+    // a target phrase is PLANTED on every src0 doc and every 10th
+    // pool doc, so the planted pool docs pick up strongly target-
+    // affine hashed-bigram features (the unplanted rest score
+    // symmetric noise around 0 — the synthetic corpus has no real
+    // domain signal). Exact integer votes; the oracle rebuilds the
+    // bucket model and replays every vote
+    "pipeline_target_select" -> ((s, dir) => {
+      val planted = docs(s, dir).select(
+        col("doc_id").cast("long").as("doc_id"), col("source"),
+        when(col("source") === "src0" || col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" " + TargetPhrase)))
+          .otherwise(col("text")).as("text"))
+      Selection.targetAffinity(planted, "src0").orderBy("doc_id")
+    }),
+
     // THE end-to-end corpus-prep composition a 100 TB release runs,
     // as ONE gate: curate (quality -> exact dedup -> LSH near-dup) ->
     // decontaminate vs the eval split -> redact PII -> stratified
@@ -1168,6 +1184,10 @@ object PipelineQueries {
 
   /** words array, shared fragment. */
   private val W = "regexp_split_to_array(text, '\\s+')"
+  /** planted target-domain marker for pipeline_target_select: 18
+    * distinct words -> 17 shared target-affine bigram features. */
+  private[pipeline] val TargetPhrase =
+    "zeta yotta exa peta tera giga mega kilo hecto deka deci centi milli micro nano pico femto atto"
   /** distinct word-trigram shingles of a words array named ws. */
   private val Sh =
     "list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)])"
@@ -1379,6 +1399,28 @@ object PipelineQueries {
         "SELECT source, doc_id, n_tok, rate4096, coin FROM " +
         "(SELECT *, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 3)) AS INT) AS coin FROM tt) " +
         "JOIN r USING (source) WHERE coin < rate4096 ORDER BY doc_id"),
+
+    "pipeline_target_select" ->
+      ("WITH planted AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source, " +
+        "CASE WHEN source = 'src0' OR doc_id % 10 = 0 " +
+        s"THEN text || ' $TargetPhrase' ELSE text END AS text FROM documents), " +
+        s"t AS (SELECT doc_id, source, $W AS ws FROM planted), " +
+        "g AS (SELECT doc_id, source, " +
+        "unnest(list_distinct([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])) AS gram " +
+        "FROM t WHERE len(ws) >= 2), " +
+        "gb AS (SELECT doc_id, source, CAST(concat('0x', substr(md5(gram), 1, 3)) AS INT) AS b FROM g), " +
+        "model AS (SELECT b, " +
+        "CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS t_b, " +
+        "CAST(sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS BIGINT) AS s_b " +
+        "FROM gb GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(t_b) AS HUGEINT) AS nt, CAST(sum(s_b) AS HUGEINT) AS ns FROM model), " +
+        "v AS (SELECT doc_id, source, " +
+        "CASE WHEN CAST(t_b AS HUGEINT) * ns > CAST(s_b AS HUGEINT) * nt THEN 1 " +
+        "WHEN CAST(t_b AS HUGEINT) * ns < CAST(s_b AS HUGEINT) * nt THEN -1 ELSE 0 END AS vote " +
+        "FROM gb JOIN model USING (b) CROSS JOIN tot WHERE source <> 'src0') " +
+        "SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_feat, " +
+        "CAST(sum(vote) AS BIGINT) AS score, CAST(sum(vote) AS BIGINT) > 0 AS keep " +
+        "FROM v GROUP BY 1, 2 ORDER BY doc_id"),
 
     "pipeline_epoch_shuffle" ->
       ("WITH k AS (SELECT epoch, CAST(doc_id AS BIGINT) AS doc_id, " +
