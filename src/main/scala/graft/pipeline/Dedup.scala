@@ -111,6 +111,83 @@ object Dedup {
   }
 
   /**
+   * Incremental cross-corpus near-dedup: score a batch of NEW
+   * documents against an already-released CORPUS (the nightly "dedup
+   * the fresh crawl against every snapshot we ever shipped" job —
+   * the incremental complement of [[minhashLshPairs]], which scores
+   * one corpus against itself).
+   *
+   * Same MinHash+LSH candidate machinery and exact-Jaccard verify,
+   * with one structural difference that carries the 100 TB posture:
+   * the banded bucket self-join REQUIRES at least one non-corpus side
+   * (`!(a.is_corpus && b.is_corpus)`), so corpus-internal near-dup
+   * pairs — the overwhelming bulk of collisions when |corpus| >>
+   * |new| — are dropped at the join predicate and never reach the
+   * distinct or the shingle-array verification exchange. Cost scales
+   * with the NEW batch's collision volume, not the corpus's.
+   *
+   * Keep rule (deterministic, SQL-replayable): a new document is
+   * dropped if it verifies >= `minJ` against ANY corpus document, or
+   * against any LOWER-id new document — chain suppression, charged
+   * pairwise (stricter than keep-one-per-cluster; callers wanting the
+   * cluster rule compose [[clustersFromPairs]] over the pair output
+   * instead). doc_ids must be unique across BOTH frames.
+   *
+   * Output: one row per new document —
+   * (doc_id, n_match_corpus, n_match_new, keep).
+   */
+  def dedupAgainst(newDocs: DataFrame, corpus: DataFrame, minJ: Double = 0.5,
+                   numPerms: Int = 128, bands: Int = 32): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    val r = numPerms / bands
+    val tagged = corpus
+      .select(col("doc_id").cast("long").as("id"), col("text"),
+        lit(true).as("is_corpus"))
+      .unionByName(newDocs
+        .select(col("doc_id").cast("long").as("id"), col("text"),
+          lit(false).as("is_corpus")))
+    val sh = tagged.select(col("id"), col("is_corpus"),
+      shingles(words(col("text")), 3).as("sh"))
+    val sig = sh.withColumn("sig", minhash_sig(col("sh"), numPerms))
+    val buckets = sig.select(col("id"), col("is_corpus"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), hash(slice(col("sig"), b * r + 1, lit(r))).as("bh")))).as("e"))
+      .select(col("id"), col("is_corpus"), col("e.band").as("band"), col("e.bh").as("bh"))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id") &&
+          !(col("a.is_corpus") && col("b.is_corpus")))
+      .select(col("a.id").as("id_a"), col("a.is_corpus").as("ca"),
+        col("b.id").as("id_b"), col("b.is_corpus").as("cb"))
+      .distinct()
+    val verified = cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= minJ)
+      .select(col("id_a"), col("ca"), col("id_b"), col("cb"))
+    // charge each pair to its new side: corpus pairs to the new doc,
+    // new-new pairs to the HIGHER id (first-wins)
+    val charged = verified.select(
+      when(col("ca") && !col("cb"), col("id_b"))
+        .when(!col("ca") && col("cb"), col("id_a"))
+        .otherwise(col("id_b")).as("doc_id"),
+      (col("ca") || col("cb")).as("vs_corpus"))
+    val agg = charged.groupBy("doc_id").agg(
+      sum(when(col("vs_corpus"), 1L).otherwise(0L)).as("mc"),
+      sum(when(col("vs_corpus"), 0L).otherwise(1L)).as("mn"))
+    newDocs.select(col("doc_id").cast("long").as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("mc"), lit(0L)).as("n_match_corpus"),
+        coalesce(col("mn"), lit(0L)).as("n_match_new"))
+      .withColumn("keep",
+        col("n_match_corpus") === 0 && col("n_match_new") === 0)
+  }
+
+  /**
    * SimHash near-dup: 64-bit fingerprint over the doc's word-trigram
    * shingles (trigram features separate near-dups from the background
    * far better than unigrams on a small-vocab corpus: planted pairs

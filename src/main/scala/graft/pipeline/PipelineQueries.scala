@@ -235,6 +235,22 @@ object PipelineQueries {
       Dedup.simhashPairs(docs(s, dir), maxHamming = 16, minJ = 0.5)
         .orderBy("id_a", "id_b")),
 
+    // incremental cross-corpus near-dedup: the released corpus is
+    // doc_id % 3 != 0; the new batch is the % 3 == 0 docs (id+1e6)
+    // PLUS planted exact copies of every 7th corpus doc (id+2e6), so
+    // corpus-matches are guaranteed; new-new suppression covered by
+    // the corpus's organic near-dup pairs falling across the split
+    "dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val corpus = d.filter(col("doc_id") % 3 =!= 0)
+      val fresh = d.filter(col("doc_id") % 3 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val copies = corpus.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 2000000L)
+      Dedup.dedupAgainst(fresh.unionByName(copies), corpus, minJ = 0.5)
+        .orderBy("doc_id")
+    }),
+
     "dedup_clusters" -> ((s, dir) =>
       Dedup.nearDupClusters(docs(s, dir), 0.5).orderBy("doc_id")),
 
@@ -1581,6 +1597,28 @@ object PipelineQueries {
 
     "dedup_minhash_lsh" -> JaccardPairs,
     "dedup_simhash" -> JaccardPairs,
+
+    "dedup_incremental" ->
+      ("WITH tagged AS (" +
+        "SELECT CAST(doc_id AS BIGINT) AS id, text, true AS c FROM documents WHERE doc_id % 3 <> 0 " +
+        "UNION ALL SELECT CAST(doc_id AS BIGINT) + 1000000 AS id, text, false AS c FROM documents WHERE doc_id % 3 = 0 " +
+        "UNION ALL SELECT CAST(doc_id AS BIGINT) + 2000000 AS id, text, false AS c " +
+        "FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 7 = 0), " +
+        s"s AS (SELECT id, c, $Sh AS sh FROM (SELECT id, c, $W AS ws FROM tagged)), " +
+        "e AS (SELECT id, c, unnest(sh) AS g, len(sh) AS n FROM s), " +
+        "i AS (SELECT a.id AS id_a, a.c AS ca, b.id AS id_b, b.c AS cb, " +
+        "count(*) AS inter, any_value(a.n) AS na, any_value(b.n) AS nb " +
+        "FROM e a JOIN e b ON a.g = b.g AND a.id < b.id AND NOT (a.c AND b.c) " +
+        "GROUP BY 1, 2, 3, 4), " +
+        "p AS (SELECT id_a, ca, id_b, cb FROM i WHERE inter::DOUBLE / (na + nb - inter) >= 0.5), " +
+        "ch AS (SELECT CASE WHEN ca AND NOT cb THEN id_b WHEN cb AND NOT ca THEN id_a ELSE id_b END AS doc_id, " +
+        "(ca OR cb) AS vs_corpus FROM p), " +
+        "agg AS (SELECT doc_id, CAST(sum(CASE WHEN vs_corpus THEN 1 ELSE 0 END) AS BIGINT) AS mc, " +
+        "CAST(sum(CASE WHEN vs_corpus THEN 0 ELSE 1 END) AS BIGINT) AS mn FROM ch GROUP BY 1) " +
+        "SELECT t.id AS doc_id, CAST(COALESCE(mc, 0) AS BIGINT) AS n_match_corpus, " +
+        "CAST(COALESCE(mn, 0) AS BIGINT) AS n_match_new, " +
+        "COALESCE(mc, 0) = 0 AND COALESCE(mn, 0) = 0 AS keep " +
+        "FROM tagged t LEFT JOIN agg ON t.id = agg.doc_id WHERE NOT t.c ORDER BY doc_id"),
 
     "dedup_clusters" ->
       (s"WITH e AS (SELECT id_a AS a, id_b AS b FROM ($JaccardPairs) UNION SELECT id_b, id_a FROM ($JaccardPairs)), " +

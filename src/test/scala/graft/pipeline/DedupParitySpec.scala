@@ -111,4 +111,26 @@ class DedupParitySpec extends AnyFunSuite {
     } yield (a, b) -> (math.round(j * 1e6) / 1e6)).toMap
     assert(capped == expected)
   }
+
+  test("dedupAgainst: corpus matches, new-new chain suppression, corpus-internal pairs ignored") {
+    import spark.implicits._
+    val x = "alpha beta gamma delta epsilon zeta eta theta"
+    val y = "omega psi chi phi upsilon tau sigma rho"
+    // corpus: ids 1..10 all text x (a corpus-INTERNAL dup cluster that
+    // must not appear in the output), id 20 text y
+    val corpus = ((1 to 10).map(i => (i.toLong, x)) :+ (20L, y))
+      .toDF("doc_id", "text")
+    // new: 101 copies x (matches all 10 corpus docs), 102 copies x
+    // (matches corpus AND lower-id new 101), 103 fresh text
+    val fresh = Seq(
+      (101L, x), (102L, x),
+      (103L, "kappa lambda mu nu xi omicron pi iota")).toDF("doc_id", "text")
+    val out = Dedup.dedupAgainst(fresh, corpus, minJ = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (101L, 10L, 0L, false),
+      (102L, 10L, 1L, false),
+      (103L, 0L, 0L, true)))
+  }
 }
