@@ -119,12 +119,13 @@ object Dedup {
    *
    * Same MinHash+LSH candidate machinery and exact-Jaccard verify,
    * with one structural difference that carries the 100 TB posture:
-   * the banded bucket self-join REQUIRES at least one non-corpus side
-   * (`!(a.is_corpus && b.is_corpus)`), so corpus-internal near-dup
-   * pairs — the overwhelming bulk of collisions when |corpus| >>
-   * |new| — are dropped at the join predicate and never reach the
-   * distinct or the shingle-array verification exchange. Cost scales
-   * with the NEW batch's collision volume, not the corpus's.
+   * cross-set candidates come from a batch-buckets × corpus-index
+   * join ([[corpusMatches]] — the same core the always-on streaming
+   * scrub reuses per micro-batch), so corpus-internal near-dup pairs
+   * — the overwhelming bulk of collisions when |corpus| >> |new| —
+   * are never enumerated at all; intra-batch pairs come from the
+   * self-dedup operator over the new batch alone. Cost scales with
+   * the NEW batch's collision volume, not the corpus's.
    *
    * Keep rule (deterministic, SQL-replayable): a new document is
    * dropped if it verifies >= `minJ` against ANY corpus document, or
@@ -138,53 +139,67 @@ object Dedup {
    */
   def dedupAgainst(newDocs: DataFrame, corpus: DataFrame, minJ: Double = 0.5,
                    numPerms: Int = 128, bands: Int = 32): DataFrame = {
-    require(numPerms % bands == 0, "bands must divide numPerms")
-    val r = numPerms / bands
-    val tagged = corpus
-      .select(col("doc_id").cast("long").as("id"), col("text"),
-        lit(true).as("is_corpus"))
-      .unionByName(newDocs
-        .select(col("doc_id").cast("long").as("id"), col("text"),
-          lit(false).as("is_corpus")))
-    val sh = tagged.select(col("id"), col("is_corpus"),
-      shingles(words(col("text")), 3).as("sh"))
-    val sig = sh.withColumn("sig", minhash_sig(col("sh"), numPerms))
-    val buckets = sig.select(col("id"), col("is_corpus"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"), hash(slice(col("sig"), b * r + 1, lit(r))).as("bh")))).as("e"))
-      .select(col("id"), col("is_corpus"), col("e.band").as("band"), col("e.bh").as("bh"))
-    val cand = buckets.as("a").join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.id") < col("b.id") &&
-          !(col("a.is_corpus") && col("b.is_corpus")))
-      .select(col("a.id").as("id_a"), col("a.is_corpus").as("ca"),
-        col("b.id").as("id_b"), col("b.is_corpus").as("cb"))
-      .distinct()
-    val verified = cand
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
-      .filter(col("jaccard") >= minJ)
-      .select(col("id_a"), col("ca"), col("id_b"), col("cb"))
-    // charge each pair to its new side: corpus pairs to the new doc,
-    // new-new pairs to the HIGHER id (first-wins)
-    val charged = verified.select(
-      when(col("ca") && !col("cb"), col("id_b"))
-        .when(!col("ca") && col("cb"), col("id_a"))
-        .otherwise(col("id_b")).as("doc_id"),
-      (col("ca") || col("cb")).as("vs_corpus"))
-    val agg = charged.groupBy("doc_id").agg(
-      sum(when(col("vs_corpus"), 1L).otherwise(0L)).as("mc"),
-      sum(when(col("vs_corpus"), 0L).otherwise(1L)).as("mn"))
+    val newSh = shingled(newDocs).select("id", "sh")
+    val corpusSh = shingled(corpus).select("id", "sh")
+    // cross-set matches through the SAME core the streaming scrub
+    // uses (keep rules can't drift), intra-batch pairs through the
+    // self-dedup operator — together exactly the not-both-corpus
+    // candidate universe
+    val mc = corpusMatches(newSh, corpusSh, lshBuckets(corpusSh, numPerms, bands),
+        minJ, numPerms, bands)
+      .groupBy(col("id_n").as("doc_id"))
+      .agg(count(lit(1)).as("mc"))
+    val mn = minhashLshPairs(newDocs, numPerms, bands, minJ)
+      .groupBy(col("id_b").as("doc_id"))
+      .agg(count(lit(1)).as("mn"))
     newDocs.select(col("doc_id").cast("long").as("doc_id"))
-      .join(agg, Seq("doc_id"), "left")
+      .join(mc, Seq("doc_id"), "left")
+      .join(mn, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("mc"), lit(0L)).as("n_match_corpus"),
         coalesce(col("mn"), lit(0L)).as("n_match_new"))
       .withColumn("keep",
         col("n_match_corpus") === 0 && col("n_match_new") === 0)
+  }
+
+  /** (id, band, bh) banded MinHash buckets of (id, sh) rows — the LSH
+    * index rows for one side of a candidate join. */
+  private[graft] def lshBuckets(sh: DataFrame, numPerms: Int,
+                                   bands: Int): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    val r = numPerms / bands
+    sh.withColumn("sig", minhash_sig(col("sh"), numPerms))
+      .select(col("id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), hash(slice(col("sig"), b * r + 1, lit(r))).as("bh")))).as("e"))
+      .select(col("id"), col("e.band").as("band"), col("e.bh").as("bh"))
+  }
+
+  /**
+   * Verified near-dup matches of a (small) batch against a static
+   * corpus: LSH bucket equality between the batch's bands and the
+   * corpus's prebuilt bucket index, then exact-Jaccard verification.
+   * Returns (id_n, id_c) pairs at >= minJ. The corpus index rows
+   * (`corpusBuckets`) are caller-supplied so an always-on stream
+   * computes them ONCE and reuses them every micro-batch. Id spaces
+   * must be disjoint (caller contract, as in [[dedupAgainst]]).
+   */
+  private[graft] def corpusMatches(batchSh: DataFrame, corpusSh: DataFrame,
+                                      corpusBuckets: DataFrame, minJ: Double,
+                                      numPerms: Int, bands: Int): DataFrame = {
+    val cand = lshBuckets(batchSh, numPerms, bands).as("n")
+      .join(corpusBuckets.as("c"),
+        col("n.band") === col("c.band") && col("n.bh") === col("c.bh"))
+      .select(col("n.id").as("id_n"), col("c.id").as("id_c"))
+      .distinct()
+    cand
+      .join(batchSh.select(col("id").as("id_n"), col("sh").as("sh_n")), Seq("id_n"))
+      .join(corpusSh.select(col("id").as("id_c"), col("sh").as("sh_c")), Seq("id_c"))
+      .withColumn("inter", size(array_intersect(col("sh_n"), col("sh_c"))))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_n")) + size(col("sh_c")) - col("inter")))
+      .filter(col("jaccard") >= minJ)
+      .select(col("id_n"), col("id_c"))
   }
 
   /**

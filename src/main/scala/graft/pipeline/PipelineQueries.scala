@@ -444,6 +444,29 @@ object PipelineQueries {
         n = 3, maxOverlap = 0).orderBy("doc_id")
     }),
 
+    // always-on incremental near-dedup: the fresh crawl (same planted
+    // split as dedup_incremental) streams in and scrubs against the
+    // static released corpus through the SAME corpusMatches core;
+    // corpus-only contract (intra-crawl suppression is the batch
+    // compaction job's half), stateless per doc so batching can't
+    // change any answer
+    "stream_dedup_incremental" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graftsdi")
+      val in = tmp.resolve("in").toString
+      val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val corpus = d.filter(col("doc_id") % 3 =!= 0)
+      val fresh = d.filter(col("doc_id") % 3 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .unionByName(corpus.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 2000000L))
+      fresh.repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(in)
+      graft.streaming.StreamDedupIncremental.scrubStream(
+        s, in, corpus,
+        tmp.resolve("cp").toString, tmp.resolve("out").toString,
+        minJ = 0.5).orderBy("doc_id")
+    }),
+
     // ---- KMV set-operation sketches -------------------------------------
 
     // bottom-k distinct sketch per source over word trigrams: the kth
@@ -1597,6 +1620,24 @@ object PipelineQueries {
 
     "dedup_minhash_lsh" -> JaccardPairs,
     "dedup_simhash" -> JaccardPairs,
+
+    "stream_dedup_incremental" ->
+      ("WITH corpus AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents WHERE doc_id % 3 <> 0), " +
+        "fresh AS (SELECT CAST(doc_id AS BIGINT) + 1000000 AS id, text FROM documents WHERE doc_id % 3 = 0 " +
+        "UNION ALL SELECT CAST(doc_id AS BIGINT) + 2000000 AS id, text " +
+        "FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 7 = 0), " +
+        s"cs AS (SELECT id, $Sh AS sh FROM (SELECT id, $W AS ws FROM corpus)), " +
+        s"ns AS (SELECT id, $Sh AS sh FROM (SELECT id, $W AS ws FROM fresh)), " +
+        "ce AS (SELECT id, unnest(sh) AS g, len(sh) AS n FROM cs), " +
+        "ne AS (SELECT id, unnest(sh) AS g, len(sh) AS n FROM ns), " +
+        "i AS (SELECT n.id AS id_n, c.id AS id_c, count(*) AS inter, " +
+        "any_value(n.n) AS nn, any_value(c.n) AS nc " +
+        "FROM ne n JOIN ce c ON n.g = c.g GROUP BY 1, 2), " +
+        "p AS (SELECT id_n FROM i WHERE inter::DOUBLE / (nn + nc - inter) >= 0.5), " +
+        "agg AS (SELECT id_n AS doc_id, CAST(count(*) AS BIGINT) AS mc FROM p GROUP BY 1) " +
+        "SELECT f.id AS doc_id, CAST(COALESCE(mc, 0) AS BIGINT) AS n_match_corpus, " +
+        "COALESCE(mc, 0) = 0 AS keep " +
+        "FROM fresh f LEFT JOIN agg ON f.id = agg.doc_id ORDER BY doc_id"),
 
     "dedup_incremental" ->
       ("WITH tagged AS (" +
