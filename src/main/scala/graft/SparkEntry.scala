@@ -267,6 +267,7 @@ object SparkEntry {
                  graft_tdigest_agg(CAST(token AS DOUBLE), 100.0) AS td,
                  graft_kll_agg(CAST(token AS DOUBLE), 200) AS kll,
                  graft_freq_agg(token, 32) AS freq,
+                 graft_kmv_agg(token, 64) AS kmv,
                  graft_topk_agg(CAST(token AS BIGINT), token, 5) AS tk,
                  MAX(CAST(token AS BIGINT)) AS max_tok,
                  COUNT(*) AS n,
@@ -274,7 +275,8 @@ object SparkEntry {
                  MIN(token) AS probe_tok
           FROM graft_toks GROUP BY source),
         g AS (
-          SELECT graft_hll_estimate(graft_hll_merge_agg(hll)) AS global_est FROM sk),
+          SELECT graft_hll_estimate(graft_hll_merge_agg(hll)) AS global_est,
+                 graft_kmv_estimate(graft_kmv_merge_agg(kmv)) AS global_kmv_est FROM sk),
         truth AS (
           SELECT COUNT(DISTINCT token) AS global_nd FROM graft_toks)
         SELECT source, n,
@@ -289,8 +291,13 @@ object SparkEntry {
                graft_tdigest_cdf(td, graft_tdigest_quantile(td, 0.5)) BETWEEN 0.4 AND 0.6 AS td_ok,
                graft_topk_items(tk)[0].score = max_tok
                  AND SIZE(graft_topk_items(tk)) = LEAST(5, CAST(n AS INT)) AS topk_ok,
+               ABS(graft_kmv_estimate(kmv) - nd) * 100 <= GREATEST(200, nd * 40)
+                 AND graft_kmv_union_estimate(kmv, kmv) = graft_kmv_estimate(kmv)
+                 AND graft_kmv_shared_in_union(kmv, kmv) = LEAST(64, CAST(nd AS INT)) AS kmv_ok,
                ABS(g.global_est - truth.global_nd) <=
-                 GREATEST(2.0, truth.global_nd * 3 * 1.04 / SQRT(16384)) AS merged_hll_ok
+                 GREATEST(2.0, truth.global_nd * 3 * 1.04 / SQRT(16384)) AS merged_hll_ok,
+               ABS(g.global_kmv_est - truth.global_nd) * 100 <=
+                 GREATEST(200, truth.global_nd * 40) AS merged_kmv_ok
         FROM sk CROSS JOIN g CROSS JOIN truth ORDER BY source""")
     }),
 
@@ -469,7 +476,7 @@ object SparkEntry {
         ") AS t(step, op, result) ORDER BY step"),
     "q_sql_surface" ->
       (s"SELECT source, count(*) AS n, TRUE AS bloom_ok, TRUE AS sbf_ok, TRUE AS lbf_ok, " +
-        "TRUE AS hll_ok, TRUE AS cms_ok, TRUE AS kll_ok, TRUE AS freq_ok, TRUE AS td_ok, TRUE AS topk_ok, TRUE AS merged_hll_ok " +
+        "TRUE AS hll_ok, TRUE AS cms_ok, TRUE AS kll_ok, TRUE AS freq_ok, TRUE AS td_ok, TRUE AS topk_ok, TRUE AS kmv_ok, TRUE AS merged_hll_ok, TRUE AS merged_kmv_ok " +
         s"FROM $tokensFrom GROUP BY source ORDER BY source"),
     "op_multi_filter_check" ->
       ("SELECT * FROM (VALUES " +

@@ -149,3 +149,51 @@ case class TopKItems(child: Expression) extends SketchInspect[TopK] {
   override protected def withNewChildInternal(c: Expression) = copy(c)
   override def prettyName: String = "topk_items"
 }
+
+/** distinct estimate from a serialized KMV bottom-k sketch (exact
+  * below capacity, (k-1)/U_k above — `Kmv.estimate`) */
+case class KmvEstimate(child: Expression) extends SketchInspect[Kmv] {
+  override def dataType: DataType = LongType
+  override protected def parse(bytes: Array[Byte]): Kmv = Kmv.deserialize(bytes)
+  override protected def inspect(s: Kmv): Any = s.estimate
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+  override def prettyName: String = "kmv_estimate"
+}
+
+/** two-sketch KMV combiner (set operations are cross-sketch, unlike
+  * every other inspector): deserializes both sides per row — fine at
+  * catalog cardinality, where these rows live. */
+abstract class KmvPairExpr extends BinaryExpression {
+  protected def compute(a: Kmv, b: Kmv): Any
+
+  final def computeAny(a: AnyRef, b: AnyRef): Any =
+    compute(Kmv.deserialize(a.asInstanceOf[Array[Byte]]),
+      Kmv.deserialize(b.asInstanceOf[Array[Byte]]))
+
+  final override protected def nullSafeEval(a: Any, b: Any): Any =
+    computeAny(a.asInstanceOf[AnyRef], b.asInstanceOf[AnyRef])
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val ref = ctx.addReferenceObj("expr", this, classOf[KmvPairExpr].getName)
+    val boxed = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.boxedType(dataType)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = ($boxed) $ref.computeAny($a, $b);")
+  }
+}
+
+/** |A ∪ B| estimate: merge-then-trim union (Beyer et al. 2007) */
+case class KmvUnionEstimate(left: Expression, right: Expression) extends KmvPairExpr {
+  override def dataType: DataType = LongType
+  override protected def compute(a: Kmv, b: Kmv): Any = Kmv.union(a, b).estimate
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+  override def prettyName: String = "kmv_union_estimate"
+}
+
+/** count of the union's bottom-k present in BOTH sketches — the
+  * numerator of the Jaccard estimate shared/min(k, |union sample|) */
+case class KmvSharedInUnion(left: Expression, right: Expression) extends KmvPairExpr {
+  override def dataType: DataType = IntegerType
+  override protected def compute(a: Kmv, b: Kmv): Any = Kmv.sharedInUnion(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+  override def prettyName: String = "kmv_shared_in_union"
+}

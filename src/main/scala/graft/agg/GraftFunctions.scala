@@ -81,6 +81,12 @@ object GraftFunctions {
   /** ranked rows of a serialized TopK: array<struct<score, item>> */
   def topk_items(sketch: Column): Column = col(TopKItems(ex(sketch)))
 
+  def kmv_estimate(sketch: Column): Column = col(KmvEstimate(ex(sketch)))
+  def kmv_union_estimate(a: Column, b: Column): Column =
+    col(KmvUnionEstimate(ex(a), ex(b)))
+  def kmv_shared_in_union(a: Column, b: Column): Column =
+    col(KmvSharedInUnion(ex(a), ex(b)))
+
   def bloom_contains(sketch: Column, key: Column): Column = col(BloomContains(ex(sketch), ex(key.cast("string"))))
   def sbf_contains(sketch: Column, key: Column): Column = col(SbfContains(ex(sketch), ex(key.cast("string"))))
   def lbf_count(sketch: Column, key: Column): Column = col(LbfCount(ex(sketch), ex(key.cast("string"))))
@@ -177,6 +183,12 @@ object GraftFunctions {
         if (es.length > 2) lit2Int(es(2)) else 10),
       org.apache.spark.sql.catalyst.expressions.aggregate.Complete, isDistinct = false))
     add("graft_topk_items")(es => TopKItems(es.head))
+    add("graft_kmv_agg")(es => AggregateExpression(
+      KmvAgg(Cast(es.head, StringType), if (es.length > 1) lit2Int(es(1)) else 64),
+      org.apache.spark.sql.catalyst.expressions.aggregate.Complete, isDistinct = false))
+    add("graft_kmv_estimate")(es => KmvEstimate(es.head))
+    add("graft_kmv_union_estimate")(es => KmvUnionEstimate(es.head, es(1)))
+    add("graft_kmv_shared_in_union")(es => KmvSharedInUnion(es.head, es(1)))
     def addMerge(name: String)(builder: Expression => org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction): Unit =
       add(name)(es => AggregateExpression(builder(es.head),
         org.apache.spark.sql.catalyst.expressions.aggregate.Complete, isDistinct = false))
@@ -188,6 +200,7 @@ object GraftFunctions {
     addMerge("graft_freq_merge_agg")(FreqMergeAgg(_))
     addMerge("graft_tdigest_merge_agg")(TDigestMergeAgg(_))
     addMerge("graft_kll_merge_agg")(KllMergeAgg(_))
+    addMerge("graft_kmv_merge_agg")(KmvMergeAgg(_))
     addMerge("graft_topk_merge_agg")(TopKMergeAgg(_))
     acc.toSeq
   }
