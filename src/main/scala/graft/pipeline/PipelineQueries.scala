@@ -585,6 +585,37 @@ object PipelineQueries {
     "ann_ivf_topk_raw" -> ((s, dir) =>
       Ann.ivfTopKRaw(emb(s, dir), nQueries = 10, k = 10).orderBy("q_id", "n_id")),
 
+    // ---- sparse retrieval (inverted index + BM25) -----------------------
+
+    // queries = every 50th doc's first-8-words term SET (scoring is
+    // set-of-terms, so order never enters the contract); fixed-point
+    // micros make the summed scores exact integers on both sides
+    "retrieval_bm25" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val qs = d.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("q_id"),
+          slice(TextFunctions.words(col("text")), 1, 8).as("terms"))
+      Retrieval.bm25(d, qs, k = 10).orderBy("q_id", "rank")
+    }),
+
+    // the same scoring always-on: queries arrive as a stream, the
+    // corpus index is the static cached side (build-once posting
+    // lists + term stats); stateless per query, so the oracle is the
+    // batch operator's oracle verbatim
+    "stream_retrieval" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graftsrt")
+      val in = tmp.resolve("in").toString
+      val d = docs(s, dir)
+      d.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("q_id"),
+          slice(TextFunctions.words(col("text")), 1, 8).as("terms"))
+        .repartitionByRange(4, col("q_id")).sortWithinPartitions("q_id")
+        .write.mode("overwrite").parquet(in)
+      graft.streaming.StreamRetrieval.bm25Stream(
+        s, in, d, tmp.resolve("cp").toString, tmp.resolve("out").toString,
+        k = 10).orderBy("q_id", "rank")
+    }),
+
     // ---- multimodal -----------------------------------------------------
 
     // every kind is a REAL container with a real pure-JVM codec:
@@ -1565,6 +1596,24 @@ object PipelineQueries {
   /** Exact n-gram-intersection replay shared by the batch and
     * streaming decontamination gates (identical by construction —
     * the operators share their scrub core). */
+  private def RetrievalOracle: String =
+    "WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "idx AS (SELECT term, doc_id, dl, CAST(count(*) AS INT) AS tf FROM " +
+      "(SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM ws) GROUP BY term, doc_id, dl), " +
+      "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM (SELECT DISTINCT doc_id, dl FROM idx)), " +
+      "dfs AS (SELECT term, count(*) AS df FROM idx GROUP BY term), " +
+      "qt AS (SELECT DISTINCT doc_id AS q_id, unnest(w[1:8]) AS term FROM ws WHERE doc_id % 50 = 0), " +
+      "contrib AS (SELECT qt.q_id, idx.doc_id, " +
+      "CAST(round((ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * " +
+      "(tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (total_len::DOUBLE / n_docs))))) * 1e6) AS BIGINT) AS c_bm25, " +
+      "CAST(round((tf * ln(n_docs::DOUBLE / df)) * 1e6) AS BIGINT) AS c_tfidf " +
+      "FROM idx JOIN dfs USING (term) JOIN qt USING (term) CROSS JOIN stats), " +
+      "scored AS (SELECT q_id, doc_id, sum(c_bm25) AS score_micros, sum(c_tfidf) AS tfidf_micros " +
+      "FROM contrib GROUP BY q_id, doc_id) " +
+      "SELECT q_id, CAST(rank AS INT) AS rank, doc_id, score_micros, tfidf_micros FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score_micros DESC, doc_id) AS rank FROM scored) " +
+      "WHERE rank <= 10 ORDER BY q_id, rank"
+
   private def DecontamOracle: String =
       (s"WITH te AS (SELECT DISTINCT unnest(sh) AS g FROM $ShTable WHERE doc_id % 7 = 0), " +
         s"ti AS (SELECT doc_id, unnest(sh) AS g FROM $ShTable WHERE doc_id % 7 <> 0), " +
@@ -1691,6 +1740,13 @@ object PipelineQueries {
 
     "ann_ivf_topk" ->
       ("SELECT vec_id AS q_id, TRUE AS mean_recall_ok FROM embeddings WHERE vec_id < 10 ORDER BY q_id"),
+
+    // BM25 replayed end-to-end: postings, df, corpus scalars, Lucene
+    // idf, length-normalized tf, per-term fixed-point micros summed as
+    // exact integers, row_number top-10 with the same tie order.
+    // Streaming runs the SAME contract (stateless per query)
+    "retrieval_bm25" -> RetrievalOracle,
+    "stream_retrieval" -> RetrievalOracle,
 
     // each payload is re-derived INDEPENDENTLY from the source text:
     // PGM pixels = text bytes cycled to w*h; WAV samples = b*257-32768
