@@ -585,6 +585,13 @@ object PipelineQueries {
     "ann_ivf_topk_raw" -> ((s, dir) =>
       Ann.ivfTopKRaw(emb(s, dir), nQueries = 10, k = 10).orderBy("q_id", "n_id")),
 
+    // SemDeDup contract gate: n_emb and the exact-cosine pair count
+    // are oracle-replayed; the learned-cell half is two in-plan
+    // booleans — drops are sound (exact co-located partner exists)
+    // and cells are complete (no kept-kept co-located exact pair)
+    "dedup_semantic" -> ((s, dir) =>
+      Semantic.semDedupGate(emb(s, dir), minCos = 0.44, nCells = 16)),
+
     // ---- sparse retrieval (inverted index + BM25) -----------------------
 
     // queries = every 50th doc's first-8-words term SET (scoring is
@@ -1740,6 +1747,15 @@ object PipelineQueries {
 
     "ann_ivf_topk" ->
       ("SELECT vec_id AS q_id, TRUE AS mean_recall_ok FROM embeddings WHERE vec_id < 10 ORDER BY q_id"),
+
+    // the two counts replay exactly (same left-fold cosine as the
+    // embedding-dedup oracles); the cell-dependent half arrives as
+    // booleans asserted in-plan against the exact pair set
+    "dedup_semantic" ->
+      (s"SELECT (SELECT count(*) FROM embeddings) AS n_emb, " +
+        s"(SELECT count(*) FROM (SELECT a.vec_id, b.vec_id, $Cos AS c " +
+        s"FROM $Vecs a JOIN $Vecs b ON a.vec_id < b.vec_id) WHERE c >= 0.44) AS n_exact_pairs, " +
+        "TRUE AS sound_ok, TRUE AS complete_ok"),
 
     // BM25 replayed end-to-end: postings, df, corpus scalars, Lucene
     // idf, length-normalized tf, per-term fixed-point micros summed as

@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * SemDeDup — semantic deduplication (Abbas et al. 2023,
+ * arXiv:2303.09540): k-means-cluster the embedding space, then prune
+ * near-identical documents WITHIN each cluster, keeping one
+ * representative per semantic-duplicate group. The web-scale recipe:
+ * the O(N²) cosine search collapses to per-cluster all-pairs, and the
+ * clusters are the partition layout — each cell's pairs compute
+ * where its vectors live.
+ *
+ * Spark shape: the deterministic Lloyd quantizer ([[Ann]]) assigns
+ * cells in one native matrix pass; within-cell pairs come from a
+ * cell-equality self-join (salted: the b-side keys by
+ * hash(id) % saltParts and the a-side replicates over salts, so one
+ * hot cell spreads across saltParts shuffle partitions instead of
+ * serializing); duplicate groups are connected components over the
+ * pair graph ([[Dedup.clustersFromPairs]]); keep = the smallest
+ * vec_id of each group (deterministic; SemDeDup's
+ * farthest-from-centroid choice is a one-line ORDER BY swap).
+ *
+ * Approximation contract (the published one): drops are SOUND — every
+ * dropped vector has an exact cosine ≥ minCos to another vector in
+ * its cell — and cell-COMPLETE: no two kept vectors in one cell are
+ * ≥ minCos. Cross-cell duplicates are the accepted miss; recall vs
+ * the exact pair set rises with nCells ∝ corpus (the paper's k ≈
+ * √N regime). [[semDedupGate]] turns both halves into in-plan
+ * assertions against the EXACT pair set.
+ */
+object Semantic {
+
+  /** Per-vector verdict: (vec_id, cell, rep, keep). `rep` is the kept
+    * representative of the vector's semantic group (itself when
+    * kept). */
+  def semDedup(emb: DataFrame, minCos: Double, nCells: Int = 16,
+               lloydIters: Int = 4, saltParts: Int = 8): DataFrame = {
+    val e = emb.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(VecFunctions.vec_dot(col("v"), col("v"))))
+    val cents = Ann.trainCentroids(e.select(col("vec_id"), col("v")), nCells, lloydIters)
+    val assigned = e.withColumn("cell", Ann.cellCol(cents)).persist()
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+      .withColumn("salt", explode(sequence(lit(0), lit(saltParts - 1))))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+      .withColumn("salt", pmod(hash(col("id_b")), lit(saltParts)))
+    val pairs = a.join(b, Seq("cell", "salt"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        VecFunctions.vec_dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= minCos)
+      .select("id_a", "id_b")
+    val groups = Dedup.clustersFromPairs(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_rep"), col("keep"))
+    val out = assigned.select(col("vec_id"), col("cell"))
+      .join(groups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("cluster_rep"), col("vec_id")).as("rep"),
+        coalesce(col("keep"), lit(true)).as("keep"))
+      .localCheckpoint(true)
+    assigned.unpersist()
+    out
+  }
+
+  /**
+   * Contract gate: one row —
+   * (n_emb, n_exact_pairs, sound_ok, complete_ok).
+   * `n_exact_pairs` is the full exact-cosine pair count (the
+   * oracle-computable half); `sound_ok` = every dropped vector has an
+   * exact-pair partner in ITS cell; `complete_ok` = no exact pair
+   * with both sides kept AND co-located in one cell survives. The
+   * kept COUNT is not oracle-derivable (it depends on the learned
+   * cells) — the two booleans bound it from both sides instead.
+   */
+  def semDedupGate(emb: DataFrame, minCos: Double, nCells: Int = 16,
+                   lloydIters: Int = 4): DataFrame = {
+    val verdict = semDedup(emb, minCos, nCells, lloydIters).persist()
+    val exact = Dedup.cosinePairs(emb, minCos).select("id_a", "id_b").persist()
+    val cellOf = verdict.select(col("vec_id"), col("cell"), col("keep"))
+    val pairsWithCells = exact
+      .join(cellOf.select(col("vec_id").as("id_a"), col("cell").as("cell_a"),
+        col("keep").as("keep_a")), Seq("id_a"))
+      .join(cellOf.select(col("vec_id").as("id_b"), col("cell").as("cell_b"),
+        col("keep").as("keep_b")), Seq("id_b"))
+    // violations of cell-completeness: co-located exact pair, both kept
+    val nIncomplete = pairsWithCells
+      .filter(col("cell_a") === col("cell_b") && col("keep_a") && col("keep_b"))
+      .count()
+    // soundness: every dropped id touches >=1 co-located exact pair
+    val droppedWithPartner = pairsWithCells
+      .filter(col("cell_a") === col("cell_b"))
+      .select(explode(array(
+        when(!col("keep_a"), col("id_a")), when(!col("keep_b"), col("id_b"))))
+        .as("vec_id"))
+      .filter(col("vec_id").isNotNull).distinct()
+    val nDropped = verdict.filter(!col("keep")).count()
+    val nSoundDropped = verdict.filter(!col("keep"))
+      .join(droppedWithPartner, Seq("vec_id"), "left_semi").count()
+    val nEmb = verdict.count()
+    val nExact = exact.count()
+    verdict.unpersist(); exact.unpersist()
+    val spark = emb.sparkSession
+    import spark.implicits._
+    Seq((nEmb, nExact, nSoundDropped == nDropped, nIncomplete == 0L))
+      .toDF("n_emb", "n_exact_pairs", "sound_ok", "complete_ok")
+  }
+}
