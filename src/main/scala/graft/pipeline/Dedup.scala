@@ -471,16 +471,51 @@ object Dedup {
    */
   def spanDedup(docs: DataFrame, w: Int): DataFrame = {
     require(w >= 1, s"block width $w")
-    val blocks = docs
+    val blocks = blockify(docs, w)
+    val winners = blocks.groupBy("bkey")
+      .agg(min(struct(col("doc_id"), col("bidx"))).as("first"))
+    regroup(blocks.join(winners, "bkey")
+      .withColumn("keep", struct(col("doc_id"), col("bidx")) === col("first")))
+  }
+
+  /**
+   * CCNet-style boilerplate removal (Wenzek et al. 2020: shard-wide
+   * line-frequency dedup): a block whose text occurs in MORE THAN
+   * `maxDocs` distinct documents is boilerplate — navigation chrome,
+   * footers, license blurbs — and EVERY copy is removed.
+   * [[spanDedup]] is the complementary first-wins policy (keep one
+   * copy of anything repeated); a nav bar's first occurrence is still
+   * a nav bar, hence the df-threshold variant.
+   *
+   * Scale shape is spanDedup's: the frequency vote is one hash agg on
+   * the 64-bit block key carrying (key, distinct-doc count) — never
+   * text; the text-bearing exchange is only the per-document regroup
+   * of the operator's own output.
+   */
+  def boilerplateDedup(docs: DataFrame, w: Int, maxDocs: Long): DataFrame = {
+    require(w >= 1, s"block width $w")
+    require(maxDocs >= 1, s"maxDocs $maxDocs")
+    val blocks = blockify(docs, w)
+    val dfb = blocks.groupBy("bkey")
+      .agg(countDistinct(col("doc_id")).as("dfb"))
+    regroup(blocks.join(dfb, "bkey")
+      .withColumn("keep", col("dfb") <= maxDocs))
+  }
+
+  /** Consecutive w-token blocks per doc, keyed by a 64-bit-equivalent
+    * md5 prefix of the block text (see [[spanDedup]] doc for the
+    * collision trade). */
+  private def blockify(docs: DataFrame, w: Int): DataFrame =
+    docs
       .select(col("doc_id").cast("long").as("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, cast(ceil(size(ws) / ${w}.0) as int) - 1), " +
           s"i -> array_join(slice(ws, i * $w + 1, $w), ' '))")).as(Seq("bidx", "btext")))
       .withColumn("bkey", substring(md5(col("btext")), 1, 16))
-    val winners = blocks.groupBy("bkey")
-      .agg(min(struct(col("doc_id"), col("bidx"))).as("first"))
-    blocks.join(winners, "bkey")
-      .withColumn("keep", struct(col("doc_id"), col("bidx")) === col("first"))
+
+  /** Reassemble per-doc output from blocks carrying a `keep` flag. */
+  private def regroup(flagged: DataFrame): DataFrame =
+    flagged
       .groupBy("doc_id")
       .agg(
         count(lit(1)).cast("int").as("n_blocks"),
@@ -490,7 +525,6 @@ object Dedup {
             array_sort(collect_list(when(col("keep"),
               struct(col("bidx"), col("btext"))))),
             s => s.getField("btext")), " ").as("clean_text"))
-  }
 
   /** Exact-Jaccard verification of candidate pairs against shingle sets. */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame, minJ: Double): DataFrame =

@@ -207,6 +207,17 @@ object PipelineQueries {
       Dedup.spanDedup(planted, w = 5).orderBy("doc_id")
     }),
 
+    // CCNet-style boilerplate: the SpanPlant rides every 10th doc, so
+    // its blocks hit df ~ n/10 >> 3 and EVERY copy must go — including
+    // the first, which spanDedup would keep
+    "dedup_boilerplate" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(lit(SpanPlant + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      Dedup.boilerplateDedup(planted, w = 5, maxDocs = 3).orderBy("doc_id")
+    }),
+
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), n = 3, minJ = 0.5).orderBy("id_a", "id_b")),
 
@@ -1538,6 +1549,21 @@ object PipelineQueries {
         "b AS (SELECT doc_id, bidx, array_to_string(ws[bidx * 5 + 1 : bidx * 5 + 5], ' ') AS btext FROM b0), " +
         "k AS (SELECT doc_id, bidx, btext, " +
         "row_number() OVER (PARTITION BY btext ORDER BY doc_id, bidx) = 1 AS keep FROM b) " +
+        "SELECT doc_id, CAST(count(*) AS INT) AS n_blocks, " +
+        "CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS INT) AS n_removed, " +
+        "COALESCE(string_agg(CASE WHEN keep THEN btext END, ' ' ORDER BY bidx), '') AS clean_text " +
+        "FROM k GROUP BY doc_id ORDER BY doc_id"),
+
+    // df-threshold replay: per-block distinct-doc counts on RAW block
+    // text (a 64-bit key collision engine-side would fail this gate)
+    "dedup_boilerplate" ->
+      (s"WITH planted AS (SELECT doc_id, CASE WHEN doc_id % 10 = 0 " +
+        s"THEN '$SpanPlant ' || text ELSE text END AS text FROM documents), " +
+        s"t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, $W AS ws FROM planted), " +
+        "b0 AS (SELECT doc_id, unnest(range(0, CAST(ceil(len(ws) / 5.0) AS BIGINT))) AS bidx, ws FROM t), " +
+        "b AS (SELECT doc_id, bidx, array_to_string(ws[bidx * 5 + 1 : bidx * 5 + 5], ' ') AS btext FROM b0), " +
+        "d AS (SELECT btext, count(DISTINCT doc_id) AS dfb FROM b GROUP BY btext), " +
+        "k AS (SELECT b.doc_id, b.bidx, b.btext, d.dfb <= 3 AS keep FROM b JOIN d USING (btext)) " +
         "SELECT doc_id, CAST(count(*) AS INT) AS n_blocks, " +
         "CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS INT) AS n_removed, " +
         "COALESCE(string_agg(CASE WHEN keep THEN btext END, ' ' ORDER BY bidx), '') AS clean_text " +

@@ -133,4 +133,29 @@ class DedupParitySpec extends AnyFunSuite {
       (102L, 10L, 1L, false),
       (103L, 0L, 0L, true)))
   }
+
+  test("boilerplateDedup removes EVERY copy past the df threshold; spanDedup keeps the first") {
+    import spark.implicits._
+    // "nav bar" block in docs 0..4 (df=5 > 3); doc 5 repeats its own
+    // unique block twice (df=1: within-doc repetition is NOT boilerplate)
+    val nav = "home about contact legal privacy"
+    val docs = ((0L to 4L).map(i => (i, s"$nav unique$i word$i filler$i pad$i end$i")) :+
+      (5L, "only half percent basis point only half percent basis point")).toDF("doc_id", "text")
+    val boiler = Dedup.boilerplateDedup(docs, w = 5, maxDocs = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getString(3)))
+    // nav block gone from ALL five docs, tails survive
+    for (i <- 0 to 4)
+      assert(boiler(i) == (i.toLong, 1, s"unique$i word$i filler$i pad$i end$i"))
+    // within-doc repeat survives boilerplate (df=1)...
+    assert(boiler(5) == (5L, 0,
+      "only half percent basis point only half percent basis point"))
+    // ...but spanDedup's first-wins policy drops the second copy, and
+    // keeps the FIRST nav copy that boilerplate removed
+    val span = Dedup.spanDedup(docs, w = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getString(3)))
+    assert(span(0) == (0L, 0, s"$nav unique0 word0 filler0 pad0 end0"))
+    assert(span(5) == (5L, 1, "only half percent basis point"))
+  }
 }
