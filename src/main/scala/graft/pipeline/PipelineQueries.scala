@@ -40,6 +40,12 @@ object PipelineQueries {
     "text_token_counts" -> ((s, dir) =>
       TextOps.tokenCounts(docs(s, dir)).orderBy("doc_id")),
 
+    // classifier-inference plumbing: hashed bag-of-bigrams linear
+    // score with a deterministic integer weight table, replayed
+    // bucket-by-bucket in the oracle
+    "text_quality_model" -> ((s, dir) =>
+      TextOps.qualityModel(docs(s, dir)).orderBy("doc_id")),
+
     "text_fingerprints" -> ((s, dir) =>
       TextOps.fingerprints(docs(s, dir)).orderBy("doc_id")),
 
@@ -1412,6 +1418,17 @@ object PipelineQueries {
         s"CAST(len(regexp_extract_all(regexp_replace(text, '${TextOps.EmailPattern}', '<EMAIL>', 'g'), " +
         s"'${TextOps.NumberPattern}')) AS INT) AS n_numbers " +
         "FROM planted ORDER BY doc_id"),
+
+    "text_quality_model" ->
+      (s"WITH t AS (SELECT doc_id, $W AS ws FROM documents), " +
+        "g AS (SELECT doc_id, CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')] " +
+        "ELSE list_distinct([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) END AS gs FROM t), " +
+        "sc AS (SELECT doc_id, CAST(len(gs) AS INT) AS n_features, " +
+        "COALESCE(list_sum(list_transform(gs, g -> " +
+        "(((list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split(g, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+        "(a, c) -> (a * 31 + c) % 1000000007) % 512) * 2654435761) % 1000003) % 2001 - 1000)), 0) AS score_milli FROM g) " +
+        "SELECT doc_id, n_features, CAST(score_milli AS BIGINT) AS score_milli, score_milli > 0 AS keep " +
+        "FROM sc ORDER BY doc_id"),
 
     "text_fingerprints" ->
       ("SELECT doc_id, md5(text) AS fp_md5, " +

@@ -129,6 +129,27 @@ object Retrieval {
         col("doc_id"), col("score_micros"), col("tfidf_micros"))
   }
 
+  /**
+   * Incremental maintenance — the crawl-append path: postings of
+   * DISJOINT doc sets merge by plain union (tf and dl are per-doc
+   * facts, so no posting is ever rewritten), and [[mergeStats]] adds
+   * df/scalars. A 100 TB index is never rebuilt; each crawl batch
+   * contributes its own postings partition-locally.
+   */
+  def mergeIndex(index: DataFrame, deltaDocs: DataFrame): DataFrame =
+    index.unionByName(invertedIndex(deltaDocs))
+
+  /** Merge two stats sides (term, df, n_docs, total_len) built over
+    * disjoint doc sets: df adds per term, scalars add once. */
+  def mergeStats(a: DataFrame, b: DataFrame): DataFrame = {
+    val dfs = a.select("term", "df").unionByName(b.select("term", "df"))
+      .groupBy("term").agg(sum(col("df")).as("df"))
+    val scalars = a.select("n_docs", "total_len").limit(1)
+      .unionByName(b.select("n_docs", "total_len").limit(1))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_len")).as("total_len"))
+    dfs.crossJoin(broadcast(scalars))
+  }
+
   /** Convenience: index the corpus and run `bm25TopK` in one call.
     * Production keeps the index as the build-once artifact instead. */
   def bm25(docs: DataFrame, queries: DataFrame, k: Int,

@@ -89,6 +89,38 @@ object TextOps {
         .as("fp_rolling"))
 
   /**
+   * Model-based quality filtering — the INFERENCE half of the
+   * fastText-style classifier gate (Joulin et al. 2016; the CCNet /
+   * GPT-3 quality-filter recipe): score = Σ over hashed bag-of-bigram
+   * features of a weight-table lookup, keep = score > 0. At 100 TB
+   * inference cost is the whole story: this is a parquet scan + one
+   * codegen'd row-local projection — no shuffle, no UDF, no model
+   * server round-trips.
+   *
+   * The weight table here is a deterministic integer function of the
+   * feature bucket (millis in [-1000, 1000]), standing in for trained
+   * weights so the DuckDB oracle can replay inference EXACTLY; a real
+   * model drops in by replacing `weightOf` with an `element_at` on a
+   * broadcast weight-array literal — the plan shape is identical.
+   * Feature hashing reuses the corpus rolling-hash convention
+   * ([[fingerprints]]), bucketed mod `dim`.
+   */
+  def qualityModel(docs: DataFrame, dim: Int = 512): DataFrame = {
+    val grams = TextFunctions.shingles(ws, 2)
+    def bucketOf(g: Column): Column =
+      pmod(aggregate(split(g, ""), lit(0L),
+        (a, c) => (a * lit(31L) + ascii(c)) % lit(1000000007L)), lit(dim.toLong))
+    def weightOf(i: Column): Column =
+      i * lit(2654435761L) % lit(1000003L) % lit(2001L) - lit(1000L)
+    docs.select(
+        col("doc_id").cast("long").as("doc_id"),
+        size(grams).cast("int").as("n_features"),
+        aggregate(transform(grams, g => weightOf(bucketOf(g))),
+          lit(0L), (a, w) => a + w).as("score_milli"))
+      .withColumn("keep", col("score_milli") > 0)
+  }
+
+  /**
    * Gopher-style repetition filtering (Rae et al. 2021 §A1.1): per
    * document, the character coverage of the most frequent word 2-gram
    * and of all duplicated 3-grams, plus the keep rule — drop when the

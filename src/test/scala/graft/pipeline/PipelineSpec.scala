@@ -265,6 +265,32 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("quality-model inference: scalar recompute, empty-feature docs, shuffle-free plan") {
+    import spark.implicits._
+    def roll(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    def weight(bucket: Long): Long = bucket * 2654435761L % 1000003L % 2001L - 1000L
+    def refScore(text: String, dim: Int = 512): Long = {
+      val ws = text.split("\\s+")
+      ws.sliding(2).map(_.mkString(" ")).toSeq.distinct
+        .map(g => weight(roll(g) % dim)).sum
+    }
+    val frame = Seq((0L, "alpha beta gamma alpha beta"), (1L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextOps.qualityModel(frame).orderBy("doc_id").collect()
+    assert(out(0).getLong(2) == refScore("alpha beta gamma alpha beta"))
+    assert(out(0).getInt(1) == 3, "distinct bigrams: alpha beta / beta gamma / gamma alpha")
+    // shorter-than-n docs hash as ONE whole-doc feature (the
+    // WordShingles convention every shingle consumer shares)
+    val soloScore = weight(roll("solo") % 512)
+    assert(out(1).getInt(1) == 1 && out(1).getLong(2) == soloScore
+      && out(1).getBoolean(3) == (soloScore > 0),
+      "single-word doc: one whole-doc feature")
+    // inference must be a scan + projection: no exchange anywhere
+    val plan = TextOps.qualityModel(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"quality inference must not shuffle:\n$plan")
+  }
+
   test("LSH-pair clustering equals exact-pair clustering on this corpus (banded recall ~1)") {
     def clusterSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Boolean)] =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet

@@ -83,6 +83,24 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Int]("rank")).toSet == Set(1, 2))
   }
 
+  test("incrementally merged index scores bitwise-identically to a full rebuild") {
+    val full = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val old = full.filter(col("doc_id") % 3 =!= 0)
+    val delta = full.filter(col("doc_id") % 3 === 0)
+    val qs = query(Seq("scan", "merge", "dup"))
+    val mergedIdx = Retrieval.mergeIndex(Retrieval.invertedIndex(old), delta)
+    def statsOf(d: org.apache.spark.sql.DataFrame) = {
+      val i = Retrieval.invertedIndex(d)
+      Retrieval.termStats(i).crossJoin(broadcast(Retrieval.corpusStats(i)))
+    }
+    val mergedStats = Retrieval.mergeStats(statsOf(old), statsOf(delta))
+    val viaMerge = Retrieval.bm25FromIndex(mergedIdx, mergedStats, qs, k = 20)
+      .collect().map(_.toSeq).toSet
+    val viaRebuild = Retrieval.bm25(full, qs, k = 20).collect().map(_.toSeq).toSet
+    assert(viaMerge == viaRebuild)
+  }
+
   test("plan: broadcast query side + map-side WindowGroupLimit") {
     val plan = Retrieval.bm25(corpus, query(Seq("a", "c")), k = 10)
     plan.collect() // finalize AQE
