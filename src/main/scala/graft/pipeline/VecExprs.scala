@@ -179,6 +179,55 @@ case class NearestCell(child: Expression, centroids: Seq[Seq[Double]],
   override def prettyName: String = "nearest_cell"
 }
 
+/**
+ * One-pass symmetric int8 quantization of an array<double> vector:
+ * struct(amax = max_i |v_i|, qv = array<long> of
+ * floor(v_i * 127.0 / amax + 0.5), all-zero when amax = 0).
+ *
+ * Bit-identical to the builtin higher-order form
+ * `aggregate(v, 0.0, (a,x) -> greatest(a, abs(x)))` +
+ * `transform(v, x -> floor(x * 127.0 / amax + 0.5))` — max is exact
+ * and the per-component multiply/divide/add/floor are the same
+ * correctly-rounded IEEE ops in the same order — but runs as a tight
+ * primitive loop inside WholeStageCodegen instead of interpreted
+ * lambda frames, because quantization is a full-corpus projection
+ * (the only plan shape that reads all 100 TB of embeddings).
+ */
+case class QuantizeInt8(child: Expression)
+    extends UnaryExpression with UnaryRefCodegen {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("amax", DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("qv",
+      ArrayType(LongType, containsNull = false), nullable = false)))
+
+  override def evalRef(input: AnyRef): AnyRef = nullSafeEval(input).asInstanceOf[AnyRef]
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var amax = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(arr.getDouble(i))
+      if (a > amax) amax = a
+      i += 1
+    }
+    val q = new Array[Long](n)
+    if (amax != 0.0) {
+      i = 0
+      while (i < n) {
+        q(i) = math.floor(arr.getDouble(i) * 127.0 / amax + 0.5).toLong
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(amax, new GenericArrayData(q))
+  }
+
+  override protected def withNewChildInternal(c: Expression): QuantizeInt8 = copy(child = c)
+  override def prettyName: String = "quantize_int8"
+}
+
 object VecFunctions {
   def vec_dot(a: Column, b: Column): Column =
     ColumnShim.column(VecDot(ColumnShim.expression(a), ColumnShim.expression(b)))
@@ -189,6 +238,10 @@ object VecFunctions {
   def vec_sum_agg(v: Column): Column =
     ColumnShim.column(graft.agg.VecSumAgg(ColumnShim.expression(v))
       .toAggregateExpression(isDistinct = false))
+
+  /** struct(amax, qv): one-pass symmetric int8 quantization */
+  def quantize_int8(v: Column): Column =
+    ColumnShim.column(QuantizeInt8(ColumnShim.expression(v)))
 
   /** struct(cell, score): nearest centroid by L2 (`-2*dot + |c|^2`, argmin) */
   def nearest_cell_l2(v: Column, cents: Seq[Array[Double]]): Column =

@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** int8 quantization: exact values on crafted vectors, the
+  * per-component reconstruction bound, the all-zero edge, and
+  * quantized-ranking agreement with exact cosine when the margin
+  * dwarfs the quantization error. */
+class QuantizeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def embDF(rows: Seq[(Long, Array[Float])]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("int8 quantizes crafted vectors to known codes") {
+    // amax = 2.0 -> scale 2/127; components at 0, +-amax, +-amax/2
+    val e = embDF(Seq((0L, Array(2.0f, -2.0f, 1.0f, -1.0f, 0.0f, 0.5f))))
+    val q = Quantize.int8(e).select("qv").head().getSeq[Long](0)
+    // floor(v*127/2 + 0.5): 127, floor(-126.5) = -127, floor(64.0) = 64,
+    // floor(-63.0) = -63, 0, floor(32.25) = 32
+    assert(q == Seq(127L, -127L, 64L, -63L, 0L, 32L))
+  }
+
+  test("all-zero vectors quantize to zero codes, no NaN path") {
+    val e = embDF(Seq((0L, Array(0.0f, 0.0f, 0.0f))))
+    val r = Quantize.int8Audit(e).head()
+    assert(r.getAs[String]("q_csv") == "0,0,0")
+    assert(r.getAs[Boolean]("recon_ok"))
+    assert(r.getAs[Long]("q_nrm2") == 0L)
+  }
+
+  test("reconstruction bound |q - v*127/amax| <= 0.5 holds on random-ish vectors") {
+    // deterministic pseudo-random floats via hash mixing (no RNG state)
+    val rows = (0L until 64L).map { id =>
+      val v = Array.tabulate(16) { d =>
+        val h = graft.hash.Murmur3x64.hash128(s"$id:$d".getBytes("UTF-8"))._1
+        ((h % 2001L) / 1000.0f - 1.0f) * (1 + (id % 5))
+      }
+      (id, v)
+    }
+    val audit = Quantize.int8Audit(embDF(rows))
+    assert(audit.filter(!col("recon_ok")).count() == 0)
+    // codes stay in the int8 envelope
+    val outOfRange = Quantize.int8(embDF(rows))
+      .select(explode(col("qv")).as("q"))
+      .filter(abs(col("q")) > 127).count()
+    assert(outOfRange == 0)
+  }
+
+  test("quantization is a shuffle-free codegen'd projection") {
+    val rows = (0L until 32L).map { id =>
+      (id, Array.tabulate(8)(d => (id * 31 + d * 7 % 13).toFloat - 6f))
+    }
+    // a local relation constant-folds to LocalTableScan; the operator's
+    // real shape needs a file source, like every gate input
+    val dir = java.nio.file.Files.createTempDirectory("quantplan").toString
+    embDF(rows).write.mode("overwrite").parquet(dir)
+    val plan = Quantize.int8(spark.read.parquet(dir))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"quantization must not shuffle:\n$plan")
+    // the `*(n)` prefix is executedPlan.toString's WholeStageCodegen marker
+    assert("""\*\(\d+\) Project \[.*quantize_int8""".r.findFirstIn(plan).isDefined,
+      s"quantization must run inside WholeStageCodegen:\n$plan")
+  }
+
+  test("quantized top-k matches exact ranking when margins are wide") {
+    // corpus: query q0 plus 3 vectors at cosines ~1.0, ~0.7, ~0.0 —
+    // separations >> int8 error, so the quantized order is the exact
+    // order and every hit lands: n_hit = k
+    val e = embDF(Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.01f, 0.0f, 0.0f)),
+      (2L, Array(0.7f, 0.7f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f))))
+    val top = Quantize.topKQuantized(e, nQueries = 1, k = 3, recallFloor = 1.0)
+      .orderBy("rank").collect()
+    assert(top.map(_.getAs[Long]("n_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(top.forall(_.getAs[Boolean]("recall_ok")))
+    assert(top.forall(_.getAs[Long]("n_hit") == 3L))
+    // quantized cosine of the near-duplicate neighbor is near 1
+    assert(top.head.getAs[Double]("qcos") > 0.99)
+  }
+}
