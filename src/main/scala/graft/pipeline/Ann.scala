@@ -231,18 +231,16 @@ object Ann {
       .orderBy("q_id")
   }
 
-  /** the raw IVF approximate top-k pairs (q_id, n_id) */
-  def ivfTopKRaw(emb: DataFrame, nQueries: Int, k: Int, nCells: Int = 16,
-                 lloydIters: Int = 3, nProbe: Int = 8): DataFrame = {
-    val e = vectors(emb)
-    val centroids = trainCentroids(e, nCells, lloydIters)
-
-    val posting = withNorm(e).withColumn("cell", cellCol(centroids))
+  /** (q_id, cell) rows: each query's nProbe nearest cells by L2 to the
+    * centroid (driver-side — the query batch is a handful of vectors;
+    * shared by the float IVF and the int8 IVF-SQ8 tier). */
+  private[pipeline] def probeCellsFor(e: DataFrame, centroids: Seq[Array[Double]],
+                                      nQueries: Int, nProbe: Int): DataFrame = {
     val queryVecs = e.filter(col("vec_id") < nQueries).orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val spark = emb.sparkSession
+    val spark = e.sparkSession
     import spark.implicits._
-    val probeCells = queryVecs.flatMap { case (qId, qv) =>
+    queryVecs.flatMap { case (qId, qv) =>
       centroids.zipWithIndex
         .map { case (c, i) =>
           (i, -2.0 * c.zip(qv).map { case (a, b) => a * b }.sum + sqNorm(c))
@@ -251,6 +249,16 @@ object Ann {
         .take(nProbe)
         .map { case (i, _) => (qId, i) }
     }.toSeq.toDF("q_id", "cell")
+  }
+
+  /** the raw IVF approximate top-k pairs (q_id, n_id) */
+  def ivfTopKRaw(emb: DataFrame, nQueries: Int, k: Int, nCells: Int = 16,
+                 lloydIters: Int = 3, nProbe: Int = 8): DataFrame = {
+    val e = vectors(emb)
+    val centroids = trainCentroids(e, nCells, lloydIters)
+
+    val posting = withNorm(e).withColumn("cell", cellCol(centroids))
+    val probeCells = probeCellsFor(e, centroids, nQueries, nProbe)
 
     val cand = posting.join(broadcast(probeCells), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))

@@ -624,6 +624,12 @@ object PipelineQueries {
     "ann_ivf_topk_raw" -> ((s, dir) =>
       Ann.ivfTopKRaw(emb(s, dir), nQueries = 10, k = 10).orderBy("q_id", "n_id")),
 
+    // IVF-SQ8: cell-pruned candidate set over int8 postings (the
+    // float vectors never ride the search), mean-recall gated against
+    // the exact float answer like the float IVF tier
+    "ann_ivf_quantized" -> ((s, dir) =>
+      Quantize.ivfTopKQuantized(emb(s, dir), nQueries = 10, k = 10, recallFloor = 0.9)),
+
     // SemDeDup contract gate: n_emb and the exact-cosine pair count
     // are oracle-replayed; the learned-cell half is two in-plan
     // booleans — drops are sound (exact co-located partner exists)
@@ -1907,6 +1913,12 @@ object PipelineQueries {
         "FROM topq LEFT JOIN hits ON topq.q_id = hits.q_id ORDER BY topq.q_id, rank"),
 
     "ann_ivf_topk" ->
+      ("SELECT vec_id AS q_id, TRUE AS mean_recall_ok FROM embeddings WHERE vec_id < 10 ORDER BY q_id"),
+
+    // like the float IVF gate: the quantizer's cells aren't SQL-
+    // replayable, so the contract column (mean recall vs the exact
+    // float ranking, computed Spark-side) is what the oracle asserts
+    "ann_ivf_quantized" ->
       ("SELECT vec_id AS q_id, TRUE AS mean_recall_ok FROM embeddings WHERE vec_id < 10 ORDER BY q_id"),
 
     // the two counts replay exactly (same left-fold cosine as the

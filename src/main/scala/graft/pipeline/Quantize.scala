@@ -88,6 +88,50 @@ object Quantize {
       .orderBy("vec_id")
 
   /**
+   * IVF-SQ8 — the production composition for embedding search at
+   * 100 TB: the Lloyd quantizer's posting lists bound WHICH vectors a
+   * query touches (cluster-prune instead of scan, cells ~ sqrt(N)),
+   * and the postings STORE int8 codes instead of floats, so the
+   * candidate scan moves 4x fewer bytes and re-ranks with exact
+   * integer dots (FAISS's `IVF,SQ8` index shape). Gated on MEAN
+   * recall@k against the exact float answer like the float IVF tier
+   * ([[Ann.ivfTopK]] — same harness, same falsifiable floor).
+   */
+  def ivfTopKQuantized(emb: DataFrame, nQueries: Int, k: Int,
+                       nCells: Int = 16, lloydIters: Int = 3, nProbe: Int = 8,
+                       recallFloor: Double = 0.9): DataFrame = {
+    val e = vecs(emb)
+    val centroids = Ann.trainCentroids(e, nCells, lloydIters)
+    // the posting layout carries ONLY the cell key + int8 codes +
+    // integer norm — the float vectors never ride the search
+    val posting = int8(emb)
+      .withColumn("cell", Ann.cellCol(centroids))
+      .withColumn("qnrm2", qdot(col("qv"), col("qv")))
+      .select("vec_id", "cell", "qv", "qnrm2")
+    val probe = Ann.probeCellsFor(e, centroids, nQueries, nProbe)
+    val queries = int8(emb).filter(col("vec_id") < nQueries)
+      .withColumn("qqnrm2", qdot(col("qv"), col("qv")))
+      .select(col("vec_id").as("q_id"), col("qv").as("qqv"), col("qqnrm2"))
+    val w = Window.partitionBy("q_id").orderBy(col("qcos").desc, col("n_id").asc)
+    val top = posting.join(broadcast(probe), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (qdot(col("qqv"), col("qv")).cast("double") /
+          (sqrt(col("qqnrm2").cast("double")) * sqrt(col("qnrm2").cast("double")))).as("qcos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id")
+    val exact = Ann.exactTopPairs(emb, nQueries, k)
+    val totals = top.intersect(exact).agg(count(lit(1)).as("n_hit"))
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .select((col("n_hit") >= lit(recallFloor) * col("n_exact")).as("mean_recall_ok"))
+    exact.select("q_id").distinct()
+      .crossJoin(totals)
+      .orderBy("q_id")
+  }
+
+  /**
    * Quantized brute top-k: rank the corpus per query by QUANTIZED
    * cosine (exact-integer dots, sqrt-of-integer norms), excluding
    * self, ties by neighbor id. `n_hit` is the per-query overlap with

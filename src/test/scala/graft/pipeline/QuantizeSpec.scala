@@ -72,6 +72,27 @@ class QuantizeSpec extends AnyFunSuite {
       s"quantization must run inside WholeStageCodegen:\n$plan")
   }
 
+  test("IVF-SQ8 finds the exact neighbors when cells and margins are wide") {
+    // two orthogonal clusters (x-z plane / y-w plane), members fanned
+    // at 0/10/20/30 then 60/70/80 degrees from the cluster axis: each
+    // query's exact top-3 (10-30 deg, cos >= 0.87) is separated from
+    // rank 4 (60 deg, cos 0.5) by ~0.37 — two orders of magnitude
+    // above int8 quantization error — so recall measures cell routing
+    // and quantized ranking, not sub-resolution tie order
+    val angles = Seq(0.0, 10.0, 20.0, 30.0, 60.0, 70.0, 80.0)
+    val rows = (0 until 14).map { i =>
+      val a = math.toRadians(angles(i / 2))
+      val (c, s) = (math.cos(a).toFloat, math.sin(a).toFloat)
+      val v = if (i % 2 == 0) Array(c, 0f, s, 0f) else Array(0f, c, 0f, s)
+      (i.toLong, v)
+    }
+    val out = Quantize.ivfTopKQuantized(embDF(rows), nQueries = 2, k = 3,
+      nCells = 2, lloydIters = 3, nProbe = 1, recallFloor = 1.0).collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[Boolean]("mean_recall_ok")),
+      "nProbe=1 must already reach full recall on separated clusters")
+  }
+
   test("quantized top-k matches exact ranking when margins are wide") {
     // corpus: query q0 plus 3 vectors at cosines ~1.0, ~0.7, ~0.0 —
     // separations >> int8 error, so the quantized order is the exact
