@@ -297,7 +297,12 @@ object SparkEntry {
                ABS(g.global_est - truth.global_nd) <=
                  GREATEST(2.0, truth.global_nd * 3 * 1.04 / SQRT(16384)) AS merged_hll_ok,
                ABS(g.global_kmv_est - truth.global_nd) * 100 <=
-                 GREATEST(200, truth.global_nd * 40) AS merged_kmv_ok
+                 GREATEST(200, truth.global_nd * 40) AS merged_kmv_ok,
+               graft_vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) = 11.0D AS vec_ok,
+               graft_quantize_int8(array(2.0D, -1.0D)).qv = array(127L, -63L) AS quant_ok,
+               SIZE(graft_lsh_buckets(array(1.0D, 2.0D), 4, 3)) = 4 AS lsh_ok,
+               SIZE(graft_minhash_sig(array('a', 'b'), 16)) = 16 AS minhash_ok,
+               graft_simhash64(array('a')) <> 0L AS simhash_ok
         FROM sk CROSS JOIN g CROSS JOIN truth ORDER BY source""")
     }),
 
@@ -476,7 +481,8 @@ object SparkEntry {
         ") AS t(step, op, result) ORDER BY step"),
     "q_sql_surface" ->
       (s"SELECT source, count(*) AS n, TRUE AS bloom_ok, TRUE AS sbf_ok, TRUE AS lbf_ok, " +
-        "TRUE AS hll_ok, TRUE AS cms_ok, TRUE AS kll_ok, TRUE AS freq_ok, TRUE AS td_ok, TRUE AS topk_ok, TRUE AS kmv_ok, TRUE AS merged_hll_ok, TRUE AS merged_kmv_ok " +
+        "TRUE AS hll_ok, TRUE AS cms_ok, TRUE AS kll_ok, TRUE AS freq_ok, TRUE AS td_ok, TRUE AS topk_ok, TRUE AS kmv_ok, TRUE AS merged_hll_ok, TRUE AS merged_kmv_ok, " +
+        "TRUE AS vec_ok, TRUE AS quant_ok, TRUE AS lsh_ok, TRUE AS minhash_ok, TRUE AS simhash_ok " +
         s"FROM $tokensFrom GROUP BY source ORDER BY source"),
     "op_multi_filter_check" ->
       ("SELECT * FROM (VALUES " +

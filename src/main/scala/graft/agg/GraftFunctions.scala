@@ -189,6 +189,15 @@ object GraftFunctions {
     add("graft_kmv_estimate")(es => KmvEstimate(es.head))
     add("graft_kmv_union_estimate")(es => KmvUnionEstimate(es.head, es(1)))
     add("graft_kmv_shared_in_union")(es => KmvSharedInUnion(es.head, es(1)))
+    // the vector/text expression family, so the similarity and
+    // quantization paths are reachable from pure SQL text too
+    // (Thrift/Connect sessions via the extensions install path)
+    add("graft_vec_dot")(es => graft.pipeline.VecDot(es.head, es(1)))
+    add("graft_quantize_int8")(es => graft.pipeline.QuantizeInt8(es.head))
+    add("graft_lsh_buckets")(es =>
+      graft.pipeline.SignLshBuckets(es.head, lit2Int(es(1)), lit2Int(es(2))))
+    add("graft_minhash_sig")(es => graft.pipeline.MinHashSig(es.head, lit2Int(es(1))))
+    add("graft_simhash64")(es => graft.pipeline.SimHash64(es.head))
     def addMerge(name: String)(builder: Expression => org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction): Unit =
       add(name)(es => AggregateExpression(builder(es.head),
         org.apache.spark.sql.catalyst.expressions.aggregate.Complete, isDistinct = false))
