@@ -317,6 +317,29 @@ object Bench {
         f""""capped_jaccard_sec_1x":$tCap1%.3f,"capped_jaccard_sec_4x":$tCap4%.3f}"""
     }
 
+    // ---- quantized-ANN volume scaling: the int8 candidate scan at
+    // 1x and 4x the embedding corpus (replicas shift vec_ids only —
+    // brute cost is queries x corpus bytes regardless of content, so
+    // the leg measures exactly the linear-scan claim) ----
+    val annVolumeJson = if (scalingOnly) "null" else {
+      val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      def replica(r: Int) = emb1.select(
+        (col("vec_id") + r * 10000000L).as("vec_id"), col("embedding"))
+      val emb4 = (0 until 4).map(replica).reduce(_ union _)
+      def run(d: org.apache.spark.sql.DataFrame): Unit =
+        graft.pipeline.Quantize.topKQuantizedRaw(d, nQueries = 10, k = 10)
+          .write.format("noop").mode("overwrite").save()
+      val n1 = emb1.count(); val n4 = emb4.count()
+      run(emb1) // warm
+      val t1 = (1 to 2).map(_ => timed(run(emb1))).min
+      val t4 = (1 to 2).map(_ => timed(run(emb4))).min
+      val volEff = (n4 / t4) / (4.0 * n1 / t1)
+      System.err.println(f"[bench] quantized-ann 1x: $t1%.2f s ($n1 vecs), " +
+        f"4x: $t4%.2f s ($n4 vecs), volume-scaling eff $volEff%.3f")
+      f"""{"vecs_1x":$n1,"ann_q_sec_1x":$t1%.3f,"vecs_4x":$n4,""" +
+        f""""ann_q_sec_4x":$t4%.3f,"ann_q_volume_eff":$volEff%.3f}"""
+    }
+
     // ---- per-query wall clock at sf dir (noop sink); an optional
     // comma-separated SPARK_GRAFT_BENCH_QUERIES allowlist restricts
     // the loop (used for the sf1 decade artifact's selected legs) ----
@@ -436,7 +459,7 @@ object Bench {
       s""""headline_validity_reasons":${headReasons.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""set_keys_per_sec":$setPerSec,"check_keys_per_sec":$checkPerSec,""" +
       s""""set_check":$setCheckJson,""" +
-      s""""curation":$curationJson,"scaling":$scaling,"sf":"$sfDir"}"""
+      s""""curation":$curationJson,"ann_volume":$annVolumeJson,"scaling":$scaling,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_result.json"), json + "\n")
     println(json)
   }

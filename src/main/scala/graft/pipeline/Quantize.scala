@@ -141,21 +141,7 @@ object Quantize {
    */
   def topKQuantized(emb: DataFrame, nQueries: Int, k: Int,
                     recallFloor: Double = 0.8): DataFrame = {
-    val q8 = int8(emb)
-      .withColumn("qnrm2", qdot(col("qv"), col("qv")))
-      .select(col("vec_id"), col("qv"), col("qnrm2"))
-    val queries = q8.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("qv").as("qqv"), col("qnrm2").as("qqnrm2"))
-    val w = Window.partitionBy("q_id").orderBy(col("qcos").desc, col("n_id").asc)
-    val top = q8.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"),
-        qdot(col("qqv"), col("qv")).as("dq"),
-        col("qqnrm2"), col("qnrm2"))
-      .withColumn("qcos",
-        col("dq").cast("double") /
-          (sqrt(col("qqnrm2").cast("double")) * sqrt(col("qnrm2").cast("double"))))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    val top = topKQuantizedRaw(emb, nQueries, k)
     val exact = Ann.exactTopPairs(emb, nQueries, k)
     val hits = top.select(col("q_id"), col("n_id"))
       .intersect(exact)
@@ -166,5 +152,26 @@ object Quantize {
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
         (coalesce(col("n_hit"), lit(0L)) >= lit(recallFloor * k)).as("recall_ok"))
       .orderBy("q_id", "rank")
+  }
+
+  /** the raw quantized search a user runs (broadcast queries, one
+    * int8 corpus scan, WindowGroupLimit-capped rank) — the recall
+    * harness above is the quality gate on top of it. */
+  def topKQuantizedRaw(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q8 = int8(emb)
+      .withColumn("qnrm2", qdot(col("qv"), col("qv")))
+      .select(col("vec_id"), col("qv"), col("qnrm2"))
+    val queries = q8.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("qqv"), col("qnrm2").as("qqnrm2"))
+    val w = Window.partitionBy("q_id").orderBy(col("qcos").desc, col("n_id").asc)
+    q8.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        qdot(col("qqv"), col("qv")).as("dq"),
+        col("qqnrm2"), col("qnrm2"))
+      .withColumn("qcos",
+        col("dq").cast("double") /
+          (sqrt(col("qqnrm2").cast("double")) * sqrt(col("qnrm2").cast("double"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 }
