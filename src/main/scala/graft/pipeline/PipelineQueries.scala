@@ -106,7 +106,11 @@ object PipelineQueries {
     // and the median itself replay exactly in the oracle
     "text_lm_filter" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // stage-boundary checkpoint (the corpus_prep discipline): the
+      // median pass and the final projection both read `scored` —
+      // without it the whole model+score DAG replays twice
       val scored = LmFilter.rareBigramScore(docs(s, dir), refSource = "src0")
+        .localCheckpoint()
       val ranked = scored.withColumn("rn",
         row_number().over(Window.orderBy(col("rare_pm"), col("doc_id"))))
       val medPos = scored.agg(expr("(count(1) + 1) div 2").as("p"))

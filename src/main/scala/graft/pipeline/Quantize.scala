@@ -141,7 +141,10 @@ object Quantize {
    */
   def topKQuantized(emb: DataFrame, nQueries: Int, k: Int,
                     recallFloor: Double = 0.8): DataFrame = {
-    val top = topKQuantizedRaw(emb, nQueries, k)
+    // the recall harness reads `top` twice (hit counting + the output
+    // join); checkpoint the queries x k result rows so the int8
+    // corpus scan runs once
+    val top = topKQuantizedRaw(emb, nQueries, k).localCheckpoint()
     val exact = Ann.exactTopPairs(emb, nQueries, k)
     val hits = top.select(col("q_id"), col("n_id"))
       .intersect(exact)
