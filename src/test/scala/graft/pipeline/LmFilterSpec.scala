@@ -48,6 +48,40 @@ class LmFilterSpec extends AnyFunSuite {
     assert(r2 == 2L) // (b x) and (x a)
   }
 
+  test("distributed scores equal a sequential in-memory model on a random corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260819L)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh", "ii", "jj", "kk", "ll")
+    val rows = (0L until 40L).map { id =>
+      val n = 2 + rnd.nextInt(12)
+      val text = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val src = Seq("ref", "poolA", "poolB")(rnd.nextInt(3))
+      (id, text, src)
+    }
+    val docs = rows.toDF("doc_id", "text", "source")
+
+    // sequential model: same definitions as the scaladoc
+    def bigrams(t: String) = { val w = t.split("\\s+"); w.sliding(2).map(_.mkString(" ")).toSeq }
+    val refRows = rows.filter(_._3 == "ref")
+    val c2 = refRows.flatMap(r => bigrams(r._2)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = refRows.flatMap(r => bigrams(r._2).map(_.split(" ")(0)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val v = refRows.flatMap(_._2.split("\\s+")).distinct.size.toLong
+    val R = 7L
+    val expected = rows.filter(r => r._3 != "ref" && r._2.split("\\s+").length >= 2).map { r =>
+      val gs = bigrams(r._2)
+      val nRare = gs.count { g =>
+        (c2.getOrElse(g, 0L) + 1L) * R < c1.getOrElse(g.split(" ")(0), 0L) + v
+      }.toLong
+      (r._1, gs.size.toLong, nRare, 1000L * nRare / gs.size)
+    }.toSet
+
+    val got = LmFilter.rareBigramScore(docs, "ref", rarityDen = R).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("n_rare"), r.getAs[Long]("rare_pm"))).toSet
+    assert(got == expected)
+  }
+
   test("perplexity matches the closed form") {
     // ppl = exp(-(ln(3/5) + ln(1/5) + ln(1/3)) / 3) = (1/0.04)^(1/3)
     val p = LmFilter.perplexity(corpus(), "ref").head().getAs[Double]("ppl")

@@ -56,6 +56,25 @@ class QuantizeSpec extends AnyFunSuite {
     assert(outOfRange == 0)
   }
 
+  test("distributed codes equal the sequential formula on random vectors") {
+    val rnd = new scala.util.Random(20260819L)
+    val rows = (0L until 50L).map { id =>
+      val d = 1 + rnd.nextInt(16)
+      val v = Array.fill(d)(if (rnd.nextInt(20) == 0) 0.0f
+        else (rnd.nextFloat() - 0.5f) * (1 << rnd.nextInt(8)))
+      (id, v)
+    } :+ (50L, Array(0.0f, 0.0f)) // all-zero edge rides along
+    def codes(v: Array[Float]): Seq[Long] = {
+      val amax = v.map(x => math.abs(x.toDouble)).foldLeft(0.0)(math.max)
+      if (amax == 0.0) Seq.fill(v.length)(0L)
+      else v.map(x => math.floor(x.toDouble * 127.0 / amax + 0.5).toLong).toSeq
+    }
+    val expected = rows.map { case (id, v) => id -> codes(v).mkString(",") }.toMap
+    val got = Quantize.int8Audit(embDF(rows)).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("q_csv")).toMap
+    assert(got == expected)
+  }
+
   test("quantization is a shuffle-free codegen'd projection") {
     val rows = (0L until 32L).map { id =>
       (id, Array.tabulate(8)(d => (id * 31 + d * 7 % 13).toFloat - 6f))
