@@ -105,17 +105,16 @@ object PipelineQueries {
     // count, the rarity cross-multiplication, the per-mille floor,
     // and the median itself replay exactly in the oracle
     "text_lm_filter" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       // stage-boundary checkpoint (the corpus_prep discipline): the
       // median pass and the final projection both read `scored` —
-      // without it the whole model+score DAG replays twice
+      // without it the whole model+score DAG replays twice.
+      // The median itself is the decontam gate's discipline: Spark's
+      // EXACT percentile aggregate (partial-aggregatable counting over
+      // rare_pm's <= 1001 distinct values — never a one-task global
+      // window) == DuckDB quantile_cont
       val scored = LmFilter.rareBigramScore(docs(s, dir), refSource = "src0")
         .localCheckpoint()
-      val ranked = scored.withColumn("rn",
-        row_number().over(Window.orderBy(col("rare_pm"), col("doc_id"))))
-      val medPos = scored.agg(expr("(count(1) + 1) div 2").as("p"))
-      val med = ranked.crossJoin(broadcast(medPos))
-        .filter(col("rn") === col("p")).select(col("rare_pm").as("med_pm"))
+      val med = scored.agg(expr("percentile(rare_pm, 0.5)").as("med_pm"))
       scored.crossJoin(broadcast(med))
         .select(col("doc_id"), col("source"), col("n_bigrams"),
           col("n_rare"), col("rare_pm"),
@@ -1632,9 +1631,7 @@ object PipelineQueries {
         "WHERE source <> 'src0' GROUP BY doc_id, source), " +
         "s2 AS (SELECT doc_id, source, n_bigrams, n_rare, " +
         "CAST(floor(n_rare * 1000 / n_bigrams) AS BIGINT) AS rare_pm FROM scored), " +
-        "med AS (SELECT rare_pm AS med_pm FROM " +
-        "(SELECT rare_pm, row_number() OVER (ORDER BY rare_pm, doc_id) AS rn FROM s2) r, " +
-        "(SELECT (count(*) + 1) // 2 AS p FROM s2) c WHERE r.rn = c.p) " +
+        "med AS (SELECT quantile_cont(rare_pm, 0.5) AS med_pm FROM s2) " +
         "SELECT doc_id, source, n_bigrams, n_rare, rare_pm, rare_pm <= med_pm AS keep " +
         "FROM s2 CROSS JOIN med ORDER BY doc_id"),
 
