@@ -502,6 +502,69 @@ object Dedup {
       .withColumn("keep", col("dfb") <= maxDocs))
   }
 
+  /**
+   * Exact SUBSTRING dedup (Lee et al. 2022, "Deduplicating Training
+   * Data Makes Language Models Better", ExactSubstr): any `L`-token
+   * window that appears verbatim more than once ANYWHERE in the
+   * corpus — across documents or within one — is removed from every
+   * occurrence except the globally first (smallest `(doc_id, pos)`).
+   * Operates on the pre-tokenized table `(doc_id, tokens)` directly,
+   * per the engine's input contract. Unlike [[spanDedup]]'s
+   * NON-overlapping stride-`w` blocks (C4's policy), windows here
+   * slide by 1, so a repeated region is cut at token granularity:
+   * the cut set of a doc is the UNION of its non-canonical duplicated
+   * windows `[pos, pos+L)`, and `clean_csv` is the tokens outside it,
+   * in order. A doc duplicated wholesale cleans to empty; a doc that
+   * repeats its own prefix keeps exactly one copy.
+   *
+   * The paper's suffix array is a single-machine structure; the
+   * distributed re-expression is rolling-window keys: one row-local
+   * `posexplode` (same cardinality as `explode(tokens)` — the cost
+   * any exact-substring method pays), one partially-aggregated hash
+   * agg on a 64-bit-equivalent md5-prefix window key carrying
+   * `(key, count, first-occurrence)` — never token content — and a
+   * key-equality join back that touches only duplicated keys. A
+   * mega-repeated substring makes one hot `wkey` whose occurrence
+   * rows are single (doc,pos) pairs; AQE skew-join splits that
+   * partition, and the final span-union + clean projection is
+   * row-local (`filter` with index over merged flagged positions).
+   * Key collisions are the same N²/2⁶⁵ trade as [[spanDedup]]; the
+   * oracle groups on raw window token text, so a collision fails the
+   * gate rather than hiding.
+   *
+   * Output per input doc: `(doc_id, n_tok, n_dup_windows, n_cut,
+   * clean_csv)`; docs shorter than `L` pass through untouched.
+   */
+  def substringDedup(toks: DataFrame, L: Int): DataFrame = {
+    require(L >= 2, s"window length $L")
+    val base = toks.select(col("doc_id").cast("long").as("doc_id"),
+      col("tokens"), size(col("tokens")).as("n_tok"))
+    val wins = base.filter(col("n_tok") >= L)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(tokens) - $L), p -> " +
+          s"substring(md5(array_join(cast(slice(tokens, p + 1, $L) as array<string>), ',')), 1, 16))"))
+        .as(Seq("pos", "wkey")))
+    val dupKeys = wins.groupBy("wkey")
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .filter(col("n_occ") > 1)
+      .select("wkey", "first")
+    val cuts = wins.join(dupKeys, "wkey")
+      .filter(struct(col("doc_id"), col("pos")) =!= col("first"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_dup_windows"),
+        sort_array(collect_list(col("pos"))).as("ps"))
+    base.join(cuts, Seq("doc_id"), "left")
+      .withColumn("ps", coalesce(col("ps"), expr("cast(array() as array<int>)")))
+      .withColumn("clean", expr(
+        s"filter(tokens, (t, i) -> NOT exists(ps, p -> i >= p AND i < p + $L))"))
+      .select(col("doc_id"),
+        col("n_tok").cast("int").as("n_tok"),
+        coalesce(col("n_dup_windows"), lit(0)).as("n_dup_windows"),
+        (col("n_tok") - size(col("clean"))).cast("int").as("n_cut"),
+        array_join(col("clean").cast("array<string>"), ",").as("clean_csv"))
+  }
+
   /** Consecutive w-token blocks per doc, keyed by a 64-bit-equivalent
     * md5 prefix of the block text (see [[spanDedup]] doc for the
     * collision trade). */

@@ -24,6 +24,11 @@ object PipelineQueries {
   /** Ten corpus-vocabulary words = exactly two 5-token blocks — the
     * boilerplate paragraph dedup_spans plants on every 50th doc. */
   private val SpanPlant = "the quick scan row data merge hash join sort table"
+  /** 12-token prefix planted on every 25th doc for dedup_substrings —
+    * Spark array literal and the same list in DuckDB syntax. */
+  private val SubstrPlantIds = Seq(3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8)
+  private val SubstrPlant = SubstrPlantIds.mkString("array(", ", ", ")")
+  private val SubstrPlantDuck = SubstrPlantIds.mkString("[", ", ", "]")
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -247,6 +252,24 @@ object PipelineQueries {
           concat(lit(SpanPlant + " "), col("text")))
           .otherwise(col("text")).as("text"))
       Dedup.boilerplateDedup(planted, w = 5, maxDocs = 3).orderBy("doc_id")
+    }),
+
+    // Lee et al. exact-substring dedup over the TOKEN table (sliding
+    // 8-token windows, global first-wins, span-union cut). Plants make
+    // the cut falsifiable in both directions: every 25th doc gets a
+    // fixed 12-token PREFIX (cross-doc repeat — only the smallest
+    // planted doc_id keeps it) and every 37th doc APPENDS its own
+    // first 10 tokens (within-doc repeat — the appended copy is cut,
+    // the original survives)
+    "dedup_substrings" -> ((s, dir) => {
+      val t = TokenTable.load(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          when(col("doc_id").cast("long") % 25 === 0,
+            expr(s"concat($SubstrPlant, tokens)")).otherwise(col("tokens")).as("tokens"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 37 === 0,
+            expr("concat(tokens, slice(tokens, 1, 10))")).otherwise(col("tokens")).as("tokens"))
+      Dedup.substringDedup(t, L = 8).orderBy("doc_id")
     }),
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -1662,6 +1685,36 @@ object PipelineQueries {
         "CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS INT) AS n_removed, " +
         "COALESCE(string_agg(CASE WHEN keep THEN btext END, ' ' ORDER BY bidx), '') AS clean_text " +
         "FROM k GROUP BY doc_id ORDER BY doc_id"),
+
+    // exact-substring replay: windows grouped on RAW token text (an
+    // md5-prefix window-key collision engine-side would fail this
+    // gate); first occurrence by (doc_id, pos) survives, every other
+    // occurrence's [pos, pos+8) positions are cut, clean_csv is the
+    // surviving tokens in order
+    "dedup_substrings" ->
+      (s"WITH tt AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
+        s"list_transform($W, w -> CAST(list_position(${TokenTable.vocabDuckArray}, w) - 1 AS INT)) AS tk " +
+        "FROM documents), " +
+        s"p1 AS (SELECT doc_id, CASE WHEN doc_id % 25 = 0 THEN $SubstrPlantDuck || tk ELSE tk END AS tk FROM tt), " +
+        "p2 AS (SELECT doc_id, CASE WHEN doc_id % 37 = 0 THEN tk || tk[1:10] ELSE tk END AS toks FROM p1), " +
+        "w AS (SELECT doc_id, unnest(range(0, len(toks) - 7)) AS pos, toks FROM p2 WHERE len(toks) >= 8), " +
+        "k AS (SELECT doc_id, pos, array_to_string(toks[pos + 1 : pos + 8], ',') AS wtext FROM w), " +
+        "d AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY wtext ORDER BY doc_id, pos) AS rn, " +
+        "count(*) OVER (PARTITION BY wtext) AS n FROM k), " +
+        "cut AS (SELECT doc_id, pos FROM d WHERE n > 1 AND rn > 1), " +
+        "ag AS (SELECT doc_id, count(*) AS n_dup FROM cut GROUP BY doc_id), " +
+        "cutpos AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS i FROM cut), " +
+        "tk2 AS (SELECT doc_id, i, toks[i + 1] AS tok FROM " +
+        "(SELECT doc_id, unnest(range(0, len(toks))) AS i, toks FROM p2)), " +
+        "kept AS (SELECT tk2.doc_id, tk2.i, tk2.tok FROM tk2 LEFT JOIN cutpos c " +
+        "ON c.doc_id = tk2.doc_id AND c.i = tk2.i WHERE c.doc_id IS NULL), " +
+        "cl AS (SELECT doc_id, string_agg(CAST(tok AS VARCHAR), ',' ORDER BY i) AS clean_csv, " +
+        "count(*) AS n_keep FROM kept GROUP BY doc_id) " +
+        "SELECT p2.doc_id, CAST(len(p2.toks) AS INT) AS n_tok, " +
+        "CAST(COALESCE(ag.n_dup, 0) AS INT) AS n_dup_windows, " +
+        "CAST(len(p2.toks) - COALESCE(cl.n_keep, 0) AS INT) AS n_cut, " +
+        "COALESCE(cl.clean_csv, '') AS clean_csv " +
+        "FROM p2 LEFT JOIN ag USING (doc_id) LEFT JOIN cl USING (doc_id) ORDER BY doc_id"),
 
     // streaming scrub must equal the batch operator exactly: the
     // SAME oracle string by construction

@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Exact-substring dedup semantics (Lee et al. 2022 ExactSubstr): the
+ * globally-first occurrence of each duplicated L-token window
+ * survives, every other occurrence's [pos, pos+L) positions are cut,
+ * and the cut is the token-granular UNION of a doc's flagged windows.
+ */
+class SubstringDedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tokTable(rows: Seq[(Long, Seq[Int])]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "tokens")
+  }
+
+  private def csv(xs: Seq[Int]) = xs.mkString(",")
+
+  test("cross-doc, whole-doc, short-doc, and self-repeat semantics") {
+    val a = (1 to 20).toSeq                       // doc 1: canonical
+    val b = Seq(50, 51, 52) ++ a.slice(4, 14) ++ Seq(60, 61) // doc 2: 10-token run from A
+    val c = (21 to 40).toSeq                      // doc 3: canonical
+    val d = c                                     // doc 4: wholesale duplicate of C
+    val e = Seq(90, 91, 92, 93, 94)               // doc 5: shorter than L
+    val f = (70 to 81) ++ (70 to 81)              // doc 6: X ++ X self-repeat
+    val out = Dedup.substringDedup(
+      tokTable(Seq(1L -> a, 2L -> b, 3L -> c, 4L -> d, 5L -> e, 6L -> f.toSeq)), L = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+
+    // canonical docs untouched
+    assert(out(1L) == ((20, 0, 0, csv(a))))
+    assert(out(3L) == ((20, 0, 0, csv(c))))
+    // B: windows at pos 3,4,5 match A's pos 4,5,6; cut = [3,13)
+    assert(out(2L) == ((15, 3, 10, csv(Seq(50, 51, 52, 60, 61)))))
+    // D: every window duplicated and non-canonical -> fully cut
+    assert(out(4L) == ((20, 13, 20, "")))
+    // E: shorter than L -> untouched
+    assert(out(5L) == ((5, 0, 0, csv(e))))
+    // F = X ++ X: second copy cut exactly, clean == X
+    assert(out(6L) == ((24, 5, 12, csv((70 to 81).toSeq))))
+  }
+
+  test("a wholesale-duplicated corpus cleans every copy to empty; originals keep canonical text") {
+    val t = TokenTable.load(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id").cast("long").as("doc_id"), col("tokens"))
+    val dup = t.union(t.select((col("doc_id") + 10000).as("doc_id"), col("tokens")))
+    val out = Dedup.substringDedup(dup, L = 8)
+      .select("doc_id", "n_tok", "n_cut", "clean_csv").collect()
+    val copies = out.filter(_.getLong(0) >= 10000)
+    assert(copies.nonEmpty)
+    copies.foreach { r =>
+      if (r.getInt(1) >= 8)
+        assert(r.getInt(2) == r.getInt(1) && r.getString(3).isEmpty,
+          s"copy ${r.getLong(0)} not fully cut")
+      else assert(r.getInt(2) == 0)
+    }
+    // originals: at least the docs whose windows are corpus-unique keep text
+    assert(out.filter(r => r.getLong(0) < 10000 && r.getString(3).nonEmpty).nonEmpty)
+  }
+
+  test("distributed result equals single-partition result") {
+    val t = TokenTable.load(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id").cast("long").as("doc_id"), col("tokens"))
+    val wide = Dedup.substringDedup(t.repartition(13), L = 8)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val narrow = Dedup.substringDedup(t.coalesce(1), L = 8)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(wide.toSeq == narrow.toSeq)
+  }
+}
