@@ -549,15 +549,31 @@ object Dedup {
         min(struct(col("doc_id"), col("pos"))).as("first"))
       .filter(col("n_occ") > 1)
       .select("wkey", "first")
+    // merge each doc's sorted flagged positions into disjoint spans
+    // row-local (sorted, so windows chain whenever p_i <= p_{i-1} + L:
+    // a span start has no predecessor within L, a span end no
+    // successor) — the clean projection then tests n_spans intervals
+    // per token instead of n_flagged windows (duplicated regions are
+    // contiguous runs, so n_spans << n_flagged on real corpora; the
+    // answer is identical either way). `ps` is nonempty here by
+    // construction (groupBy output), so the index sequence is valid.
     val cuts = wins.join(dupKeys, "wkey")
       .filter(struct(col("doc_id"), col("pos")) =!= col("first"))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_dup_windows"),
         sort_array(collect_list(col("pos"))).as("ps"))
-    base.join(cuts, Seq("doc_id"), "left")
-      .withColumn("ps", coalesce(col("ps"), expr("cast(array() as array<int>)")))
+      .withColumn("spans", expr(
+        s"""arrays_zip(
+           |  filter(transform(sequence(0, size(ps) - 1), i ->
+           |    IF(i = 0 OR element_at(ps, i + 1) > element_at(ps, i) + $L,
+           |       element_at(ps, i + 1), -1)), s -> s >= 0),
+           |  filter(transform(sequence(0, size(ps) - 1), i ->
+           |    IF(i = size(ps) - 1 OR element_at(ps, i + 2) > element_at(ps, i + 1) + $L,
+           |       element_at(ps, i + 1) + $L, -1)), e -> e >= 0))""".stripMargin))
+    base.join(cuts.select("doc_id", "n_dup_windows", "spans"), Seq("doc_id"), "left")
       .withColumn("clean", expr(
-        s"filter(tokens, (t, i) -> NOT exists(ps, p -> i >= p AND i < p + $L))"))
+        s"filter(tokens, (t, i) -> spans IS NULL OR " +
+          "NOT exists(spans, sp -> i >= sp.`0` AND i < sp.`1`))"))
       .select(col("doc_id"),
         col("n_tok").cast("int").as("n_tok"),
         coalesce(col("n_dup_windows"), lit(0)).as("n_dup_windows"),

@@ -32,8 +32,10 @@ class SubstringDedupSpec extends AnyFunSuite {
     val d = c                                     // doc 4: wholesale duplicate of C
     val e = Seq(90, 91, 92, 93, 94)               // doc 5: shorter than L
     val f = (70 to 81) ++ (70 to 81)              // doc 6: X ++ X self-repeat
+    val g = (2 to 9) ++ (100 to 109) ++ (11 to 18) // doc 7: two DISJOINT runs from A
     val out = Dedup.substringDedup(
-      tokTable(Seq(1L -> a, 2L -> b, 3L -> c, 4L -> d, 5L -> e, 6L -> f.toSeq)), L = 8)
+      tokTable(Seq(1L -> a, 2L -> b, 3L -> c, 4L -> d, 5L -> e, 6L -> f.toSeq,
+        7L -> g.toSeq)), L = 8)
       .collect().map(r => r.getLong(0) ->
         ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
 
@@ -48,6 +50,9 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(out(5L) == ((5, 0, 0, csv(e))))
     // F = X ++ X: second copy cut exactly, clean == X
     assert(out(6L) == ((24, 5, 12, csv((70 to 81).toSeq))))
+    // G: two disjoint duplicated 8-token runs (gap > L) merge into TWO
+    // spans — both cut, the unique middle survives
+    assert(out(7L) == ((26, 2, 16, csv((100 to 109).toSeq))))
   }
 
   test("a wholesale-duplicated corpus cleans every copy to empty; originals keep canonical text") {
