@@ -539,14 +539,21 @@ object Dedup {
     require(L >= 2, s"window length $L")
     val base = toks.select(col("doc_id").cast("long").as("doc_id"),
       col("tokens"), size(col("tokens")).as("n_tok"))
+    // occurrence order (doc_id, pos) packed into ONE decimal so the
+    // first-occurrence vote is min(decimal) — hash-aggregable (a
+    // min(struct) plans as SortAggregate, which would SORT the
+    // O(corpus-tokens) window table by key; the packed form partial-
+    // aggregates map-side with no sort). pos is an Int < 2^31, so
+    // doc_id * 2^31 + pos is lexicographic-exact and tops out near
+    // 2^94 — well inside decimal(38, 0).
     val wins = base.filter(col("n_tok") >= L)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, size(tokens) - $L), p -> " +
           s"substring(md5(array_join(cast(slice(tokens, p + 1, $L) as array<string>), ',')), 1, 16))"))
         .as(Seq("pos", "wkey")))
+      .withColumn("pk", expr("cast(doc_id as decimal(38, 0)) * 2147483648 + pos"))
     val dupKeys = wins.groupBy("wkey")
-      .agg(count(lit(1)).as("n_occ"),
-        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .agg(count(lit(1)).as("n_occ"), min(col("pk")).as("first"))
       .filter(col("n_occ") > 1)
       .select("wkey", "first")
     // merge each doc's sorted flagged positions into disjoint spans
@@ -558,7 +565,7 @@ object Dedup {
     // answer is identical either way). `ps` is nonempty here by
     // construction (groupBy output), so the index sequence is valid.
     val cuts = wins.join(dupKeys, "wkey")
-      .filter(struct(col("doc_id"), col("pos")) =!= col("first"))
+      .filter(col("pk") =!= col("first"))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_dup_windows"),
         sort_array(collect_list(col("pos"))).as("ps"))
