@@ -537,8 +537,7 @@ object Dedup {
    */
   def substringDedup(toks: DataFrame, L: Int): DataFrame = {
     require(L >= 2, s"window length $L")
-    val base = toks.select(col("doc_id").cast("long").as("doc_id"),
-      col("tokens"), size(col("tokens")).as("n_tok"))
+    val base = substringBase(toks)
     // occurrence order (doc_id, pos) packed into ONE decimal so the
     // first-occurrence vote is min(decimal) — hash-aggregable (a
     // min(struct) plans as SortAggregate, which would SORT the
@@ -546,26 +545,48 @@ object Dedup {
     // aggregates map-side with no sort). pos is an Int < 2^31, so
     // doc_id * 2^31 + pos is lexicographic-exact and tops out near
     // 2^94 — well inside decimal(38, 0).
-    val wins = base.filter(col("n_tok") >= L)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(tokens) - $L), p -> " +
-          s"substring(md5(array_join(cast(slice(tokens, p + 1, $L) as array<string>), ',')), 1, 16))"))
-        .as(Seq("pos", "wkey")))
+    val wins = substringWindows(base, L)
       .withColumn("pk", expr("cast(doc_id as decimal(38, 0)) * 2147483648 + pos"))
     val dupKeys = wins.groupBy("wkey")
       .agg(count(lit(1)).as("n_occ"), min(col("pk")).as("first"))
       .filter(col("n_occ") > 1)
       .select("wkey", "first")
-    // merge each doc's sorted flagged positions into disjoint spans
-    // row-local (sorted, so windows chain whenever p_i <= p_{i-1} + L:
-    // a span start has no predecessor within L, a span end no
-    // successor) — the clean projection then tests n_spans intervals
-    // per token instead of n_flagged windows (duplicated regions are
-    // contiguous runs, so n_spans << n_flagged on real corpora; the
-    // answer is identical either way). `ps` is nonempty here by
-    // construction (groupBy output), so the index sequence is valid.
-    val cuts = wins.join(dupKeys, "wkey")
+    val flagged = wins.join(dupKeys, "wkey")
       .filter(col("pk") =!= col("first"))
+      .select("doc_id", "pos")
+    cutFlagged(base, flagged, L)
+  }
+
+  /** `(doc_id:long, tokens, n_tok)` normalization shared by the batch
+    * operator and the streaming corpus scrub. */
+  private[graft] def substringBase(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id").cast("long").as("doc_id"),
+      col("tokens"), size(col("tokens")).as("n_tok"))
+
+  /** Sliding L-token rolling-window keys `(doc_id, pos, wkey)` — one
+    * row-local posexplode per doc, 16-hex md5 prefix of the window's
+    * token csv (see [[substringDedup]] for the collision trade). */
+  private[graft] def substringWindows(base: DataFrame, L: Int): DataFrame =
+    base.filter(col("n_tok") >= L)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(tokens) - $L), p -> " +
+          s"substring(md5(array_join(cast(slice(tokens, p + 1, $L) as array<string>), ',')), 1, 16))"))
+        .as(Seq("pos", "wkey")))
+
+  /**
+   * The cut core shared by [[substringDedup]] and the streaming
+   * corpus scrub (keep rules can't drift): merge each doc's flagged
+   * window positions into disjoint spans row-local (sorted, so
+   * windows chain whenever p_i <= p_{i-1} + L: a span start has no
+   * predecessor within L, a span end no successor) — the clean
+   * projection then tests n_spans intervals per token instead of
+   * n_flagged windows (duplicated regions are contiguous runs, so
+   * n_spans << n_flagged on real corpora; the answer is identical
+   * either way). `ps` is nonempty inside the aggregation by
+   * construction (groupBy output), so the index sequence is valid.
+   */
+  private[graft] def cutFlagged(base: DataFrame, flagged: DataFrame, L: Int): DataFrame = {
+    val cuts = flagged
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_dup_windows"),
         sort_array(collect_list(col("pos"))).as("ps"))

@@ -532,6 +532,29 @@ object PipelineQueries {
         minJ = 0.5).orderBy("doc_id")
     }),
 
+    // always-on exact-substring scrub: fresh pre-tokenized docs
+    // (reversed corpus tokens under shifted ids — mostly corpus-clean)
+    // stream in; every 4th doc carries a planted 10-token corpus
+    // prefix whose windows must be cut, so the scrub is falsifiable in
+    // both directions. Same cut core as dedup_substrings.
+    "stream_substring_scrub" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graftsss")
+      val in = tmp.resolve("in").toString
+      val corpus = TokenTable.load(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("tokens"))
+      val fresh = corpus
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          when(col("doc_id") % 4 === 0,
+            expr("concat(slice(tokens, 1, 10), reverse(tokens))"))
+            .otherwise(reverse(col("tokens"))).as("tokens"))
+      fresh.repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(in)
+      graft.streaming.StreamSubstringScrub.scrubStream(
+        s, in, corpus,
+        tmp.resolve("cp").toString, tmp.resolve("out").toString,
+        L = 8).orderBy("doc_id")
+    }),
+
     // ---- KMV set-operation sketches -------------------------------------
 
     // bottom-k distinct sketch per source over word trigrams: the kth
@@ -1715,6 +1738,34 @@ object PipelineQueries {
         "CAST(len(p2.toks) - COALESCE(cl.n_keep, 0) AS INT) AS n_cut, " +
         "COALESCE(cl.clean_csv, '') AS clean_csv " +
         "FROM p2 LEFT JOIN ag USING (doc_id) LEFT JOIN cl USING (doc_id) ORDER BY doc_id"),
+
+    // streaming corpus scrub replay: fresh-doc windows that appear in
+    // the corpus window set are cut (the corpus copy is the earlier
+    // occurrence by definition), clean_csv rebuilt position-by-position
+    "stream_substring_scrub" ->
+      (s"WITH tt AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
+        s"list_transform($W, w -> CAST(list_position(${TokenTable.vocabDuckArray}, w) - 1 AS INT)) AS tk " +
+        "FROM documents), " +
+        "fresh AS (SELECT doc_id + 100000 AS doc_id, " +
+        "CASE WHEN doc_id % 4 = 0 THEN tk[1:10] || list_reverse(tk) ELSE list_reverse(tk) END AS toks FROM tt), " +
+        "ck AS (SELECT DISTINCT array_to_string(tk[pos + 1 : pos + 8], ',') AS wtext FROM " +
+        "(SELECT tk, unnest(range(0, len(tk) - 7)) AS pos FROM tt WHERE len(tk) >= 8)), " +
+        "w AS (SELECT doc_id, unnest(range(0, len(toks) - 7)) AS pos, toks FROM fresh WHERE len(toks) >= 8), " +
+        "k AS (SELECT doc_id, pos, array_to_string(toks[pos + 1 : pos + 8], ',') AS wtext FROM w), " +
+        "cut AS (SELECT k.doc_id, k.pos FROM k JOIN ck USING (wtext)), " +
+        "ag AS (SELECT doc_id, count(*) AS n_dup FROM cut GROUP BY doc_id), " +
+        "cutpos AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS i FROM cut), " +
+        "tk2 AS (SELECT doc_id, i, toks[i + 1] AS tok FROM " +
+        "(SELECT doc_id, unnest(range(0, len(toks))) AS i, toks FROM fresh)), " +
+        "kept AS (SELECT tk2.doc_id, tk2.i, tk2.tok FROM tk2 LEFT JOIN cutpos c " +
+        "ON c.doc_id = tk2.doc_id AND c.i = tk2.i WHERE c.doc_id IS NULL), " +
+        "cl AS (SELECT doc_id, string_agg(CAST(tok AS VARCHAR), ',' ORDER BY i) AS clean_csv, " +
+        "count(*) AS n_keep FROM kept GROUP BY doc_id) " +
+        "SELECT fresh.doc_id, CAST(len(fresh.toks) AS INT) AS n_tok, " +
+        "CAST(COALESCE(ag.n_dup, 0) AS INT) AS n_dup_windows, " +
+        "CAST(len(fresh.toks) - COALESCE(cl.n_keep, 0) AS INT) AS n_cut, " +
+        "COALESCE(cl.clean_csv, '') AS clean_csv " +
+        "FROM fresh LEFT JOIN ag USING (doc_id) LEFT JOIN cl USING (doc_id) ORDER BY doc_id"),
 
     // streaming scrub must equal the batch operator exactly: the
     // SAME oracle string by construction
