@@ -73,6 +73,40 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(out.filter(r => r.getLong(0) < 10000 && r.getString(3).nonEmpty).nonEmpty)
   }
 
+  test("property: distributed operator equals a sequential reference on random corpora") {
+    // sequential reference: window map -> canonical occurrence ->
+    // cut-position union -> clean, computed with plain Scala collections
+    def reference(docs: Seq[(Long, Seq[Int])], L: Int): Map[Long, (Int, Int, Int, String)] = {
+      val occ = scala.collection.mutable.Map.empty[Seq[Int], List[(Long, Int)]]
+      for ((id, tk) <- docs; p <- 0 to tk.length - L)
+        occ(tk.slice(p, p + L)) = (id, p) :: occ.getOrElse(tk.slice(p, p + L), Nil)
+      val flagged = occ.values.filter(_.size > 1).flatMap { os =>
+        val canon = os.minBy(identity)
+        os.filterNot(_ == canon)
+      }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      docs.map { case (id, tk) =>
+        val ps = flagged.getOrElse(id, Nil)
+        val cutIdx = ps.flatMap(p => p until p + L).toSet
+        val clean = tk.zipWithIndex.collect { case (t, i) if !cutIdx(i) => t }
+        id -> ((tk.length, ps.size, tk.length - clean.length, clean.mkString(",")))
+      }.toMap
+    }
+    val rnd = new scala.util.Random(20260819L)
+    for (trial <- 1 to 12) {
+      // small vocab + mixed doc lengths force real cross/within-doc
+      // collisions; L = 3 keeps windows likely to repeat
+      val nDocs = 5 + rnd.nextInt(10)
+      val docs = (1L to nDocs.toLong).map { id =>
+        val n = rnd.nextInt(30)
+        id -> Seq.fill(n)(rnd.nextInt(4))
+      }
+      val got = Dedup.substringDedup(tokTable(docs), L = 3)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+      assert(got == reference(docs, 3), s"trial $trial, docs $docs")
+    }
+  }
+
   test("distributed result equals single-partition result") {
     val t = TokenTable.load(spark, "/root/testdata/sf0.001")
       .select(col("doc_id").cast("long").as("doc_id"), col("tokens"))
