@@ -74,18 +74,33 @@ object Bench {
     .getOrCreate()
 
   /** Materialize the amplified token table (source, token) to parquet.
-    * Returns (path, rowCount). */
-  private def materialize(spark: SparkSession, sfDir: String, scaleTokens: Long): (String, Long) = {
+    * Returns (path, rowCount).
+    *
+    * Write parallelism is decoupled from the replica count: at large
+    * sf the token budget is reached with only a handful of replicas
+    * (sf10: reps=6), and the original `range(0, reps, 1, 128)` driver
+    * collapsed to `reps` non-empty partitions — 6 giant ~370 MB files
+    * whose ~18 row groups starved the 8-core scaling leg (measured
+    * eff 0.748 vs 0.87 with a chunky layout). The (replica x slice)
+    * grid below keeps ~128 balanced output files at every sf: docs
+    * are deterministically sliced by hash, the range drives the full
+    * grid, and each (rep, doc) pair still appears exactly once, so
+    * row count and token content are unchanged. */
+  private[graft] def materialize(spark: SparkSession, sfDir: String, scaleTokens: Long): (String, Long) = {
     val perRep = graft.pipeline.TokenTable.load(spark, sfDir)
       .agg(sum(col("n_tok")).cast("long")).head().getLong(0)
     val reps = math.max(1L, scaleTokens / perRep)
+    val slices = math.max(1L, (128L + reps - 1L) / reps)
     val docs = graft.pipeline.TokenTable.load(spark, sfDir)
-      .select(col("source"), col("tokens"))
+      .select(col("source"), col("tokens"),
+        pmod(hash(col("source"), col("tokens")), lit(slices)).cast("long").as("slice"))
     val path = java.nio.file.Files.createTempDirectory("graftbench").resolve("tokens").toString
-    spark.range(0, reps, 1, 128)
-      .crossJoin(broadcast(docs))
-      .select(col("source"), col("id"), explode(col("tokens")).as("tok"))
-      .select(col("source"), concat(col("tok"), lit("_"), col("id") % 256).as("token"))
+    spark.range(0, reps * slices, 1, 128)
+      .select(floor(col("id") / lit(slices)).cast("long").as("rep"),
+        pmod(col("id"), lit(slices)).as("slice"))
+      .join(broadcast(docs), "slice")
+      .select(col("source"), col("rep"), explode(col("tokens")).as("tok"))
+      .select(col("source"), concat(col("tok"), lit("_"), col("rep") % 256).as("token"))
       .write.mode("overwrite")
       .option("compression", "none")
       .option("parquet.enable.dictionary", "false")
@@ -306,7 +321,13 @@ object Bench {
       capped(docs1)
       val tCap1 = (1 to 2).map(_ => timed(capped(docs1))).min
       val tCap4 = (1 to 2).map(_ => timed(capped(docs4))).min
-      val volEff = (n4 / tCur4) / (4.0 * n1 / tCur1)
+      // volume-scaling efficiency on FIXED cores: throughput at 4x the
+      // data over throughput at 1x. Ideal linear operator = 1.0 (t4 =
+      // 4*t1); >1 means per-row constants amortize with volume. (An
+      // earlier revision divided by an extra 4, so ideal-linear read
+      // as 0.25 — artifacts before BENCH_sf10_r05_local2 carry that
+      // normalization.)
+      val volEff = (n4 / tCur4) / (n1.toDouble / tCur1)
       System.err.println(f"[bench] curation 1x: $tCur1%.2f s ($n1 docs), " +
         f"4x: $tCur4%.2f s ($n4 docs), volume-scaling eff $volEff%.3f; " +
         f"lsh-mode 1x $tLsh1%.2f s / 4x $tLsh4%.2f s; " +
@@ -333,7 +354,9 @@ object Bench {
       run(emb1) // warm
       val t1 = (1 to 2).map(_ => timed(run(emb1))).min
       val t4 = (1 to 2).map(_ => timed(run(emb4))).min
-      val volEff = (n4 / t4) / (4.0 * n1 / t1)
+      // same fixed-core volume normalization as the curation leg:
+      // ideal linear scan = 1.0
+      val volEff = (n4 / t4) / (n1.toDouble / t1)
       System.err.println(f"[bench] quantized-ann 1x: $t1%.2f s ($n1 vecs), " +
         f"4x: $t4%.2f s ($n4 vecs), volume-scaling eff $volEff%.3f")
       f"""{"vecs_1x":$n1,"ann_q_sec_1x":$t1%.3f,"vecs_4x":$n4,""" +
