@@ -54,6 +54,29 @@ object PipelineQueries {
     "text_fingerprints" -> ((s, dir) =>
       TextOps.fingerprints(docs(s, dir)).orderBy("doc_id")),
 
+    // ---- source format: gzip JSONL round trip ---------------------------
+    // corpora in the wild ship as (compressed) JSONL, not parquet: the
+    // gate writes the documents table as gzip JSONL the way a crawl
+    // pipeline would, reads it back through the JSON source with an
+    // EXPLICIT schema (inference is a second full pass over 100 TB —
+    // never pay it; .gz files are whole-file tasks, so the write keeps
+    // the table's partition count as the file count), and emits
+    // per-doc fidelity columns computed FROM the round-tripped rows.
+    // The oracle computes the same columns from the parquet table, so
+    // any loss in the JSON path — escaping, unicode, long/int
+    // coercion, dropped rows — fails the row/hash compare.
+    "source_jsonl" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graftjsonl")
+        .resolve("docs").toString
+      d.write.mode("overwrite").option("compression", "gzip").json(path)
+      s.read.schema(d.schema).json(path)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+          length(col("text")).as("text_len"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     // PII redaction over docs with deterministically PLANTED pii (the
     // synthetic corpus contains none — the plant makes the redaction
     // falsifiable); the oracle replays plant + scrub + counts exactly.
@@ -1485,6 +1508,12 @@ object PipelineQueries {
         ") AS t(step, command, response) ORDER BY step")
 
   def oracleSql: Map[String, String] = Map(
+    "source_jsonl" ->
+      ("SELECT CAST(doc_id AS BIGINT) AS doc_id, source, lang, " +
+        "CAST(n_chars AS BIGINT) AS n_chars, " +
+        "CAST(length(text) AS BIGINT) AS text_len, md5(text) AS text_md5 " +
+        "FROM documents ORDER BY doc_id"),
+
     "text_lang_id" ->
       ("SELECT doc_id, lang_label, score_de, score_en, score_es, score_fr, score_zh, " +
         "CASE WHEN m = 0 THEN 'und' WHEN score_de = m THEN 'de' WHEN score_en = m THEN 'en' " +
