@@ -256,6 +256,31 @@ object DataShaping {
   }
 
   /**
+   * α-temperature mixture weights — the standard source-weighting knob
+   * of corpus mixing (The Pile / GPT-3 / LLaMA sample sources with
+   * probability ∝ n_s^α: α=1 is proportional-to-size, α→0 uniform,
+   * intermediate α up-weights small sources). Exposed at the one
+   * exponent that is EXACT in integer arithmetic — α = 1/2 via
+   * floor-sqrt of each source's token total — so the rates
+   * [[mixtureSample]] derives from these weights stay
+   * engine-reproducible and the DuckDB oracle replays the whole chain:
+   * `floor(sqrt(n))` over BIGINT agrees bit-for-bit between JVM and
+   * DuckDB for every `n < 2^52` (the IEEE sqrt is correctly rounded,
+   * and below 2^52 the rounding error 1/(2·sqrt(n)) can never cross an
+   * integer boundary — at a true 10^12-token source, totals approach
+   * that bound and the caller should aggregate in larger units or
+   * compute the integer sqrt exactly). One tiny per-source aggregate:
+   * S rows to the driver, the same bounded round-trip
+   * [[mixtureSample]] itself already makes for the totals.
+   */
+  def temperatureWeightsSqrt(tokenTable: DataFrame): Map[String, Long] =
+    tokenTable.groupBy("source")
+      .agg(sum(col("n_tok").cast("long")).as("actual"))
+      .collect()
+      .map(r => r.getString(0) -> math.sqrt(r.getLong(1).toDouble).toLong)
+      .toMap
+
+  /**
    * Deterministic per-epoch global shuffle — the data-order step of a
    * training run: epoch `e` reads the corpus in the order of
    * `md5(e || ':' || doc_id)`, so every epoch is a different

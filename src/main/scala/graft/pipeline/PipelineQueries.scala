@@ -432,6 +432,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // α-temperature mixing at the exact-integer exponent: weights =
+    // floor(sqrt(per-source token total)) (α = 1/2 — the Pile/LLaMA
+    // flatten-big-sources knob), budget = half the corpus; the oracle
+    // re-derives the weights, the rates AND every kept coin
+    "pipeline_mixture_temp" -> ((s, dir) => {
+      val tt = TokenTable.load(s, dir)
+      DataShaping.mixtureSample(tt,
+        DataShaping.temperatureWeightsSqrt(tt), budgetNum = 1, budgetDen = 2)
+        .orderBy("doc_id")
+    }),
+
     // deterministic per-epoch global shuffle: epochs 1 and 2 rank the
     // corpus by md5(epoch:doc_id) — two different reproducible
     // permutations from the two-phase bucket-prefix ranking (no global
@@ -1632,6 +1643,20 @@ object PipelineQueries {
         "(SELECT CAST(sum(wt) AS BIGINT) FROM wts) AS wsum FROM act), " +
         "r AS (SELECT act.source, CAST(least(4096, " +
         "(CAST(t AS HUGEINT) * 3 * wt * 4096) // (CAST(5 AS HUGEINT) * wsum * actual)) AS INT) AS rate4096 " +
+        "FROM act JOIN wts USING (source) CROSS JOIN g) " +
+        "SELECT source, doc_id, n_tok, rate4096, coin FROM " +
+        "(SELECT *, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 3)) AS INT) AS coin FROM tt) " +
+        "JOIN r USING (source) WHERE coin < rate4096 ORDER BY doc_id"),
+
+    "pipeline_mixture_temp" ->
+      ("WITH tt AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source, " +
+        s"CAST(len($W) AS INT) AS n_tok FROM documents), " +
+        "act AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS actual FROM tt GROUP BY 1), " +
+        "wts AS (SELECT source, CAST(floor(sqrt(actual)) AS BIGINT) AS wt FROM act), " +
+        "g AS (SELECT CAST(sum(actual) AS BIGINT) AS t, " +
+        "(SELECT CAST(sum(wt) AS BIGINT) FROM wts) AS wsum FROM act), " +
+        "r AS (SELECT act.source, CAST(least(4096, " +
+        "(CAST(t AS HUGEINT) * 1 * wt * 4096) // (CAST(2 AS HUGEINT) * wsum * actual)) AS INT) AS rate4096 " +
         "FROM act JOIN wts USING (source) CROSS JOIN g) " +
         "SELECT source, doc_id, n_tok, rate4096, coin FROM " +
         "(SELECT *, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 3)) AS INT) AS coin FROM tt) " +

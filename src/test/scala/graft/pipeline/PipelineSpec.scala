@@ -542,6 +542,30 @@ class PipelineSpec extends AnyFunSuite {
       (4L, 2, 1, "q q q")), s"got ${out.toSeq}")
   }
 
+  test("temperature weights: floor-sqrt of per-source totals, flattens big sources") {
+    import spark.implicits._
+    // totals: big = 100 docs x 10 tok = 1000 -> w 31; small = 5 docs
+    // x 10 = 50 -> w 7 (floor sqrt, NOT round: sqrt(50) = 7.07)
+    val tt = ((0L until 100L).map(i => (i.toString, "big", 10)) ++
+      (100L until 105L).map(i => (i.toString, "small", 10)))
+      .toDF("doc_id", "source", "n_tok")
+    val w = DataShaping.temperatureWeightsSqrt(tt)
+    assert(w == Map("big" -> 31L, "small" -> 7L), s"got $w")
+    // α = 1/2 flattens: proportional weights would be 20:1, sqrt
+    // weights are 31:7 ≈ 4.4:1 — the small source's kept-token SHARE
+    // rises versus proportional mixing
+    val kept = DataShaping.mixtureSample(tt, w, budgetNum = 1, budgetDen = 2)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = DataShaping.mixtureSample(tt, w, budgetNum = 1, budgetDen = 2)
+      .select("source", "rate4096").distinct().collect()
+      .map(r => (r.getString(0), r.getInt(1))).toMap
+    // rate = T*w*4096 / (2*wsum*actual): big = 1050*31*4096/(2*38*1000)
+    // = 1754; small = 1050*7*4096/(2*38*50) = 7923 -> capped 4096
+    assert(rates == Map("big" -> 1754, "small" -> 4096), s"got $rates")
+    assert(kept.getOrElse("small", 0L) == 5L, s"small keeps all: $kept")
+  }
+
   test("mixture sampling: rate cap and thinning branches, equal weights don't collapse, determinism") {
     import spark.implicits._
     // two sources, 100 docs each, 10 tokens per doc => actual = 1000
