@@ -227,15 +227,27 @@ object DataShaping {
    */
   def mixtureSample(tokenTable: DataFrame, weights: Map[String, Long],
                     budgetNum: Long, budgetDen: Long,
-                    defaultW: Long = 1L): DataFrame = {
-    require(budgetNum >= 0 && budgetDen > 0 && defaultW >= 0 &&
-      weights.values.forall(_ >= 0))
+                    defaultW: Long = 1L): DataFrame =
+    mixtureSampleWith(tokenTable, _ => weights, budgetNum, budgetDen, defaultW)
+
+  /** [[mixtureSample]] with the weights derived FROM the per-source
+    * token totals it already collects — one corpus aggregation, not
+    * two, when the weighting is a function of size (temperature
+    * mixing). `deriveWeights` runs on the driver over the S-row
+    * totals map. */
+  def mixtureSampleWith(tokenTable: DataFrame,
+                        deriveWeights: Map[String, Long] => Map[String, Long],
+                        budgetNum: Long, budgetDen: Long,
+                        defaultW: Long = 1L): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0 && defaultW >= 0)
     val spark = tokenTable.sparkSession
     val base = tokenTable.select(
       col("source"), col("doc_id").cast("long").as("doc_id"),
       col("n_tok").cast("int").as("n_tok"))
     val totals = base.groupBy("source").agg(sum("n_tok").as("actual")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val weights = deriveWeights(totals)
+    require(weights.values.forall(_ >= 0))
     val t = totals.values.sum
     // keysIterator, not keys.map: a Set.map would DEDUPLICATE equal
     // weights before summing
@@ -274,11 +286,19 @@ object DataShaping {
    * [[mixtureSample]] itself already makes for the totals.
    */
   def temperatureWeightsSqrt(tokenTable: DataFrame): Map[String, Long] =
-    tokenTable.groupBy("source")
-      .agg(sum(col("n_tok").cast("long")).as("actual"))
-      .collect()
-      .map(r => r.getString(0) -> math.sqrt(r.getLong(1).toDouble).toLong)
-      .toMap
+    temperatureWeightsSqrt(
+      tokenTable.groupBy("source")
+        .agg(sum(col("n_tok").cast("long")).as("actual"))
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .toMap)
+
+  /** The same floor-sqrt weighting as a pure function of per-source
+    * totals — pass to [[mixtureSampleWith]] so the corpus is
+    * aggregated ONCE (the table-taking overload exists for callers
+    * who need the weights standalone). */
+  def temperatureWeightsSqrt(totals: Map[String, Long]): Map[String, Long] =
+    totals.map { case (s, n) => s -> math.sqrt(n.toDouble).toLong }
 
   /**
    * Deterministic per-epoch global shuffle — the data-order step of a

@@ -67,8 +67,18 @@ object PipelineQueries {
     // coercion, dropped rows — fails the row/hash compare.
     "source_jsonl" -> ((s, dir) => {
       val d = docs(s, dir)
-      val path = java.nio.file.Files.createTempDirectory("graftjsonl")
-        .resolve("docs").toString
+      val tmp = java.nio.file.Files.createTempDirectory("graftjsonl")
+      // the round-tripped frame reads this dir lazily, so it cannot be
+      // deleted here; a shutdown hook bounds the leak (the gzip copy
+      // is a full documents-table replica — heavier scratch than the
+      // streaming gates' checkpoints)
+      sys.addShutdownHook {
+        val walk = java.nio.file.Files.walk(tmp)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+      val path = tmp.resolve("docs").toString
       d.write.mode("overwrite").option("compression", "gzip").json(path)
       s.read.schema(d.schema).json(path)
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
@@ -435,13 +445,14 @@ object PipelineQueries {
     // α-temperature mixing at the exact-integer exponent: weights =
     // floor(sqrt(per-source token total)) (α = 1/2 — the Pile/LLaMA
     // flatten-big-sources knob), budget = half the corpus; the oracle
-    // re-derives the weights, the rates AND every kept coin
-    "pipeline_mixture_temp" -> ((s, dir) => {
-      val tt = TokenTable.load(s, dir)
-      DataShaping.mixtureSample(tt,
-        DataShaping.temperatureWeightsSqrt(tt), budgetNum = 1, budgetDen = 2)
-        .orderBy("doc_id")
-    }),
+    // re-derives the weights, the rates AND every kept coin. Weights
+    // derive from the SAME totals aggregation the sampler collects —
+    // one corpus scan, not two
+    "pipeline_mixture_temp" -> ((s, dir) =>
+      DataShaping.mixtureSampleWith(TokenTable.load(s, dir),
+        DataShaping.temperatureWeightsSqrt(_: Map[String, Long]),
+        budgetNum = 1, budgetDen = 2)
+        .orderBy("doc_id")),
 
     // deterministic per-epoch global shuffle: epochs 1 and 2 rank the
     // corpus by md5(epoch:doc_id) — two different reproducible

@@ -561,7 +561,7 @@ class PipelineSpec extends AnyFunSuite {
       .select("source", "rate4096").distinct().collect()
       .map(r => (r.getString(0), r.getInt(1))).toMap
     // rate = T*w*4096 / (2*wsum*actual): big = 1050*31*4096/(2*38*1000)
-    // = 1754; small = 1050*7*4096/(2*38*50) = 7923 -> capped 4096
+    // = 1754; small = 1050*7*4096/(2*38*50) = 7922 -> capped 4096
     assert(rates == Map("big" -> 1754, "small" -> 4096), s"got $rates")
     assert(kept.getOrElse("small", 0L) == 5L, s"small keeps all: $kept")
   }
