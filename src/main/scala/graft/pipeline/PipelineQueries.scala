@@ -670,6 +670,118 @@ object PipelineQueries {
         "j_milli_est", "j_milli_exact", "est_ok").orderBy("src_a", "src_b")
     }),
 
+    // KMV set DIFFERENCE (theta-sketch A-not-B): "how many distinct
+    // grams does the fresh crawl add to the released corpus?" — the
+    // incremental-ingest sizing question. The union sample's hashes
+    // are membership-tested against each side's sketch (exact over
+    // the sample, Kmv.onlyInFirst scaladoc), so the novelty fraction
+    // and the absolute estimate are exact-integer pipelines the SQL
+    // oracle replays byte-for-byte; the 250-milli bound is ~4 sigma
+    // at k=64 over any true fraction.
+    "kmv_difference" -> ((s, dir) => {
+      import graft.sketch.Kmv
+      val k = 64
+      val grams = docs(s, dir).select(col("doc_id"),
+        explode(TextFunctions.shingles(TextFunctions.words(col("text")), 3)).as("gram"))
+      val corpusG = grams.filter(col("doc_id") % 3 =!= 0).select("gram").distinct()
+      val crawlG = grams.filter(col("doc_id") % 3 === 0).select("gram").distinct()
+      def sketchOf(g: DataFrame): Kmv = Kmv.deserialize(
+        g.agg(kmv_agg(col("gram"), k).as("sk")).collect()(0).getAs[Array[Byte]]("sk"))
+      val (skCorpus, skCrawl) = (sketchOf(corpusG), sketchOf(crawlG))
+      val nCorpus = corpusG.count()
+      val nCrawl = crawlG.count()
+      val nNew = crawlG.except(corpusG).count()
+      val nUnion = nCorpus + nCrawl - (nCrawl - nNew)
+      val u = Kmv.union(skCorpus, skCrawl)
+      val nNewSample = Kmv.onlyInFirst(skCrawl, skCorpus).toLong
+      val denom = math.min(k.toLong, u.size.toLong)
+      val uEst = u.estimate
+      val dMilliEst = 1000L * nNewSample / denom
+      val dMilliExact = 1000L * nNew / nUnion
+      val dAbsEst = nNewSample * uEst / denom
+      import s.implicits._
+      Seq((nCorpus, nCrawl, nUnion, nNew, nNewSample, dMilliEst, dMilliExact,
+        dAbsEst, math.abs(dMilliEst - dMilliExact) <= 250L,
+        math.abs(dAbsEst - nNew) * 4 <= nUnion + 64L))
+        .toDF("n_corpus", "n_crawl", "n_union", "n_new", "n_new_sample",
+          "d_milli_est", "d_milli_exact", "d_abs_est", "est_ok", "est_abs_ok")
+    }),
+
+    // Bloom fill-ratio cardinality (Swamidass & Baldi 2007) on MERGED
+    // filters: distributed/cross-source OR-merge preserves the bit
+    // array exactly but the header `count` sums partial counts —
+    // shared keys double-count, so the merged counter is NOT the
+    // union cardinality. The estimate -(m/k)*ln(1 - X/m) reads it
+    // back from the bits alone, order- and partition-independent.
+    // Capacity scales with the corpus (40 grams/doc expectation) so
+    // the union filter sits at a meaningful fill at every sf; the
+    // 5%+50 bound is >>4 sigma for this estimator below saturation.
+    "bloom_union_estimate" -> ((s, dir) => {
+      import graft.sketch.BloomFilter
+      val d = docs(s, dir)
+      val cap = 40L * d.count()
+      // one distinct-gram materialization feeds both distributed aggs
+      val grams = d.select(col("source"),
+        explode(TextFunctions.shingles(TextFunctions.words(col("text")), 3)).as("gram"))
+        .distinct().persist()
+      // plain count beside the sketch agg is ONE pass (only a
+      // DISTINCT aggregate would force the per-(source, gram) plan)
+      val perSrc = grams.groupBy("source").agg(
+        bloom_agg(col("gram"), cap, 0.01).as("sk"), count(lit(1)).as("n_exact"))
+        .collect()
+        .map(r => (r.getString(0),
+          BloomFilter.deserialize(r.getAs[Array[Byte]]("sk")), r.getAs[Long]("n_exact")))
+        .sortBy(_._1)
+      val directRow = grams.select("gram").distinct()
+        .agg(bloom_agg(col("gram"), cap, 0.01).as("d"), count(lit(1)).as("n_exact"))
+        .collect()(0)
+      grams.unpersist()
+      val direct = BloomFilter.deserialize(directRow.getAs[Array[Byte]]("d"))
+      val nUnionExact = directRow.getAs[Long]("n_exact")
+      def estOk(est: Long, n: Long): Boolean = math.abs(est - n) * 20 <= n + 1000L
+      // cross-source OR-merge: bits are exact, the header counter sums
+      val merged = perSrc.map(_._2.copyFilter()).reduce(_.orInPlace(_))
+      val rows =
+        perSrc.map { case (src, sk, n) =>
+          (src, n, estOk(sk.estimateItems, n), true)
+        }.toSeq :+
+        (("*union*", nUnionExact, estOk(merged.estimateItems, nUnionExact),
+          merged.estimateItems == direct.estimateItems))
+      import s.implicits._
+      rows.toDF("scope", "n_exact", "est_ok", "merge_ok").orderBy("scope")
+    }),
+
+    // uniform per-source k-sample WITHOUT a shuffle-the-world sort:
+    // bottom-k by the engine's md5 coin as a mergeable TopK aggregate
+    // (partials carry k rows per partition; two-level rollup must
+    // equal the direct sketch — exactness under re-aggregation as the
+    // oracle-checked rollup_ok). The k smallest hash values of
+    // distinct keys ARE a uniform sample without replacement, and the
+    // coin is replayed by the oracle, so the sample is row-exact
+    // across engines — the "eyeball a random slice per source" step
+    // of a corpus release, at any scale.
+    "sample_uniform" -> ((s, dir) => {
+      val k = 4
+      val d = docs(s, dir).select(col("source"), col("lang"),
+        col("doc_id").cast("string").as("doc_id"))
+        .withColumn("coin",
+          expr("cast(conv(substring(md5(doc_id), 1, 12), 16, 10) as bigint)"))
+        .withColumn("neg", -col("coin"))
+      val direct = d.groupBy("source")
+        .agg(topk_agg(col("neg"), col("doc_id"), k).as("sk"))
+      val rolled = d.groupBy("source", "lang")
+        .agg(topk_agg(col("neg"), col("doc_id"), k).as("psk"))
+        .groupBy("source").agg(topk_merge_agg(col("psk")).as("sk2"))
+      direct.join(rolled, "source")
+        .select(col("source"),
+          posexplode(topk_items(col("sk"))).as(Seq("pos", "row")),
+          (topk_items(col("sk")) === topk_items(col("sk2"))).as("rollup_ok"))
+        .select(col("source"), (col("pos") + 1).as("rank"),
+          col("row.item").as("doc_id"), (-col("row.score")).as("coin"),
+          col("rollup_ok"))
+        .orderBy("source", "rank")
+    }),
+
     // exact top-k per group as a MERGEABLE aggregate: partials carry
     // k rows per partition (never the group), and the two-level
     // rollup (per-(source,lang) partials topk_merge_agg'd per source)
@@ -2447,6 +2559,56 @@ object PipelineQueries {
         "CAST(1000 * n_inter // n_union AS BIGINT) AS j_milli_exact, " +
         "abs(1000 * n_shared // denom - 1000 * n_inter // n_union) <= 250 AS est_ok " +
         "FROM base ORDER BY src_a, src_b"),
+
+    "kmv_difference" ->
+      (s"WITH t AS (SELECT doc_id, $W AS ws FROM documents), " +
+        s"g AS (SELECT DISTINCT doc_id, unnest($Sh) AS gram FROM t), " +
+        "corpus AS (SELECT DISTINCT gram FROM g WHERE doc_id % 3 != 0), " +
+        "crawl AS (SELECT DISTINCT gram FROM g WHERE doc_id % 3 = 0), " +
+        // each side's bottom-64 sketch: rank md5 hashes ascending
+        "hc AS (SELECT md5(gram) AS h, row_number() OVER (ORDER BY md5(gram)) AS rn FROM corpus), " +
+        "hw AS (SELECT md5(gram) AS h, row_number() OVER (ORDER BY md5(gram)) AS rn FROM crawl), " +
+        "skc AS (SELECT h FROM hc WHERE rn <= 64), " +
+        "skw AS (SELECT h FROM hw WHERE rn <= 64), " +
+        // union-of-sketches bottom-64 = the union sample
+        "uh AS (SELECT DISTINCT h FROM (SELECT h FROM skc UNION SELECT h FROM skw)), " +
+        "ur AS (SELECT h, row_number() OVER (ORDER BY h) AS rn, count(*) OVER () AS nu FROM uh), " +
+        "us AS (SELECT h, nu FROM ur WHERE rn <= least(64, nu)), " +
+        "kth AS (SELECT max(h) AS kh, max(nu) AS nu, count(*) AS denom FROM us), " +
+        "uest AS (SELECT CASE WHEN nu < 64 THEN CAST(nu AS BIGINT) " +
+        "ELSE 63 * 281474976710656 // CAST(concat('0x', substr(kh, 1, 12)) AS BIGINT) END AS e, " +
+        "denom FROM kth), " +
+        "nns AS (SELECT count(*) AS n_new_sample FROM us " +
+        "WHERE h IN (SELECT h FROM skw) AND h NOT IN (SELECT h FROM skc)), " +
+        "base AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS n_corpus, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM crawl) AS n_crawl, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM (SELECT gram FROM crawl EXCEPT SELECT gram FROM corpus)) AS n_new, " +
+        "CAST(nns.n_new_sample AS BIGINT) AS n_new_sample, " +
+        "CAST(uest.e AS BIGINT) AS u_est, CAST(uest.denom AS BIGINT) AS denom " +
+        "FROM nns, uest) " +
+        "SELECT n_corpus, n_crawl, n_corpus + n_new AS n_union, n_new, n_new_sample, " +
+        "CAST(1000 * n_new_sample // denom AS BIGINT) AS d_milli_est, " +
+        "CAST(1000 * n_new // (n_corpus + n_new) AS BIGINT) AS d_milli_exact, " +
+        "CAST(n_new_sample * u_est // denom AS BIGINT) AS d_abs_est, " +
+        "abs(1000 * n_new_sample // denom - 1000 * n_new // (n_corpus + n_new)) <= 250 AS est_ok, " +
+        "abs(n_new_sample * u_est // denom - n_new) * 4 <= n_corpus + n_new + 64 AS est_abs_ok " +
+        "FROM base"),
+
+    "bloom_union_estimate" ->
+      (s"WITH t AS (SELECT source, $W AS ws FROM documents), " +
+        s"g AS (SELECT DISTINCT source, unnest($Sh) AS gram FROM t), " +
+        "per AS (SELECT source AS scope, CAST(count(*) AS BIGINT) AS n_exact FROM g GROUP BY 1), " +
+        "uni AS (SELECT '*union*' AS scope, CAST(count(DISTINCT gram) AS BIGINT) AS n_exact FROM g) " +
+        "SELECT scope, n_exact, TRUE AS est_ok, TRUE AS merge_ok " +
+        "FROM (SELECT * FROM per UNION ALL SELECT * FROM uni) ORDER BY scope"),
+
+    "sample_uniform" ->
+      ("SELECT source, CAST(rank AS INT) AS rank, doc_id, coin, TRUE AS rollup_ok FROM (" +
+        "SELECT source, CAST(doc_id AS VARCHAR) AS doc_id, " +
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS coin, " +
+        "row_number() OVER (PARTITION BY source " +
+        "ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 12), CAST(doc_id AS VARCHAR)) AS rank " +
+        "FROM documents) WHERE rank <= 4 ORDER BY source, rank"),
 
     "topk_per_source" ->
       ("SELECT source, CAST(rank AS INT) AS rank, n_chars, doc_id, TRUE AS rollup_ok FROM (" +

@@ -146,4 +146,25 @@ object Kmv {
     }
     n
   }
+
+  /**
+   * KMV difference numerator (theta-sketch A-not-B): how many of the
+   * union's bottom-k hashes are in `a` but NOT in `b`. Sound because
+   * the union's kth minimum is <= each input's kth minimum, so every
+   * union-sample hash that belongs to an input IS retained by that
+   * input's sketch — membership tests against the sketches are exact
+   * over the union sample. |A \ B| estimates as
+   * onlyInFirst/denom x unionEstimate, with denom = min(k, |union|);
+   * an exact integer per step, so SQL oracles replay it precisely.
+   */
+  def onlyInFirst(a: Kmv, b: Kmv): Int = {
+    val u = union(a, b)
+    var n = 0
+    val it = u.entries.iterator()
+    while (it.hasNext) {
+      val h = it.next()
+      if (a.containsHash(h) && !b.containsHash(h)) n += 1
+    }
+    n
+  }
 }

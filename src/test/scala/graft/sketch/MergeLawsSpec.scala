@@ -240,6 +240,23 @@ class MergeLawsSpec extends AnyFunSuite {
     })
   }
 
+  test("kmv difference lemma: onlyInFirst == exact A-not-B count over the union sample") {
+    check(Prop.forAll(splits) { case (ks, i, _) =>
+      val (as, bs) = ks.splitAt(i)
+      val a = kmvOf(16, as); val b = kmvOf(16, bs)
+      val u = Kmv.union(a, b)
+      val aSet = as.map(Kmv.md5Hex).toSet
+      val bSet = bs.map(Kmv.md5Hex).toSet
+      // the sketch-only computation must equal replaying true membership
+      // over the union's retained sample — the estimator's exactness claim
+      Kmv.onlyInFirst(a, b) ==
+        u.hashes.count(h => aSet.contains(h) && !bSet.contains(h)) &&
+        Kmv.onlyInFirst(b, a) ==
+          u.hashes.count(h => bSet.contains(h) && !aSet.contains(h)) &&
+        Kmv.onlyInFirst(a, a) == 0
+    })
+  }
+
   test("topk merge: any split/order/association == sequential rows exactly; serialize round-trips") {
     def build(rows: Seq[(Long, String)]): TopK = {
       val t = TopK.create(5); rows.foreach { case (s, it) => t.add(s, it) }; t
