@@ -101,6 +101,32 @@ class SketchTableIO(val spark: SparkSession, val root: String) {
     v
   }
 
+  /**
+   * Copy-on-write MERGE — the Iceberg/Delta maintenance verb this
+   * snapshot seam exists for: apply a change batch to the latest
+   * snapshot and commit the result as a new version (old versions
+   * stay readable — time travel is what makes CoW merges safe to
+   * run while readers are live).
+   *
+   * `changes` carries the data columns plus an `op` column:
+   * "upsert" rows replace (or insert) their key, "delete" rows
+   * remove it; a key present as both delete and upsert resolves to
+   * the upsert (delete only removes the PRIOR row). The merge is one
+   * left-anti join of the corpus against the change KEYS (batch-
+   * sized — AQE broadcasts it, so no corpus-scale shuffle) plus a
+   * union of the upsert rows; the only corpus-scale cost is the
+   * rewrite itself, which is what copy-on-write means.
+   */
+  def mergeCommit(changes: DataFrame, key: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val current = read()
+    val upserts = changes.filter(col("op") === "upsert").drop("op")
+    val touched = changes.select(col(key)).distinct()
+    val merged = current.join(touched, Seq(key), "left_anti")
+      .unionByName(upserts.select(current.columns.map(col).toIndexedSeq: _*))
+    commit(merged)
+  }
+
   /** Read a snapshot (default: latest). Reads exactly the manifest's files. */
   def read(version: Long = -1): DataFrame = {
     val v = if (version == -1) currentVersion else version

@@ -87,6 +87,74 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- source format: ORC round trip ----------------------------------
+    // same fidelity contract as source_jsonl for the other columnar
+    // format Spark ships: write the documents table as ORC, read it
+    // back with the EXPLICIT schema, emit per-doc fidelity columns the
+    // oracle recomputes from parquet — any loss in the ORC path
+    // (encoding, nulls, long/int coercion, dropped rows) fails the
+    // row/hash compare.
+    "source_orc" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graftorc")
+      sys.addShutdownHook {
+        val walk = java.nio.file.Files.walk(tmp)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+      val path = tmp.resolve("docs").toString
+      d.write.mode("overwrite").orc(path)
+      s.read.schema(d.schema).orc(path)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+          length(col("text")).as("text_len"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- snapshot-table MERGE (copy-on-write upsert/delete) -------------
+    // the table-maintenance verb between full rebuilds: seed a
+    // snapshot, apply one deterministic change batch (deletes %13,
+    // text updates %7, fresh inserts shifted past the id space), read
+    // the NEW version back. The oracle replays survivor/update/insert
+    // arithmetic from the raw table, so a row lost, doubled, or
+    // half-updated by the merge fails the hash; version and
+    // time-travel (v1 still readable and full-sized) ride as gated
+    // columns. Merge cost = anti-join on broadcast change keys + the
+    // CoW rewrite — nothing corpus-scale shuffles.
+    "table_merge_upsert" -> ((s, dir) => {
+      import graft.catalog.SketchTableIO
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val tmp = java.nio.file.Files.createTempDirectory("graftmerge")
+      sys.addShutdownHook {
+        val walk = java.nio.file.Files.walk(tmp)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+      val t = new SketchTableIO(s, tmp.toString)
+      t.commit(d)
+      val changes =
+        d.filter(col("doc_id") % 13 === 0)
+          .select(col("doc_id"), col("source"), col("text"), lit("delete").as("op"))
+          .unionByName(
+            d.filter(col("doc_id") % 13 =!= 0 && col("doc_id") % 7 === 0)
+              .select(col("doc_id"), col("source"),
+                upper(col("text")).as("text"), lit("upsert").as("op")))
+          .unionByName(
+            d.filter(col("doc_id") % 11 === 0)
+              .select((col("doc_id") + 1000000L).as("doc_id"),
+                lit("crawl2").as("source"),
+                concat(lit("new "), col("text")).as("text"),
+                lit("upsert").as("op")))
+      val v2 = t.mergeCommit(changes, "doc_id")
+      val v1Ok = t.read(1).count() == d.count()
+      t.read().select(col("doc_id"), col("source"),
+          md5(col("text")).as("text_md5"),
+          lit(v2).as("version"), lit(v1Ok).as("time_travel_ok"))
+        .orderBy("doc_id")
+    }),
+
     // PII redaction over docs with deterministically PLANTED pii (the
     // synthetic corpus contains none — the plant makes the redaction
     // falsifiable); the oracle replays plant + scrub + counts exactly.
@@ -1647,6 +1715,25 @@ object PipelineQueries {
         "CAST(n_chars AS BIGINT) AS n_chars, " +
         "CAST(length(text) AS BIGINT) AS text_len, md5(text) AS text_md5 " +
         "FROM documents ORDER BY doc_id"),
+
+    "source_orc" ->
+      ("SELECT CAST(doc_id AS BIGINT) AS doc_id, source, lang, " +
+        "CAST(n_chars AS BIGINT) AS n_chars, " +
+        "CAST(length(text) AS BIGINT) AS text_len, md5(text) AS text_md5 " +
+        "FROM documents ORDER BY doc_id"),
+
+    "table_merge_upsert" ->
+      ("WITH base AS (SELECT doc_id, source, text FROM documents), " +
+        "final AS (" +
+        "SELECT doc_id, source, text FROM base WHERE doc_id % 13 != 0 AND doc_id % 7 != 0 " +
+        "UNION ALL " +
+        "SELECT doc_id, source, upper(text) AS text FROM base WHERE doc_id % 13 != 0 AND doc_id % 7 = 0 " +
+        "UNION ALL " +
+        "SELECT doc_id + 1000000 AS doc_id, 'crawl2' AS source, concat('new ', text) AS text " +
+        "FROM base WHERE doc_id % 11 = 0) " +
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, source, md5(text) AS text_md5, " +
+        "CAST(2 AS BIGINT) AS version, TRUE AS time_travel_ok " +
+        "FROM final ORDER BY doc_id"),
 
     "text_lang_id" ->
       ("SELECT doc_id, lang_label, score_de, score_en, score_es, score_fr, score_zh, " +

@@ -40,6 +40,26 @@ class SketchTableIOSpec extends AnyFunSuite {
     assert(m.contains("\"docs\":1"))
   }
 
+  test("mergeCommit: upsert replaces, delete removes, insert appends; upsert beats delete; old version intact") {
+    import spark.implicits._
+    val io = new SketchTableIO(spark, Files.createTempDirectory("tio4").toString)
+    io.commit(Seq((1, "one"), (2, "two"), (3, "three"), (4, "four")).toDF("id", "s"))
+    val changes = Seq(
+      (2, "TWO", "upsert"),      // update
+      (3, "", "delete"),         // delete
+      (5, "five", "upsert"),     // insert
+      (4, "", "delete"),         // delete AND upsert same key:
+      (4, "FOUR", "upsert")      //   upsert wins (delete removes the PRIOR row)
+    ).toDF("id", "s", "op")
+    val v = io.mergeCommit(changes, "id")
+    assert(v == 2L)
+    assert(io.read(v).as[(Int, String)].collect().toSet ==
+      Set((1, "one"), (2, "TWO"), (4, "FOUR"), (5, "five")))
+    // time travel: the pre-merge snapshot is untouched
+    assert(io.read(1).as[(Int, String)].collect().toSet ==
+      Set((1, "one"), (2, "two"), (3, "three"), (4, "four")))
+  }
+
   test("sequential commits read back their own snapshots (time travel)") {
     import spark.implicits._
     val io = new SketchTableIO(spark, Files.createTempDirectory("tio3").toString)
