@@ -127,6 +127,55 @@ class SketchTableIO(val spark: SparkSession, val root: String) {
     commit(merged)
   }
 
+  /**
+   * Expire old snapshots, keeping the newest `keepLast` versions —
+   * the vacuum half of copy-on-write maintenance (every merge leaves
+   * a full old copy behind; without expiry the table is O(versions)
+   * on disk). Deletion order is crash-safe in the same direction as
+   * commit is: the MANIFEST goes first (the version atomically stops
+   * being readable), then its data files — a crash in between leaves
+   * orphan data files, never a manifest pointing at deleted data.
+   * Data dirs with no manifest at all (failed commits' leftovers) are
+   * also swept, but only when older than `orphanAgeMs` — a younger
+   * unpublished dir may be a CONCURRENT commit between its data-dir
+   * claim and its manifest publish (the same reason Iceberg's
+   * remove_orphan_files takes an age threshold). Returns the expired
+   * versions.
+   */
+  def expireSnapshots(keepLast: Int, orphanAgeMs: Long = 3600000L): Seq[Long] = {
+    require(keepLast >= 1, "must keep at least the latest snapshot")
+    val vs = versions
+    val expire = vs.dropRight(keepLast)
+    def deleteTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+    expire.foreach { v =>
+      Files.deleteIfExists(manifestPath(v))
+      deleteTree(dataDir(v))
+    }
+    // failed-commit leftovers: claimed data dirs that never published
+    val dataRoot = Paths.get(root, "data")
+    if (Files.exists(dataRoot)) {
+      val it = Files.list(dataRoot).iterator()
+      val orphans = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+      val cutoff = System.currentTimeMillis() - orphanAgeMs
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        val published = n.startsWith("v") && n.length > 1 &&
+          n.stripPrefix("v").forall(_.isDigit) &&
+          Files.exists(manifestPath(n.stripPrefix("v").toLong))
+        val oldEnough = Files.getLastModifiedTime(p).toMillis < cutoff
+        if (!published && oldEnough) orphans += p
+      }
+      orphans.foreach(deleteTree)
+    }
+    expire
+  }
+
   /** Read a snapshot (default: latest). Reads exactly the manifest's files. */
   def read(version: Long = -1): DataFrame = {
     val v = if (version == -1) currentVersion else version

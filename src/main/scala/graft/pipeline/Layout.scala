@@ -65,6 +65,37 @@ object Layout {
       .write.mode("overwrite").parquet(path)
 
   /**
+   * Morton code: interleave the low `bits` bits of two bucketized
+   * non-negative ints (a in even positions, b in odd) — a plain
+   * codegen'd integer expression. Range-partitioning + sorting by the
+   * z-value makes each parquet row group a RECTANGLE in (a, b) space,
+   * so min/max zone maps stay tight on BOTH columns and a predicate
+   * on either axis (or a box on both) skips row groups —
+   * [[writeSortedShards]] generalized to two query axes from one
+   * layout (the Delta/Iceberg OPTIMIZE ZORDER discipline).
+   */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+             bits: Int): org.apache.spark.sql.Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** Range-partition into `shards` sorted shards by the Morton code of
+    * two pre-bucketized columns; the z column itself is not persisted
+    * — the pruning works off the DATA columns' per-row-group stats. */
+  def writeZOrdered(df: DataFrame, path: String,
+                    aBucket: org.apache.spark.sql.Column,
+                    bBucket: org.apache.spark.sql.Column,
+                    bits: Int, shards: Int): Unit =
+    df.withColumn("__z", zValue(aBucket, bBucket, bits))
+      .repartitionByRange(shards, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
+  /**
    * Skew-safe shuffle equi-join: the dim side is replicated once per
    * salt value and the fact side deterministically splits across
    * salts (hash of the whole fact row), so a hot join key occupies

@@ -112,6 +112,41 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- source format: CSV round trip (quoting/escape/multiline) -------
+    // the third wire format corpora ship in. The natural corpus is
+    // CSV-benign (no commas, quotes, or newlines in text), so the
+    // gate PLANTS all three on every 17th doc — the quoting, escape,
+    // and multiline-record paths are what the fidelity hash tests;
+    // the oracle replays plant + projection from parquet. Reading
+    // uses the explicit schema (never infer over 100 TB) and
+    // RFC-4180 doubled-quote escaping on both sides.
+    "source_csv" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 17 === 0,
+          concat(col("text"), lit(" x,\"q\"\ny")))
+          .otherwise(col("text")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      val tmp = java.nio.file.Files.createTempDirectory("graftcsv")
+      sys.addShutdownHook {
+        val walk = java.nio.file.Files.walk(tmp)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+      val path = tmp.resolve("docs").toString
+      d.write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        .csv(path)
+      s.read.schema(d.schema)
+        .option("header", "true").option("escape", "\"")
+        .option("multiLine", "true")
+        .csv(path)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+          length(col("text")).as("text_len"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     // ---- snapshot-table MERGE (copy-on-write upsert/delete) -------------
     // the table-maintenance verb between full rebuilds: seed a
     // snapshot, apply one deterministic change batch (deletes %13,
@@ -152,6 +187,65 @@ object PipelineQueries {
       t.read().select(col("doc_id"), col("source"),
           md5(col("text")).as("text_md5"),
           lit(v2).as("version"), lit(v1Ok).as("time_travel_ok"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- streaming CDC apply (merge-per-batch) ---------------------------
+    // the always-on half of table_merge_upsert: three change batches
+    // arrive as a stream (mtime-pinned file order), each micro-batch
+    // is ONE copy-on-write commit. The sequence is ORDER-falsifiable:
+    // batch 1 uppercases every %5 doc, batch 2 deletes the %10 docs,
+    // batch 3 resurrects them with a 're ' prefix and inserts fresh
+    // %9 docs past the id space — swap any two batches and the final
+    // state (which the oracle replays as sequential SQL) changes.
+    // Version count and time travel (the seed snapshot still intact
+    // after three merges) ride as gated columns.
+    "stream_merge_upsert" -> ((s, dir) => {
+      import graft.catalog.SketchTableIO
+      val tmp = java.nio.file.Files.createTempDirectory("graftsmerge")
+      val in = tmp.resolve("in").toString
+      val root = tmp.resolve("table").toString
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+      new SketchTableIO(s, root).commit(d)
+      def pinMtimes(base: Long, exclude: Set[String]): Set[String] = {
+        val parts = java.nio.file.Files.list(java.nio.file.Paths.get(in)).iterator()
+        val ps = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+        while (parts.hasNext) {
+          val p = parts.next()
+          if (p.toString.endsWith(".parquet") && !exclude.contains(p.toString)) ps += p
+        }
+        ps.sortBy(_.getFileName.toString).zipWithIndex.foreach { case (p, i) =>
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(base + i * 60000L))
+        }
+        exclude ++ ps.map(_.toString)
+      }
+      val b1 = d.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("source"), upper(col("text")).as("text"),
+          lit("upsert").as("op"))
+      val b2 = d.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("source"), col("text"), lit("delete").as("op"))
+      val b3 = d.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("source"),
+          concat(lit("re "), col("text")).as("text"), lit("upsert").as("op"))
+        .unionByName(d.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            lit("crawl2").as("source"),
+            concat(lit("new "), col("text")).as("text"),
+            lit("upsert").as("op")))
+      b1.coalesce(1).write.mode("overwrite").parquet(in)
+      val seen1 = pinMtimes(1000000000000L, Set.empty)
+      b2.coalesce(1).write.mode("append").parquet(in)
+      val seen2 = pinMtimes(2000000000000L, seen1)
+      b3.coalesce(1).write.mode("append").parquet(in)
+      pinMtimes(3000000000000L, seen2)
+      val merged = graft.streaming.StreamMerge.applyChanges(
+        s, in, root, "doc_id", tmp.resolve("cp").toString)
+      val t = new SketchTableIO(s, root)
+      val v1Ok = t.read(1).count() == d.count()
+      merged.select(col("doc_id"), col("source"),
+          md5(col("text")).as("text_md5"),
+          lit(t.currentVersion).as("version"), lit(v1Ok).as("time_travel_ok"))
         .orderBy("doc_id")
     }),
 
@@ -318,6 +412,50 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_events"),
           sum(round(col("value") * 1000).cast("long")).as("value_mils"))
         .withColumn("range_pushed", lit(pushed))
+        .orderBy("event_type")
+    }),
+
+    // z-order (Morton) layout: one layout serving BOTH query axes.
+    // Events are range-partitioned + sorted by the interleaved bits of
+    // (ts bucket, user bucket), so every row group is a rectangle in
+    // (ts, user) space and min/max zone maps stay tight on both
+    // columns — a user-band predicate (the axis a ts-sorted layout
+    // CANNOT prune: every ts-shard spans all users, uncorrelated by
+    // construction) skips most row groups. Evidence in the gated
+    // answer: the band bounds reached the reader (PushedFilters) and
+    // the executed scan emitted ≤60% of the table for a ~25% band
+    // (cross_axis_pruned). The answer itself is layout-independent
+    // and replayed plainly by the oracle.
+    "q_zorder_layout" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("zord").toString
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts_ms", unix_millis(col("ts").cast("timestamp")))
+      val mm = ev.agg(min("ts_ms"), max("ts_ms"), min("user_id"), max("user_id"))
+        .collect()(0)
+      val (tsMin, tsMax) = (mm.getLong(0), mm.getLong(1))
+      val (uMin, uMax) = (mm.getLong(2), mm.getLong(3))
+      def bucket(c: org.apache.spark.sql.Column, mn: Long, mx: Long) =
+        (c - mn) * 256L / (mx - mn + 1L)
+      Layout.writeZOrdered(ev, root,
+        bucket(col("ts_ms"), tsMin, tsMax),
+        bucket(col("user_id"), uMin, uMax), bits = 8, shards = 16)
+      // quarter band in the middle of the user range — the cross axis
+      val span = uMax - uMin + 1L
+      val (uLo, uHi) = (uMin + span / 2, uMin + span / 2 + span / 4)
+      val r = s.read.parquet(root)
+        .filter(col("user_id") >= uLo && col("user_id") < uHi)
+      val pushed = {
+        val fs = Layout.pushedFilters(r)
+        fs.nonEmpty && fs.forall(f =>
+          f.contains("GreaterThanOrEqual(user_id") && f.contains("LessThan(user_id"))
+      }
+      val scanned = Layout.scanOutputRows(r)
+      val crossPruned = scanned * 10 <= ev.count() * 6
+      r.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 1000).cast("long")).as("value_mils"))
+        .withColumn("range_pushed", lit(pushed))
+        .withColumn("cross_axis_pruned", lit(crossPruned))
         .orderBy("event_type")
     }),
 
@@ -1722,6 +1860,14 @@ object PipelineQueries {
         "CAST(length(text) AS BIGINT) AS text_len, md5(text) AS text_md5 " +
         "FROM documents ORDER BY doc_id"),
 
+    "source_csv" ->
+      ("SELECT CAST(doc_id AS BIGINT) AS doc_id, source, lang, " +
+        "CAST(n_chars AS BIGINT) AS n_chars, " +
+        "CAST(length(t) AS BIGINT) AS text_len, md5(t) AS text_md5 FROM (" +
+        "SELECT doc_id, source, lang, n_chars, " +
+        "CASE WHEN doc_id % 17 = 0 THEN concat(text, ' x,\"q\"' || chr(10) || 'y') " +
+        "ELSE text END AS t FROM documents) ORDER BY doc_id"),
+
     "table_merge_upsert" ->
       ("WITH base AS (SELECT doc_id, source, text FROM documents), " +
         "final AS (" +
@@ -1733,6 +1879,21 @@ object PipelineQueries {
         "FROM base WHERE doc_id % 11 = 0) " +
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, source, md5(text) AS text_md5, " +
         "CAST(2 AS BIGINT) AS version, TRUE AS time_travel_ok " +
+        "FROM final ORDER BY doc_id"),
+
+    "stream_merge_upsert" ->
+      ("WITH base AS (SELECT doc_id, source, text FROM documents), " +
+        "final AS (" +
+        "SELECT doc_id, source, text FROM base WHERE doc_id % 5 != 0 " +
+        "UNION ALL " +
+        "SELECT doc_id, source, upper(text) AS text FROM base WHERE doc_id % 5 = 0 AND doc_id % 10 != 0 " +
+        "UNION ALL " +
+        "SELECT doc_id, source, concat('re ', text) AS text FROM base WHERE doc_id % 10 = 0 " +
+        "UNION ALL " +
+        "SELECT doc_id + 2000000 AS doc_id, 'crawl2' AS source, concat('new ', text) AS text " +
+        "FROM base WHERE doc_id % 9 = 0) " +
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, source, md5(text) AS text_md5, " +
+        "CAST(4 AS BIGINT) AS version, TRUE AS time_travel_ok " +
         "FROM final ORDER BY doc_id"),
 
     "text_lang_id" ->
@@ -2601,6 +2762,16 @@ object PipelineQueries {
         "TRUE AS range_pushed " +
         "FROM events WHERE epoch_ms(ts) >= 1704844800000 AND epoch_ms(ts) < 1705017600000 " +
         "GROUP BY 1 ORDER BY 1"),
+
+    "q_zorder_layout" ->
+      ("WITH mm AS (SELECT min(user_id) AS umin, max(user_id) AS umax FROM events), " +
+        "b AS (SELECT umin + (umax - umin + 1) // 2 AS ulo, " +
+        "umin + (umax - umin + 1) // 2 + (umax - umin + 1) // 4 AS uhi FROM mm) " +
+        "SELECT event_type, count(*) AS n_events, " +
+        "CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_mils, " +
+        "TRUE AS range_pushed, TRUE AS cross_axis_pruned " +
+        "FROM events, b WHERE user_id >= ulo AND user_id < uhi " +
+        "GROUP BY event_type ORDER BY event_type"),
 
     "kmv_distinct_sources" ->
       (s"WITH t AS (SELECT source, $W AS ws FROM documents), " +

@@ -60,6 +60,29 @@ class SketchTableIOSpec extends AnyFunSuite {
       Set((1, "one"), (2, "two"), (3, "three"), (4, "four")))
   }
 
+  test("expireSnapshots: old versions unreadable, kept ones intact, aged orphans swept, young ones spared") {
+    import spark.implicits._
+    val io = new SketchTableIO(spark, Files.createTempDirectory("tio5").toString)
+    io.commit(Seq((1, "a")).toDF("id", "s"))
+    io.commit(Seq((2, "b")).toDF("id", "s"))
+    io.commit(Seq((3, "c")).toDF("id", "s"))
+    // a failed commit's leftover (claimed data dir, no manifest): one
+    // aged past the threshold, one fresh (a possibly in-flight commit)
+    val aged = java.nio.file.Paths.get(io.root, "data", "v9")
+    val young = java.nio.file.Paths.get(io.root, "data", ".staging-live")
+    Files.createDirectories(aged)
+    Files.createDirectories(young)
+    Files.setLastModifiedTime(aged,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 7200000L))
+    assert(io.expireSnapshots(keepLast = 2) == Seq(1L))
+    assert(io.versions == Seq(2L, 3L))
+    assert(io.read(2).count() == 1 && io.read(3).count() == 1)
+    intercept[IllegalArgumentException](io.read(1))
+    assert(!Files.exists(java.nio.file.Paths.get(io.root, "data", "v1")))
+    assert(!Files.exists(aged), "aged orphan dir should be swept")
+    assert(Files.exists(young), "young unpublished dir may be a live commit")
+  }
+
   test("sequential commits read back their own snapshots (time travel)") {
     import spark.implicits._
     val io = new SketchTableIO(spark, Files.createTempDirectory("tio3").toString)
