@@ -302,7 +302,9 @@ object SparkEntry {
                graft_quantize_int8(array(2.0D, -1.0D)).qv = array(127L, -63L) AS quant_ok,
                SIZE(graft_lsh_buckets(array(1.0D, 2.0D), 4, 3)) = 4 AS lsh_ok,
                SIZE(graft_minhash_sig(array('a', 'b'), 16)) = 16 AS minhash_ok,
-               graft_simhash64(array('a')) <> 0L AS simhash_ok
+               graft_simhash64(array('a')) <> 0L AS simhash_ok,
+               graft_nfc('Cafe\u0301') = 'Caf\u00E9'
+                 AND graft_strip_accents('Caf\u00E9') = 'Cafe' AS unicode_ok
         FROM sk CROSS JOIN g CROSS JOIN truth ORDER BY source""")
     }),
 
@@ -482,7 +484,8 @@ object SparkEntry {
     "q_sql_surface" ->
       (s"SELECT source, count(*) AS n, TRUE AS bloom_ok, TRUE AS sbf_ok, TRUE AS lbf_ok, " +
         "TRUE AS hll_ok, TRUE AS cms_ok, TRUE AS kll_ok, TRUE AS freq_ok, TRUE AS td_ok, TRUE AS topk_ok, TRUE AS kmv_ok, TRUE AS merged_hll_ok, TRUE AS merged_kmv_ok, " +
-        "TRUE AS vec_ok, TRUE AS quant_ok, TRUE AS lsh_ok, TRUE AS minhash_ok, TRUE AS simhash_ok " +
+        "TRUE AS vec_ok, TRUE AS quant_ok, TRUE AS lsh_ok, TRUE AS minhash_ok, TRUE AS simhash_ok, " +
+        "TRUE AS unicode_ok " +
         s"FROM $tokensFrom GROUP BY source ORDER BY source"),
     "op_multi_filter_check" ->
       ("SELECT * FROM (VALUES " +

@@ -198,6 +198,8 @@ object GraftFunctions {
       graft.pipeline.SignLshBuckets(es.head, lit2Int(es(1)), lit2Int(es(2))))
     add("graft_minhash_sig")(es => graft.pipeline.MinHashSig(es.head, lit2Int(es(1))))
     add("graft_simhash64")(es => graft.pipeline.SimHash64(es.head))
+    add("graft_nfc")(es => graft.pipeline.NfcNormalize(es.head))
+    add("graft_strip_accents")(es => graft.pipeline.StripAccents(es.head))
     def addMerge(name: String)(builder: Expression => org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction): Unit =
       add(name)(es => AggregateExpression(builder(es.head),
         org.apache.spark.sql.catalyst.expressions.aggregate.Complete, isDistinct = false))

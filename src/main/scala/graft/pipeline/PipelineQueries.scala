@@ -264,6 +264,28 @@ object PipelineQueries {
       TextOps.redactPii(planted).orderBy("doc_id")
     }),
 
+    // Unicode normalization — the pass every corpus release runs
+    // FIRST (visually-identical strings with different combining-mark
+    // encodings slip every downstream exact-dedup/hash stage). The
+    // natural corpus is pure ASCII, so the gate PLANTS both encodings
+    // (combining acute/diaeresis AND a precomposed É) on every doc;
+    // NFC length contraction, the NFC md5, the accent-stripped md5,
+    // and NFC idempotence are all gated columns the oracle recomputes
+    // with DuckDB's own utf8proc normalizer — two independent Unicode
+    // implementations must agree byte-for-byte.
+    "text_normalize" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" Cafe\u0301 \u00C9lan No\u0308el")).as("text"))
+      val nfcd = TextFunctions.nfc(col("text"))
+      planted.select(col("doc_id"),
+        length(col("text")).as("n_raw"),
+        length(nfcd).as("n_nfc"),
+        md5(nfcd).as("nfc_md5"),
+        md5(TextFunctions.stripAccents(nfcd)).as("strip_md5"),
+        (TextFunctions.nfc(nfcd) === nfcd).as("nfc_idempotent"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher repetition stats over docs with deterministically PLANTED
     // repetition (every 40th doc gets ' spam' x30 appended — the
     // natural corpus is near-uniform, so without the plant the keep
@@ -1880,6 +1902,16 @@ object PipelineQueries {
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, source, md5(text) AS text_md5, " +
         "CAST(2 AS BIGINT) AS version, TRUE AS time_travel_ok " +
         "FROM final ORDER BY doc_id"),
+
+    "text_normalize" ->
+      ("WITH p AS (SELECT doc_id, concat(text, ' Cafe' || chr(769) || ' ' || chr(201) " +
+        "|| 'lan No' || chr(776) || 'el') AS t FROM documents) " +
+        "SELECT doc_id, CAST(length(t) AS BIGINT) AS n_raw, " +
+        "CAST(length(nfc_normalize(t)) AS BIGINT) AS n_nfc, " +
+        "md5(nfc_normalize(t)) AS nfc_md5, " +
+        "md5(strip_accents(nfc_normalize(t))) AS strip_md5, " +
+        "TRUE AS nfc_idempotent " +
+        "FROM p ORDER BY doc_id"),
 
     "stream_merge_upsert" ->
       ("WITH base AS (SELECT doc_id, source, text FROM documents), " +

@@ -240,10 +240,76 @@ case class RepetitionStats(child: Expression, n: Int)
 }
 
 /** Column builders + builtin-composed text helpers (codegen'd where possible). */
+/**
+ * Unicode NFC normalization — the canonical-composition pass every
+ * corpus release runs first (CCNet-style pipelines normalize before
+ * hashing, or byte-identical duplicates with different combining-mark
+ * encodings slip every exact-dedup stage). Row-local, codegen'd via
+ * the shared reference-object trait; delegates to the JDK's ICU-table
+ * Normalizer, which implements the same Unicode standard DuckDB's
+ * utf8proc does — so the oracle replays it with nfc_normalize().
+ */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with UnaryRefCodegen {
+  override def evalRef(input: AnyRef): AnyRef = nullSafeEval(input).asInstanceOf[AnyRef]
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // NFC-clean strings (all-ASCII fast path inside isNormalized) skip
+    // the composition walk — the common case for web text
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) input
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(child = c)
+  override def prettyName: String = "nfc_normalize"
+}
+
+/**
+ * Accent stripping: NFD decomposition, then drop combining marks
+ * (category Mn) — "Café" → "Cafe". The transliteration step of
+ * language-agnostic fingerprinting; agrees with DuckDB's
+ * strip_accents for Latin-script text (both are mark-removal after
+ * canonical decomposition).
+ */
+case class StripAccents(child: Expression)
+    extends UnaryExpression with UnaryRefCodegen {
+  override def evalRef(input: AnyRef): AnyRef = nullSafeEval(input).asInstanceOf[AnyRef]
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val d = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(d.length)
+    var i = 0
+    while (i < d.length) {
+      val c = d.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(c: Expression): StripAccents = copy(child = c)
+  override def prettyName: String = "strip_accents"
+}
+
 object TextFunctions {
 
   def minhash_sig(shingles: Column, numPerms: Int): Column =
     ColumnShim.column(MinHashSig(ColumnShim.expression(shingles), numPerms))
+
+  /** Unicode NFC canonical composition (native, codegen'd). */
+  def nfc(text: Column): Column =
+    ColumnShim.column(NfcNormalize(ColumnShim.expression(text)))
+
+  /** NFD + combining-mark removal (native, codegen'd). */
+  def stripAccents(text: Column): Column =
+    ColumnShim.column(StripAccents(ColumnShim.expression(text)))
 
   def simhash64(words: Column): Column =
     ColumnShim.column(SimHash64(ColumnShim.expression(words)))

@@ -33,6 +33,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(0).length == 64)
   }
 
+  test("unicode normalize: NFC composes, is idempotent, preserves NFC-stable text; strip_accents drops marks") {
+    import spark.implicits._
+    // decomposed, precomposed, ASCII, and CJK (NFC-stable) inputs
+    val in = Seq("Cafe\u0301", "Caf\u00E9", "plain ascii", "\u4F60\u597D",
+      "No\u0308el i\u0307 A\u030A").toDF("t")
+    val rows = in.select(
+      TextFunctions.nfc(col("t")).as("n"),
+      TextFunctions.nfc(TextFunctions.nfc(col("t"))).as("nn"),
+      TextFunctions.stripAccents(col("t")).as("s")).collect()
+    assert(rows(0).getString(0) == "Caf\u00E9") // composes
+    assert(rows(1).getString(0) == "Caf\u00E9") // already NFC: unchanged
+    assert(rows(2).getString(0) == "plain ascii")
+    assert(rows(3).getString(0) == "\u4F60\u597D")
+    assert(rows(4).getString(0) == "N\u00F6el i\u0307 \u00C5")
+    rows.foreach(r => assert(r.getString(0) == r.getString(1), "NFC idempotent"))
+    assert(rows(0).getString(2) == "Cafe" && rows(1).getString(2) == "Cafe")
+    assert(rows(4).getString(2) == "Noel i A")
+    // registry surface agrees with the typed API
+    graft.agg.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_nfc('Cafe\u0301'), graft_strip_accents('Caf\u00E9')").collect()(0)
+    assert(viaSql.getString(0) == "Caf\u00E9" && viaSql.getString(1) == "Cafe")
+  }
+
   test("simhash: identical bags collide; near-identical bags are close in Hamming; disjoint bags far") {
     import spark.implicits._
     val fps = Seq(
