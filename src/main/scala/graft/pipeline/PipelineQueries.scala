@@ -481,6 +481,38 @@ object PipelineQueries {
         .orderBy("event_type")
     }),
 
+    // parquet BLOOM FILTER pushdown — the reference's own data
+    // structure serving scan pruning: on a high-cardinality UNSORTED
+    // column, row-group min/max stats span the whole value space
+    // (nothing skips), but a per-row-group bloom filter answers
+    // "definitely not here" for an equality probe and the reader
+    // skips the group without touching its pages. Written with
+    // parquet.bloom.filter.enabled on the key column, 16 key-hashed
+    // files; the point lookup must scan ≤1/4 of the table (expected
+    // ~1/16) — pinned with the pushed-EqualTo evidence into the
+    // oracle-checked answer. The no-bloom control (stats alone skip
+    // nothing) is spec-measured (LayoutSpec).
+    "q_parquet_bloom" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("pqbloom").toString
+      val d = docs(s, dir).withColumn("key", md5(col("text")))
+      d.repartition(16, col("key")).write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#key", "true")
+        .option("parquet.bloom.filter.expected.ndv#key", "1000000")
+        .parquet(root)
+      val probeKey = d.filter(col("doc_id") === 42)
+        .select("key").collect()(0).getString(0)
+      val r = s.read.parquet(root).filter(col("key") === probeKey)
+      val pushed = {
+        val fs = Layout.pushedFilters(r)
+        fs.nonEmpty && fs.forall(_.contains("EqualTo(key"))
+      }
+      val scanned = Layout.scanOutputRows(r)
+      val pruned = scanned * 4 <= d.count()
+      r.select(col("doc_id"), col("source"), col("key"),
+          lit(pushed).as("eq_pushed"), lit(pruned).as("bloom_pruned"))
+        .orderBy("doc_id")
+    }),
+
     // ---- dedup ----------------------------------------------------------
 
     // exact dedup demonstrated on a corpus with real duplicates:
@@ -2794,6 +2826,12 @@ object PipelineQueries {
         "TRUE AS range_pushed " +
         "FROM events WHERE epoch_ms(ts) >= 1704844800000 AND epoch_ms(ts) < 1705017600000 " +
         "GROUP BY 1 ORDER BY 1"),
+
+    "q_parquet_bloom" ->
+      ("SELECT CAST(doc_id AS BIGINT) AS doc_id, source, md5(text) AS key, " +
+        "TRUE AS eq_pushed, TRUE AS bloom_pruned FROM documents " +
+        "WHERE md5(text) = (SELECT md5(text) FROM documents WHERE doc_id = 42) " +
+        "ORDER BY doc_id"),
 
     "q_zorder_layout" ->
       ("WITH mm AS (SELECT min(user_id) AS umin, max(user_id) AS umax FROM events), " +

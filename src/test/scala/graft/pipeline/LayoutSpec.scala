@@ -131,6 +131,37 @@ class LayoutSpec extends AnyFunSuite {
       s"shuffled layout read $shuffledRows rows, expected full scan")
   }
 
+  test("parquet bloom filter: equality probe on an unsorted key skips row groups stats cannot") {
+    import spark.implicits._
+    val n = 100000
+    // high-cardinality unsorted key: every file's min/max spans ~the
+    // whole hex space, so stats-based skipping is structurally dead
+    val df = (0 until n).map(_.toLong).toDF("id")
+      .select(col("id"), md5(col("id").cast("string")).as("key"))
+    val bloomDir = Files.createTempDirectory("pqbloom").toString
+    val plainDir = Files.createTempDirectory("pqplain").toString
+    val writer = df.repartition(16, col("key"))
+    writer.write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#key", "true")
+      .option("parquet.bloom.filter.expected.ndv#key", "1000000")
+      .parquet(bloomDir)
+    writer.write.mode("overwrite").parquet(plainDir)
+    val probe = java.security.MessageDigest.getInstance("MD5")
+      .digest("777".getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+    def probeScan(dir: String) = {
+      val r = spark.read.parquet(dir).filter(col("key") === probe)
+      assert(r.count() == 1)
+      Layout.scanOutputRows(r)
+    }
+    val withBloom = probeScan(bloomDir)
+    val without = probeScan(plainDir)
+    assert(withBloom <= n / 4,
+      s"bloom layout scanned $withBloom rows, expected row-group skipping")
+    assert(without >= n / 2,
+      s"plain layout scanned $without rows, expected stats to skip ~nothing")
+  }
+
   test("zValue matches a reference Morton interleave") {
     import spark.implicits._
     def morton(a: Long, b: Long, bits: Int): Long =
