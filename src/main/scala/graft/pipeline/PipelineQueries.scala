@@ -169,6 +169,10 @@ object PipelineQueries {
       }
       val t = new SketchTableIO(s, tmp.toString)
       t.commit(d)
+      // insert ids shifted past the OBSERVED id space (not a fixed
+      // constant — scale decades replicate ids into the millions);
+      // the oracle replays the shift as a scalar subquery
+      val shift = d.agg(max("doc_id")).collect()(0).getLong(0) + 1L
       val changes =
         d.filter(col("doc_id") % 13 === 0)
           .select(col("doc_id"), col("source"), col("text"), lit("delete").as("op"))
@@ -178,7 +182,7 @@ object PipelineQueries {
                 upper(col("text")).as("text"), lit("upsert").as("op")))
           .unionByName(
             d.filter(col("doc_id") % 11 === 0)
-              .select((col("doc_id") + 1000000L).as("doc_id"),
+              .select((col("doc_id") + shift).as("doc_id"),
                 lit("crawl2").as("source"),
                 concat(lit("new "), col("text")).as("text"),
                 lit("upsert").as("op")))
@@ -229,7 +233,8 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"),
           concat(lit("re "), col("text")).as("text"), lit("upsert").as("op"))
         .unionByName(d.filter(col("doc_id") % 9 === 0)
-          .select((col("doc_id") + 2000000L).as("doc_id"),
+          .select((col("doc_id") +
+              (d.agg(max("doc_id")).collect()(0).getLong(0) + 1L)).as("doc_id"),
             lit("crawl2").as("source"),
             concat(lit("new "), col("text")).as("text"),
             lit("upsert").as("op")))
@@ -1929,7 +1934,8 @@ object PipelineQueries {
         "UNION ALL " +
         "SELECT doc_id, source, upper(text) AS text FROM base WHERE doc_id % 13 != 0 AND doc_id % 7 = 0 " +
         "UNION ALL " +
-        "SELECT doc_id + 1000000 AS doc_id, 'crawl2' AS source, concat('new ', text) AS text " +
+        "SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, " +
+        "'crawl2' AS source, concat('new ', text) AS text " +
         "FROM base WHERE doc_id % 11 = 0) " +
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, source, md5(text) AS text_md5, " +
         "CAST(2 AS BIGINT) AS version, TRUE AS time_travel_ok " +
@@ -1954,7 +1960,8 @@ object PipelineQueries {
         "UNION ALL " +
         "SELECT doc_id, source, concat('re ', text) AS text FROM base WHERE doc_id % 10 = 0 " +
         "UNION ALL " +
-        "SELECT doc_id + 2000000 AS doc_id, 'crawl2' AS source, concat('new ', text) AS text " +
+        "SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, " +
+        "'crawl2' AS source, concat('new ', text) AS text " +
         "FROM base WHERE doc_id % 9 = 0) " +
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, source, md5(text) AS text_md5, " +
         "CAST(4 AS BIGINT) AS version, TRUE AS time_travel_ok " +
