@@ -750,6 +750,56 @@ object PipelineQueries {
     // sample -> pack into 4096-token bins, every stage the library
     // operator itself in its production (scale) mode, with a single
     // SQL oracle replaying the whole chain
+    // ---- normalization-first release composition -------------------------
+    // the failure mode Unicode normalization exists to prevent, as a
+    // composed gate: two crawls of the SAME corpus arrive with
+    // different encodings of identical text (crawl A precomposed NFC,
+    // crawl B decomposed combining marks) — byte-level exact dedup
+    // sees ZERO duplicates across them, so the release pipeline must
+    // normalize FIRST, then dedup (collapsing every cross-crawl pair
+    // to the lower id), then cut the per-source review sample with
+    // the bottom-k md5 coin. Every stage is replayed by the oracle
+    // (DuckDB's own nfc_normalize / md5-group-min / row_number), and
+    // the in-plan dup count is a gated column: n_dups == n_docs means
+    // normalization actually collapsed the encodings — skip the
+    // normalize stage and the gate fails on every row.
+    "pipeline_release" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val shift = d.agg(max("doc_id")).collect()(0).getLong(0) + 1L
+      val crawlA = d.select(col("doc_id"), col("source"),
+        concat(col("text"), lit(" r\u00E9sum\u00E9 fa\u00E7ade")).as("text"))
+      val crawlB = d.select((col("doc_id") + shift).as("doc_id"), col("source"),
+        concat(col("text"),
+          lit(" re\u0301sume\u0301 fac\u0327ade")).as("text"))
+      val union = crawlA.unionByName(crawlB)
+      val normalized = union.select(col("doc_id"), col("source"),
+        TextFunctions.nfc(col("text")).as("text"))
+      // exact dedup over NORMALIZED bytes: min doc_id survives, so
+      // every crawl-B replica drops iff normalization collapsed it
+      val survivors = normalized
+        .withColumn("fp", md5(col("text")))
+        .groupBy("fp").agg(min(col("doc_id")).as("doc_id"),
+          min(col("source")).as("source"), count(lit(1)).as("n_copies"))
+      // every text rides BOTH crawls, so after normalization no fp
+      // group can be a singleton (natural intra-corpus duplicates
+      // merge groups, which keeps the invariant); skip the normalize
+      // stage and every group splits into singletons
+      val minCopies = survivors.agg(min("n_copies")).collect()(0).getLong(0)
+      // per-source review sample of the deduped release: bottom-4 by
+      // the engine-reproducible md5 coin (the sample_uniform core)
+      val coined = survivors
+        .withColumn("coin",
+          expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 12), 16, 10) as bigint)"))
+        .withColumn("neg", -col("coin"))
+      coined.groupBy("source")
+        .agg(topk_agg(col("neg"), col("doc_id").cast("string"), 4).as("sk"))
+        .select(col("source"), posexplode(topk_items(col("sk"))).as(Seq("pos", "row")))
+        .select(col("source"), (col("pos") + 1).as("rank"),
+          col("row.item").cast("long").as("doc_id"), (-col("row.score")).as("coin"),
+          lit(minCopies >= 2L).as("normalize_collapsed_all"))
+        .orderBy("source", "rank")
+    }),
+
     "pipeline_corpus_prep" -> ((s, dir) => {
       val d = docs(s, dir)
       val eval = d.filter(col("doc_id") % 7 === 0)
@@ -1940,6 +1990,27 @@ object PipelineQueries {
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, source, md5(text) AS text_md5, " +
         "CAST(2 AS BIGINT) AS version, TRUE AS time_travel_ok " +
         "FROM final ORDER BY doc_id"),
+
+    "pipeline_release" ->
+      ("WITH d AS (SELECT doc_id, source, text FROM documents), " +
+        "sh AS (SELECT max(doc_id) + 1 AS shift FROM d), " +
+        "u AS (" +
+        "SELECT doc_id, source, text || ' r' || chr(233) || 'sum' || chr(233) || ' fa' || chr(231) || 'ade' AS text FROM d " +
+        "UNION ALL " +
+        "SELECT doc_id + sh.shift AS doc_id, source, " +
+        "text || ' re' || chr(769) || 'sume' || chr(769) || ' fac' || chr(807) || 'ade' AS text FROM d, sh), " +
+        "n AS (SELECT doc_id, source, nfc_normalize(text) AS text FROM u), " +
+        "surv AS (SELECT md5(text) AS fp, min(doc_id) AS doc_id, min(source) AS source, " +
+        "count(*) AS n_copies FROM n GROUP BY 1), " +
+        "flag AS (SELECT min(n_copies) >= 2 AS ok FROM surv), " +
+        "ranked AS (SELECT source, CAST(doc_id AS BIGINT) AS doc_id, " +
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS coin, " +
+        "row_number() OVER (PARTITION BY source " +
+        "ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 12), CAST(doc_id AS VARCHAR)) AS rank " +
+        "FROM surv) " +
+        "SELECT source, CAST(rank AS INT) AS rank, doc_id, coin, " +
+        "flag.ok AS normalize_collapsed_all " +
+        "FROM ranked, flag WHERE rank <= 4 ORDER BY source, rank"),
 
     "text_normalize" ->
       ("WITH p AS (SELECT doc_id, concat(text, ' Cafe' || chr(769) || ' ' || chr(201) " +
