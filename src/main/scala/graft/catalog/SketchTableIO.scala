@@ -29,14 +29,17 @@ class SketchTableIO(val spark: SparkSession, val root: String) {
   Files.createDirectories(manifestDir)
 
   def versions: Seq[Long] = {
-    val it = Files.list(manifestDir).iterator()
-    val vs = scala.collection.mutable.ArrayBuffer.empty[Long]
-    while (it.hasNext) {
-      val n = it.next().getFileName.toString
-      if (n.startsWith("v") && n.endsWith(".json"))
-        vs += n.stripPrefix("v").stripSuffix(".json").toLong
-    }
-    vs.toSeq.sorted
+    val list = Files.list(manifestDir)
+    try {
+      val it = list.iterator()
+      val vs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        if (n.startsWith("v") && n.endsWith(".json"))
+          vs += n.stripPrefix("v").stripSuffix(".json").toLong
+      }
+      vs.toSeq.sorted
+    } finally list.close()
   }
 
   def currentVersion: Long = versions.lastOption.getOrElse(0L)
@@ -70,12 +73,15 @@ class SketchTableIO(val spark: SparkSession, val root: String) {
         case e: java.nio.file.FileSystemException if Files.exists(dataDir(v)) => v += 1
       }
     }
-    val files = Files.list(dataDir(v)).iterator()
+    val listing = Files.list(dataDir(v))
     val fileList = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (files.hasNext) {
-      val p = files.next()
-      if (p.getFileName.toString.endsWith(".parquet")) fileList += p.toString
-    }
+    try {
+      val files = listing.iterator()
+      while (files.hasNext) {
+        val p = files.next()
+        if (p.getFileName.toString.endsWith(".parquet")) fileList += p.toString
+      }
+    } finally listing.close()
     val rows = spark.read.parquet(fileList.toSeq: _*).count()
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val rootNode = mapper.createObjectNode()
@@ -116,11 +122,28 @@ class SketchTableIO(val spark: SparkSession, val root: String) {
    * sized — AQE broadcasts it, so no corpus-scale shuffle) plus a
    * union of the upsert rows; the only corpus-scale cost is the
    * rewrite itself, which is what copy-on-write means.
+   *
+   * Malformed batches fail FAST instead of corrupting silently: an
+   * unknown `op` value would otherwise DELETE its key (the key is in
+   * `touched` but its row is never re-added), and two upserts for
+   * one key would commit duplicate-key rows (there is no order
+   * within a batch to break the tie — Delta/Iceberg MERGE raise on
+   * multiple source matches for the same reason). Both checks cost
+   * one aggregation over the batch-sized change set.
    */
   def mergeCommit(changes: DataFrame, key: String): Long = {
-    import org.apache.spark.sql.functions.col
-    val current = read()
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val badOps = changes.filter(!col("op").isin("upsert", "delete"))
+      .select("op").distinct().collect().map(_.getString(0))
+    require(badOps.isEmpty,
+      s"unknown op value(s) ${badOps.mkString(", ")} — only upsert/delete are applied")
     val upserts = changes.filter(col("op") === "upsert").drop("op")
+    val dupKeys = upserts.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(5).collect().map(_.get(0))
+    require(dupKeys.isEmpty,
+      s"multiple upserts for key(s) ${dupKeys.mkString(", ")} in one change batch — " +
+        "resolve to one row per key upstream (no order exists within a batch)")
+    val current = read()
     val touched = changes.select(col(key)).distinct()
     val merged = current.join(touched, Seq(key), "left_anti")
       .unionByName(upserts.select(current.columns.map(col).toIndexedSeq: _*))
@@ -139,19 +162,18 @@ class SketchTableIO(val spark: SparkSession, val root: String) {
    * also swept, but only when older than `orphanAgeMs` — a younger
    * unpublished dir may be a CONCURRENT commit between its data-dir
    * claim and its manifest publish (the same reason Iceberg's
-   * remove_orphan_files takes an age threshold). Returns the expired
-   * versions.
+   * remove_orphan_files takes an age threshold; the default mirrors
+   * Iceberg's 3 days). Age is the NEWEST mtime anywhere in the dir's
+   * tree, not the top-level dir's — a directory's own mtime freezes
+   * once its children exist, so a long-running write would otherwise
+   * look aged while still in flight. Returns the expired versions.
    */
-  def expireSnapshots(keepLast: Int, orphanAgeMs: Long = 3600000L): Seq[Long] = {
+  def expireSnapshots(keepLast: Int,
+                      orphanAgeMs: Long = 3L * 24 * 3600 * 1000): Seq[Long] = {
     require(keepLast >= 1, "must keep at least the latest snapshot")
     val vs = versions
     val expire = vs.dropRight(keepLast)
-    def deleteTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.deleteIfExists(f))
-      finally walk.close()
-    }
+    def deleteTree(p: java.nio.file.Path): Unit = graft.util.Scratch.deleteTree(p)
     expire.foreach { v =>
       Files.deleteIfExists(manifestPath(v))
       deleteTree(dataDir(v))
@@ -159,18 +181,28 @@ class SketchTableIO(val spark: SparkSession, val root: String) {
     // failed-commit leftovers: claimed data dirs that never published
     val dataRoot = Paths.get(root, "data")
     if (Files.exists(dataRoot)) {
-      val it = Files.list(dataRoot).iterator()
-      val orphans = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-      val cutoff = System.currentTimeMillis() - orphanAgeMs
-      while (it.hasNext) {
-        val p = it.next()
-        val n = p.getFileName.toString
-        val published = n.startsWith("v") && n.length > 1 &&
-          n.stripPrefix("v").forall(_.isDigit) &&
-          Files.exists(manifestPath(n.stripPrefix("v").toLong))
-        val oldEnough = Files.getLastModifiedTime(p).toMillis < cutoff
-        if (!published && oldEnough) orphans += p
+      // newest mtime anywhere in the tree — a live writer is still
+      // touching SOME file even when the top dir's mtime is frozen
+      def newestMtime(p: java.nio.file.Path): Long = {
+        val walk = Files.walk(p)
+        try walk.mapToLong(f => Files.getLastModifiedTime(f).toMillis).max.orElse(0L)
+        finally walk.close()
       }
+      val list = Files.list(dataRoot)
+      val orphans = try {
+        val it = list.iterator()
+        val acc = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+        val cutoff = System.currentTimeMillis() - orphanAgeMs
+        while (it.hasNext) {
+          val p = it.next()
+          val n = p.getFileName.toString
+          val published = n.startsWith("v") && n.length > 1 &&
+            n.stripPrefix("v").forall(_.isDigit) &&
+            Files.exists(manifestPath(n.stripPrefix("v").toLong))
+          if (!published && newestMtime(p) < cutoff) acc += p
+        }
+        acc
+      } finally list.close()
       orphans.foreach(deleteTree)
     }
     expire

@@ -32,6 +32,14 @@ object PipelineQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Engine-reproducible sampling coin: the top 12 hex digits of
+    * md5(<id as string>) read as a bigint — the ONE definition shared
+    * by `sample_uniform` and `pipeline_release` (their oracles replay
+    * the identical formula; a coin change edits this and the two SQL
+    * strings, nothing else). */
+  private def md5Coin(idCol: String): String =
+    s"cast(conv(substring(md5(cast($idCol as string)), 1, 12), 16, 10) as bigint)"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- text analysis --------------------------------------------------
@@ -67,17 +75,12 @@ object PipelineQueries {
     // coercion, dropped rows — fails the row/hash compare.
     "source_jsonl" -> ((s, dir) => {
       val d = docs(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graftjsonl")
+      val tmp = graft.util.Scratch.tempDir("graftjsonl")
       // the round-tripped frame reads this dir lazily, so it cannot be
-      // deleted here; a shutdown hook bounds the leak (the gzip copy
-      // is a full documents-table replica — heavier scratch than the
-      // streaming gates' checkpoints)
-      sys.addShutdownHook {
-        val walk = java.nio.file.Files.walk(tmp)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      }
+      // deleted here; Scratch.tempDir's exit hook bounds the leak (the
+      // gzip copy is a full documents-table replica — heavier scratch
+      // than the streaming gates' checkpoints; ALL gate scratch now
+      // goes through Scratch so no gate can forget the cleanup)
       val path = tmp.resolve("docs").toString
       d.write.mode("overwrite").option("compression", "gzip").json(path)
       s.read.schema(d.schema).json(path)
@@ -96,13 +99,7 @@ object PipelineQueries {
     // row/hash compare.
     "source_orc" -> ((s, dir) => {
       val d = docs(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graftorc")
-      sys.addShutdownHook {
-        val walk = java.nio.file.Files.walk(tmp)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      }
+      val tmp = graft.util.Scratch.tempDir("graftorc")
       val path = tmp.resolve("docs").toString
       d.write.mode("overwrite").orc(path)
       s.read.schema(d.schema).orc(path)
@@ -126,13 +123,7 @@ object PipelineQueries {
           concat(col("text"), lit(" x,\"q\"\ny")))
           .otherwise(col("text")).as("text"),
         col("lang"), col("source"), col("n_chars"))
-      val tmp = java.nio.file.Files.createTempDirectory("graftcsv")
-      sys.addShutdownHook {
-        val walk = java.nio.file.Files.walk(tmp)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      }
+      val tmp = graft.util.Scratch.tempDir("graftcsv")
       val path = tmp.resolve("docs").toString
       d.write.mode("overwrite")
         .option("header", "true").option("escape", "\"")
@@ -160,13 +151,7 @@ object PipelineQueries {
     "table_merge_upsert" -> ((s, dir) => {
       import graft.catalog.SketchTableIO
       val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
-      val tmp = java.nio.file.Files.createTempDirectory("graftmerge")
-      sys.addShutdownHook {
-        val walk = java.nio.file.Files.walk(tmp)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      }
+      val tmp = graft.util.Scratch.tempDir("graftmerge")
       val t = new SketchTableIO(s, tmp.toString)
       t.commit(d)
       // insert ids shifted past the OBSERVED id space (not a fixed
@@ -206,7 +191,7 @@ object PipelineQueries {
     // after three merges) ride as gated columns.
     "stream_merge_upsert" -> ((s, dir) => {
       import graft.catalog.SketchTableIO
-      val tmp = java.nio.file.Files.createTempDirectory("graftsmerge")
+      val tmp = graft.util.Scratch.tempDir("graftsmerge")
       val in = tmp.resolve("in").toString
       val root = tmp.resolve("table").toString
       val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
@@ -358,7 +343,7 @@ object PipelineQueries {
     // oracle via the join_shuffles column (counted on the pre-AQE
     // physical plan, so AQE's runtime rewrites can't mask a shuffle)
     "q_bucketed_join" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("bkt").toString
+      val root = graft.util.Scratch.tempDir("bkt").toString
       Layout.writeBucketed(s.read.parquet(s"$dir/customer.parquet"),
         "graft_bkt_customer", s"$root/customer", "c_custkey", 8)
       Layout.writeBucketed(s.read.parquet(s"$dir/orders.parquet"),
@@ -400,7 +385,7 @@ object PipelineQueries {
     // metric equal to the one selected directory's file count) is
     // part of the gated answer
     "q_partition_prune" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("hivep").toString
+      val root = graft.util.Scratch.tempDir("hivep").toString
       Layout.writeHivePartitioned(docs(s, dir), root, "source")
       val r = s.read.parquet(root).filter(col("source") === "src7")
       val dirFiles = new java.io.File(s"$root/source=src7").listFiles()
@@ -421,7 +406,7 @@ object PipelineQueries {
     // range bounds actually REACHED the reader (PushedFilters); the
     // row-group-skip ratio itself is spec-measured (LayoutSpec)
     "q_zonemap_prune" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("zmap").toString
+      val root = graft.util.Scratch.tempDir("zmap").toString
       val ev = s.read.parquet(s"$dir/events.parquet")
         // ts is TIMESTAMP_NTZ; session TZ is UTC, so the cast is identity
         .withColumn("ts_ms", unix_millis(col("ts").cast("timestamp")))
@@ -454,7 +439,7 @@ object PipelineQueries {
     // (cross_axis_pruned). The answer itself is layout-independent
     // and replayed plainly by the oracle.
     "q_zorder_layout" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("zord").toString
+      val root = graft.util.Scratch.tempDir("zord").toString
       val ev = s.read.parquet(s"$dir/events.parquet")
         .withColumn("ts_ms", unix_millis(col("ts").cast("timestamp")))
       val mm = ev.agg(min("ts_ms"), max("ts_ms"), min("user_id"), max("user_id"))
@@ -498,7 +483,7 @@ object PipelineQueries {
     // oracle-checked answer. The no-bloom control (stats alone skip
     // nothing) is spec-measured (LayoutSpec).
     "q_parquet_bloom" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("pqbloom").toString
+      val root = graft.util.Scratch.tempDir("pqbloom").toString
       val d = docs(s, dir).withColumn("key", md5(col("text")))
       d.repartition(16, col("key")).write.mode("overwrite")
         .option("parquet.bloom.filter.enabled#key", "true")
@@ -788,8 +773,7 @@ object PipelineQueries {
       // per-source review sample of the deduped release: bottom-4 by
       // the engine-reproducible md5 coin (the sample_uniform core)
       val coined = survivors
-        .withColumn("coin",
-          expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 12), 16, 10) as bigint)"))
+        .withColumn("coin", expr(md5Coin("doc_id")))
         .withColumn("neg", -col("coin"))
       coined.groupBy("source")
         .agg(topk_agg(col("neg"), col("doc_id").cast("string"), 4).as("sk"))
@@ -857,7 +841,7 @@ object PipelineQueries {
     // n-grams ride in one row, so batch boundaries can't change the
     // answer
     "stream_decontam" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graftsdc")
+      val tmp = graft.util.Scratch.tempDir("graftsdc")
       val in = tmp.resolve("in").toString
       val d = docs(s, dir)
       d.filter(col("doc_id") % 7 =!= 0)
@@ -876,7 +860,7 @@ object PipelineQueries {
     // compaction job's half), stateless per doc so batching can't
     // change any answer
     "stream_dedup_incremental" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graftsdi")
+      val tmp = graft.util.Scratch.tempDir("graftsdi")
       val in = tmp.resolve("in").toString
       val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"), col("text"))
       val corpus = d.filter(col("doc_id") % 3 =!= 0)
@@ -898,7 +882,7 @@ object PipelineQueries {
     // prefix whose windows must be cut, so the scrub is falsifiable in
     // both directions. Same cut core as dedup_substrings.
     "stream_substring_scrub" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graftsss")
+      val tmp = graft.util.Scratch.tempDir("graftsss")
       val in = tmp.resolve("in").toString
       val corpus = TokenTable.load(s, dir)
         .select(col("doc_id").cast("long").as("doc_id"), col("tokens"))
@@ -998,14 +982,19 @@ object PipelineQueries {
       val k = 64
       val grams = docs(s, dir).select(col("doc_id"),
         explode(TextFunctions.shingles(TextFunctions.words(col("text")), 3)).as("gram"))
-      val corpusG = grams.filter(col("doc_id") % 3 =!= 0).select("gram").distinct()
-      val crawlG = grams.filter(col("doc_id") % 3 === 0).select("gram").distinct()
+      // each side feeds THREE actions (sketch, count, except) —
+      // persist the shingle-distinct once per side instead of paying
+      // the explode+distinct shuffle six times
+      val corpusG = grams.filter(col("doc_id") % 3 =!= 0).select("gram").distinct().persist()
+      val crawlG = grams.filter(col("doc_id") % 3 === 0).select("gram").distinct().persist()
       def sketchOf(g: DataFrame): Kmv = Kmv.deserialize(
         g.agg(kmv_agg(col("gram"), k).as("sk")).collect()(0).getAs[Array[Byte]]("sk"))
       val (skCorpus, skCrawl) = (sketchOf(corpusG), sketchOf(crawlG))
       val nCorpus = corpusG.count()
       val nCrawl = crawlG.count()
       val nNew = crawlG.except(corpusG).count()
+      corpusG.unpersist()
+      crawlG.unpersist()
       val nUnion = nCorpus + nCrawl - (nCrawl - nNew)
       val u = Kmv.union(skCorpus, skCrawl)
       val nNewSample = Kmv.onlyInFirst(skCrawl, skCorpus).toLong
@@ -1079,8 +1068,7 @@ object PipelineQueries {
       val k = 4
       val d = docs(s, dir).select(col("source"), col("lang"),
         col("doc_id").cast("string").as("doc_id"))
-        .withColumn("coin",
-          expr("cast(conv(substring(md5(doc_id), 1, 12), 16, 10) as bigint)"))
+        .withColumn("coin", expr(md5Coin("doc_id")))
         .withColumn("neg", -col("coin"))
       val direct = d.groupBy("source")
         .agg(topk_agg(col("neg"), col("doc_id"), k).as("sk"))
@@ -1194,7 +1182,7 @@ object PipelineQueries {
     // lists + term stats); stateless per query, so the oracle is the
     // batch operator's oracle verbatim
     "stream_retrieval" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graftsrt")
+      val tmp = graft.util.Scratch.tempDir("graftsrt")
       val in = tmp.resolve("in").toString
       val d = docs(s, dir)
       d.filter(col("doc_id") % 50 === 0)
@@ -1248,7 +1236,7 @@ object PipelineQueries {
     // ---- streaming ------------------------------------------------------
 
     "stream_sketch_incremental" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graftstream")
+      val tmp = graft.util.Scratch.tempDir("graftstream")
       val in = tmp.resolve("in").toString
       val cp = tmp.resolve("cp").toString
       TokenTable.load(s, dir).repartition(8).write.mode("overwrite").parquet(in)
@@ -1264,7 +1252,7 @@ object PipelineQueries {
     // must hold against exact per-token truth no matter how the
     // stream was batched
     "stream_freq_heavy_hitters" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graftfreq")
+      val tmp = graft.util.Scratch.tempDir("graftfreq")
       val in = tmp.resolve("in").toString
       TokenTable.load(s, dir).repartition(8).write.mode("overwrite").parquet(in)
       val streamed = graft.streaming.SketchStream.runIncrementalFreq(
@@ -1277,7 +1265,7 @@ object PipelineQueries {
     // boundaries means the drained ranks are DuckDB-replayable row
     // for row (stronger than the heavy-hitter contract gate)
     "stream_topk" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("grafttopk")
+      val tmp = graft.util.Scratch.tempDir("grafttopk")
       val in = tmp.resolve("in").toString
       TokenTable.load(s, dir).repartition(8).write.mode("overwrite").parquet(in)
       graft.streaming.SketchStream.runIncrementalTopK(
@@ -1289,7 +1277,7 @@ object PipelineQueries {
     // VERSIONED sketch table (no driver collect; batch_id-idempotent
     // commits): final snapshot == one-shot batch, history monotone
     "stream_sketch_table" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graftstb")
+      val tmp = graft.util.Scratch.tempDir("graftstb")
       val in = tmp.resolve("in").toString
       TokenTable.load(s, dir).repartition(8).write.mode("overwrite").parquet(in)
       val io = new graft.catalog.SketchTableIO(s, tmp.resolve("table").toString)
@@ -1308,7 +1296,7 @@ object PipelineQueries {
     // watermarked event-time windows + Catalyst sketch agg in streaming;
     // final upserts must equal the one-shot batch windowed aggregation
     "stream_windowed_hll" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graftwin")
+      val tmp = graft.util.Scratch.tempDir("graftwin")
       val in = tmp.resolve("in").toString
       // time-ordered files: the file source replays them in path order,
       // so event time advances like a real stream and the watermark
@@ -1338,7 +1326,7 @@ object PipelineQueries {
     // phases with pinned mtimes), so first-arrived == lowest doc_id ==
     // the batch operator's keep rule, exactly
     "stream_dedup_exact" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graftsdedup")
+      val tmp = graft.util.Scratch.tempDir("graftsdedup")
       val in = tmp.resolve("in").toString
       val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"), col("text"))
       def pinMtimes(base: Long, exclude: Set[String]): Set[String] = {
@@ -1385,7 +1373,7 @@ object PipelineQueries {
     "stream_dedup_watermark" -> ((s, dir) => {
       import s.implicits._
       s.conf.set("spark.sql.session.timeZone", "UTC")
-      val tmp = java.nio.file.Files.createTempDirectory("graftwmd")
+      val tmp = graft.util.Scratch.tempDir("graftwmd")
       val in = tmp.resolve("in")
       java.nio.file.Files.createDirectories(in)
       // UTC-anchored instants: Timestamp.valueOf would interpret the
@@ -1425,7 +1413,7 @@ object PipelineQueries {
     // custom per-key sketch state (mapGroupsWithState): bloom of event
     // types per user; bounded state, exact at this cardinality
     "stream_user_state" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graftstate")
+      val tmp = graft.util.Scratch.tempDir("graftstate")
       val in = tmp.resolve("in").toString
       s.read.parquet(s"$dir/events.parquet").repartition(8)
         .write.mode("overwrite").parquet(in)
@@ -1437,7 +1425,7 @@ object PipelineQueries {
     // same contract on the transformWithState API (explicit ValueState
     // schema over the RocksDB store) — Spark 4's arbitrary-state operator
     "stream_tws_user_state" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("grafttws")
+      val tmp = graft.util.Scratch.tempDir("grafttws")
       val in = tmp.resolve("in").toString
       s.read.parquet(s"$dir/events.parquet").repartition(8)
         .write.mode("overwrite").parquet(in)
@@ -1452,7 +1440,7 @@ object PipelineQueries {
     // no-data micro-batch emits — every real session; result must
     // match the batch operator session-for-session
     "stream_sessionize" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graftsess")
+      val tmp = graft.util.Scratch.tempDir("graftsess")
       val in = tmp.resolve("in").toString
       def pinMtimes(base: Long, exclude: Set[String]): Set[String] = {
         val parts = java.nio.file.Files.list(java.nio.file.Paths.get(in)).iterator()
@@ -1496,7 +1484,7 @@ object PipelineQueries {
     // bound the symmetric join state; drained pairs == batch interval
     // join exactly
     "stream_interval_join" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graftsij")
+      val tmp = graft.util.Scratch.tempDir("graftsij")
       val in = tmp.resolve("in").toString
       s.read.parquet(s"$dir/events.parquet")
         .repartitionByRange(8, col("ts")).sortWithinPartitions("ts")
@@ -1524,7 +1512,7 @@ object PipelineQueries {
     // old estimates (immutable snapshots), v2 must equal a direct build
     "sketch_table_snapshots" -> ((s, dir) => {
       val io = new graft.catalog.SketchTableIO(s,
-        java.nio.file.Files.createTempDirectory("snaps").toString)
+        graft.util.Scratch.tempDir("snaps").toString)
       def build(d: DataFrame) = d
         .select(col("source"), explode(col("tokens")).as("token"))
         .groupBy("source")
@@ -1551,7 +1539,7 @@ object PipelineQueries {
     // resumes from the lineage journal, and the folded result must be
     // bit-equivalent to a single-shot build (north rule resumability)
     "resumable_build" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graftresume")
+      val tmp = graft.util.Scratch.tempDir("graftresume")
       val in = tmp.resolve("in").toString
       TokenTable.load(s, dir).repartition(8).write.mode("overwrite").parquet(in)
       val ckpt = tmp.resolve("ckpt").toString
@@ -1618,7 +1606,7 @@ object PipelineQueries {
     "op_c_wire_trace" -> ((s, dir) => {
       import s.implicits._
       val srv = new graft.catalog.CWireServer(new graft.catalog.SketchCatalog(s,
-        java.nio.file.Files.createTempDirectory("cwire").toString))
+        graft.util.Scratch.tempDir("cwire").toString))
       CWireTrace.zipWithIndex
         .map { case (cmd, i) =>
           (i + 1, if (cmd.length > 40) cmd.take(20) + "..." else cmd,
@@ -1635,7 +1623,7 @@ object PipelineQueries {
     "op_tcp_wire_trace" -> ((s, dir) => {
       import s.implicits._
       val srv = new graft.catalog.CWireServer(new graft.catalog.SketchCatalog(s,
-        java.nio.file.Files.createTempDirectory("tcpwire").toString))
+        graft.util.Scratch.tempDir("tcpwire").toString))
       val tcp = new graft.catalog.WireTcpServer(srv.interpret)
       try {
         val rows = graft.catalog.WireTcpClient.session(tcp.port) { send =>
@@ -1653,7 +1641,7 @@ object PipelineQueries {
     // filter.c:435-536) and prove membership/shape survived
     "op_bloomd_restore" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("bloomdrestore")
+      val tmp = graft.util.Scratch.tempDir("bloomdrestore")
         .resolve("bloomd.migrated")
       java.nio.file.Files.createDirectories(tmp)
       // build a 3-layer SBF exactly as the daemon would (sequential
@@ -1693,7 +1681,7 @@ object PipelineQueries {
     "op_rust_wire_trace" -> ((s, dir) => {
       import s.implicits._
       val srv = new graft.catalog.RustBloomServer(
-        java.nio.file.Files.createTempDirectory("rustwire").toString)
+        graft.util.Scratch.tempDir("rustwire").toString)
       val trace = Seq(
         "create filter", "create filter",
         "check filter first", "set filter first", "c filter first",

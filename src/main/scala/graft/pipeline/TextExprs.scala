@@ -285,11 +285,14 @@ case class StripAccents(child: Expression)
     val s = input.asInstanceOf[UTF8String].toString
     val d = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
     val sb = new java.lang.StringBuilder(d.length)
+    // walk CODE POINTS, not chars: supplementary-plane combining
+    // marks (e.g. U+10A01) are surrogate pairs, and per-char getType
+    // would return SURROGATE and keep them — diverging from utf8proc
     var i = 0
     while (i < d.length) {
-      val c = d.charAt(i)
-      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
-      i += 1
+      val cp = d.codePointAt(i)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK) sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
     }
     UTF8String.fromString(sb.toString)
   }

@@ -93,12 +93,7 @@ object StreamDecontam {
     // the cached blocks are dropped and no plan reads the staging
     // parquet again — reclaim it (repeated runs would otherwise
     // accumulate orphaned temp trees)
-    locally {
-      val walk = java.nio.file.Files.walk(testGDir)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
-    }
+    graft.util.Scratch.deleteTree(testGDir)
     // stream idle after the drain: compact the per-batch files (the
     // gate reads — and oracles — the compacted layout, like the other
     // drained streaming operators)

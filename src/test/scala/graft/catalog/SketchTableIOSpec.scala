@@ -58,6 +58,18 @@ class SketchTableIOSpec extends AnyFunSuite {
     // time travel: the pre-merge snapshot is untouched
     assert(io.read(1).as[(Int, String)].collect().toSet ==
       Set((1, "one"), (2, "two"), (3, "three"), (4, "four")))
+    // malformed batches fail fast instead of corrupting silently
+    intercept[IllegalArgumentException] { // unknown op would silently delete
+      io.mergeCommit(Seq((1, "x", "update")).toDF("id", "s", "op"), "id")
+    }
+    intercept[IllegalArgumentException] { // two upserts, one key, no order
+      io.mergeCommit(Seq((1, "x", "upsert"), (1, "y", "upsert"))
+        .toDF("id", "s", "op"), "id")
+    }
+    // neither rejected batch burned a version or changed the table
+    assert(io.versions == Seq(1L, 2L))
+    assert(io.read(2).as[(Int, String)].collect().toSet ==
+      Set((1, "one"), (2, "TWO"), (4, "FOUR"), (5, "five")))
   }
 
   test("expireSnapshots: old versions unreadable, kept ones intact, aged orphans swept, young ones spared") {
@@ -74,7 +86,7 @@ class SketchTableIOSpec extends AnyFunSuite {
     Files.createDirectories(young)
     Files.setLastModifiedTime(aged,
       java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 7200000L))
-    assert(io.expireSnapshots(keepLast = 2) == Seq(1L))
+    assert(io.expireSnapshots(keepLast = 2, orphanAgeMs = 3600000L) == Seq(1L))
     assert(io.versions == Seq(2L, 3L))
     assert(io.read(2).count() == 1 && io.read(3).count() == 1)
     intercept[IllegalArgumentException](io.read(1))

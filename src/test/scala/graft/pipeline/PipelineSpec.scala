@@ -50,6 +50,14 @@ class PipelineSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getString(0) == r.getString(1), "NFC idempotent"))
     assert(rows(0).getString(2) == "Cafe" && rows(1).getString(2) == "Cafe")
     assert(rows(4).getString(2) == "Noel i A")
+    // supplementary-plane combining mark (U+10A01, Mn, a surrogate
+    // pair in UTF-16): code-point iteration must strip it; per-char
+    // iteration would see SURROGATE halves and keep it
+    val kharoshthi = new String(Character.toChars(0x10A00)) +
+      new String(Character.toChars(0x10A01))
+    val sup = Seq(kharoshthi).toDF("t")
+      .select(TextFunctions.stripAccents(col("t")).as("s")).collect()(0).getString(0)
+    assert(sup == new String(Character.toChars(0x10A00)))
     // registry surface agrees with the typed API
     graft.agg.GraftFunctions.register(spark)
     val viaSql = spark.sql(
