@@ -151,6 +151,18 @@ class SketchTableIO(val spark: SparkSession, val root: String) {
   }
 
   /**
+   * OPTIMIZE — the third table-maintenance verb beside MERGE and
+   * VACUUM: rewrite the latest snapshot through a layout function
+   * (re-sort, z-order via [[graft.pipeline.Layout.zValue]],
+   * repartition for file sizing) and commit the result as a new
+   * version. Rows are untouched — only the physical layout changes —
+   * and readers on the old version are unaffected (CoW); pair with
+   * [[expireSnapshots]] to reclaim the pre-optimize copy.
+   */
+  def optimizeCommit(layout: DataFrame => DataFrame): Long =
+    commit(layout(read()))
+
+  /**
    * Expire old snapshots, keeping the newest `keepLast` versions —
    * the vacuum half of copy-on-write maintenance (every merge leaves
    * a full old copy behind; without expiry the table is O(versions)

@@ -72,6 +72,22 @@ class SketchTableIOSpec extends AnyFunSuite {
       Set((1, "one"), (2, "TWO"), (4, "FOUR"), (5, "five")))
   }
 
+  test("optimizeCommit: layout rewrite preserves rows exactly, bumps the version, leaves the old copy readable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val io = new SketchTableIO(spark, Files.createTempDirectory("tio6").toString)
+    val rows = (1 to 100).map(i => (i, s"s$i"))
+    io.commit(rows.toDF("id", "s").repartition(7))
+    val v = io.optimizeCommit(df =>
+      df.repartitionByRange(4, col("id")).sortWithinPartitions("id"))
+    assert(v == 2L)
+    assert(io.read(2).as[(Int, String)].collect().toSet == rows.toSet)
+    assert(io.read(1).as[(Int, String)].collect().toSet == rows.toSet)
+    // the rewrite actually changed the physical layout (file count)
+    def nFiles(ver: Long) = io.read(ver).inputFiles.length
+    assert(nFiles(2) == 4 && nFiles(1) == 7)
+  }
+
   test("expireSnapshots: old versions unreadable, kept ones intact, aged orphans swept, young ones spared") {
     import spark.implicits._
     val io = new SketchTableIO(spark, Files.createTempDirectory("tio5").toString)
