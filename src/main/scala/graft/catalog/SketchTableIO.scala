@@ -133,8 +133,13 @@ class SketchTableIO(val spark: SparkSession, val root: String) {
    */
   def mergeCommit(changes: DataFrame, key: String): Long = {
     import org.apache.spark.sql.functions.{col, count, lit}
-    val badOps = changes.filter(!col("op").isin("upsert", "delete"))
-      .select("op").distinct().collect().map(_.getString(0))
+    // NULL op must be flagged too: isin is NULL for NULL input, the
+    // negation stays NULL, and filter would drop the row — letting a
+    // malformed record slip into `touched` and silently delete its key
+    val badOps = changes
+      .filter(col("op").isNull || !col("op").isin("upsert", "delete"))
+      .select("op").distinct().collect()
+      .map(r => if (r.isNullAt(0)) "NULL" else r.getString(0))
     require(badOps.isEmpty,
       s"unknown op value(s) ${badOps.mkString(", ")} — only upsert/delete are applied")
     val upserts = changes.filter(col("op") === "upsert").drop("op")
@@ -194,12 +199,22 @@ class SketchTableIO(val spark: SparkSession, val root: String) {
     val dataRoot = Paths.get(root, "data")
     if (Files.exists(dataRoot)) {
       // newest mtime anywhere in the tree — a live writer is still
-      // touching SOME file even when the top dir's mtime is frozen
-      def newestMtime(p: java.nio.file.Path): Long = {
-        val walk = Files.walk(p)
-        try walk.mapToLong(f => Files.getLastModifiedTime(f).toMillis).max.orElse(0L)
-        finally walk.close()
-      }
+      // touching SOME file even when the top dir's mtime is frozen.
+      // A file vanishing mid-walk (the parquet committer renames
+      // _temporary files constantly) means the dir IS live: report it
+      // as brand-new instead of crashing the sweep
+      def newestMtime(p: java.nio.file.Path): Long =
+        try {
+          val walk = Files.walk(p)
+          try walk.mapToLong { f =>
+            try Files.getLastModifiedTime(f).toMillis
+            catch { case _: java.io.IOException => Long.MaxValue }
+          }.max.orElse(0L)
+          finally walk.close()
+        } catch {
+          case _: java.io.IOException | _: java.io.UncheckedIOException =>
+            Long.MaxValue
+        }
       val list = Files.list(dataRoot)
       val orphans = try {
         val it = list.iterator()

@@ -40,6 +40,28 @@ object PipelineQueries {
   private def md5Coin(idCol: String): String =
     s"cast(conv(substring(md5(cast($idCol as string)), 1, 12), 16, 10) as bigint)"
 
+  /** Pin ascending mtimes on the NEW parquet files under `in` (those
+    * not in `exclude`), filename order from `base` — the streaming
+    * gates' total control of file arrival order (the file source
+    * batches by mtime); ONE definition for every staged-stream gate.
+    * Returns the grown exclude set. */
+  private def pinMtimes(in: String)(base: Long, exclude: Set[String]): Set[String] = {
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(in))
+    val ps = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    try {
+      val parts = listing.iterator()
+      while (parts.hasNext) {
+        val p = parts.next()
+        if (p.toString.endsWith(".parquet") && !exclude.contains(p.toString)) ps += p
+      }
+    } finally listing.close()
+    ps.sortBy(_.getFileName.toString).zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 60000L))
+    }
+    exclude ++ ps.map(_.toString)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- text analysis --------------------------------------------------
@@ -196,19 +218,6 @@ object PipelineQueries {
       val root = tmp.resolve("table").toString
       val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
       new SketchTableIO(s, root).commit(d)
-      def pinMtimes(base: Long, exclude: Set[String]): Set[String] = {
-        val parts = java.nio.file.Files.list(java.nio.file.Paths.get(in)).iterator()
-        val ps = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-        while (parts.hasNext) {
-          val p = parts.next()
-          if (p.toString.endsWith(".parquet") && !exclude.contains(p.toString)) ps += p
-        }
-        ps.sortBy(_.getFileName.toString).zipWithIndex.foreach { case (p, i) =>
-          java.nio.file.Files.setLastModifiedTime(p,
-            java.nio.file.attribute.FileTime.fromMillis(base + i * 60000L))
-        }
-        exclude ++ ps.map(_.toString)
-      }
       val b1 = d.filter(col("doc_id") % 5 === 0)
         .select(col("doc_id"), col("source"), upper(col("text")).as("text"),
           lit("upsert").as("op"))
@@ -224,11 +233,11 @@ object PipelineQueries {
             concat(lit("new "), col("text")).as("text"),
             lit("upsert").as("op")))
       b1.coalesce(1).write.mode("overwrite").parquet(in)
-      val seen1 = pinMtimes(1000000000000L, Set.empty)
+      val seen1 = pinMtimes(in)(1000000000000L, Set.empty)
       b2.coalesce(1).write.mode("append").parquet(in)
-      val seen2 = pinMtimes(2000000000000L, seen1)
+      val seen2 = pinMtimes(in)(2000000000000L, seen1)
       b3.coalesce(1).write.mode("append").parquet(in)
-      pinMtimes(3000000000000L, seen2)
+      pinMtimes(in)(3000000000000L, seen2)
       val merged = graft.streaming.StreamMerge.applyChanges(
         s, in, root, "doc_id", tmp.resolve("cp").toString)
       val t = new SketchTableIO(s, root)
@@ -761,10 +770,14 @@ object PipelineQueries {
         TextFunctions.nfc(col("text")).as("text"))
       // exact dedup over NORMALIZED bytes: min doc_id survives, so
       // every crawl-B replica drops iff normalization collapsed it
+      // persisted: the minCopies action AND the sample plan both read
+      // it — without the persist each would re-run the 2x-corpus
+      // union + NFC + md5 + groupBy shuffle
       val survivors = normalized
         .withColumn("fp", md5(col("text")))
         .groupBy("fp").agg(min(col("doc_id")).as("doc_id"),
           min(col("source")).as("source"), count(lit(1)).as("n_copies"))
+        .persist()
       // every text rides BOTH crawls, so after normalization no fp
       // group can be a singleton (natural intra-corpus duplicates
       // merge groups, which keeps the invariant); skip the normalize
@@ -1329,26 +1342,13 @@ object PipelineQueries {
       val tmp = graft.util.Scratch.tempDir("graftsdedup")
       val in = tmp.resolve("in").toString
       val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      def pinMtimes(base: Long, exclude: Set[String]): Set[String] = {
-        val parts = java.nio.file.Files.list(java.nio.file.Paths.get(in)).iterator()
-        val ps = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-        while (parts.hasNext) {
-          val p = parts.next()
-          if (p.toString.endsWith(".parquet") && !exclude.contains(p.toString)) ps += p
-        }
-        ps.sortBy(_.getFileName.toString).zipWithIndex.foreach { case (p, i) =>
-          java.nio.file.Files.setLastModifiedTime(p,
-            java.nio.file.attribute.FileTime.fromMillis(base + i * 60000L))
-        }
-        exclude ++ ps.map(_.toString)
-      }
       d.repartitionByRange(2, col("doc_id")).sortWithinPartitions("doc_id")
         .write.mode("overwrite").parquet(in)
-      val phase1 = pinMtimes(1000000000000L, Set.empty)
+      val phase1 = pinMtimes(in)(1000000000000L, Set.empty)
       d.select((col("doc_id") + 10000).as("doc_id"), col("text"))
         .repartitionByRange(2, col("doc_id")).sortWithinPartitions("doc_id")
         .write.mode("append").parquet(in)
-      pinMtimes(2000000000000L, phase1) // only the NEW (dup) files move later
+      pinMtimes(in)(2000000000000L, phase1) // only the NEW (dup) files move later
       val dup = d.union(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
       // one file per trigger: the corpus can contain internal exact
       // duplicates, and two clique members in different files of the
@@ -1442,25 +1442,12 @@ object PipelineQueries {
     "stream_sessionize" -> ((s, dir) => {
       val tmp = graft.util.Scratch.tempDir("graftsess")
       val in = tmp.resolve("in").toString
-      def pinMtimes(base: Long, exclude: Set[String]): Set[String] = {
-        val parts = java.nio.file.Files.list(java.nio.file.Paths.get(in)).iterator()
-        val ps = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-        while (parts.hasNext) {
-          val p = parts.next()
-          if (p.toString.endsWith(".parquet") && !exclude.contains(p.toString)) ps += p
-        }
-        ps.sortBy(_.getFileName.toString).zipWithIndex.foreach { case (p, i) =>
-          java.nio.file.Files.setLastModifiedTime(p,
-            java.nio.file.attribute.FileTime.fromMillis(base + i * 60000L))
-        }
-        exclude ++ ps.map(_.toString)
-      }
       val ev = s.read.parquet(s"$dir/events.parquet")
       // time-ordered files so the watermark never drops on-time data
       // (file source replays in mtime order; see stream_windowed_hll)
       ev.repartitionByRange(8, col("ts")).sortWithinPartitions("ts")
         .write.mode("overwrite").parquet(in)
-      val phase1 = pinMtimes(1000000000000L, Set.empty)
+      val phase1 = pinMtimes(in)(1000000000000L, Set.empty)
       // sentinel: one event 2 gaps past the corpus max — its watermark
       // advance closes every real session; its own never emits
       ev.select(max(col("ts")).as("m"))
@@ -1470,7 +1457,7 @@ object PipelineQueries {
           lit("sentinel").as("event_type"), lit(0.0).as("value"),
           lit("{}").as("props"))
         .coalesce(1).write.mode("append").parquet(in)
-      pinMtimes(2000000000000L, phase1)
+      pinMtimes(in)(2000000000000L, phase1)
       val streamed = graft.streaming.StreamSessionize.sessionize(
         s, in, tmp.resolve("cp").toString, tmp.resolve("out").toString,
         gap = "8 hours")

@@ -24,11 +24,24 @@ object Scratch {
     finally walk.close()
   }
 
+  // ONE shutdown hook draining a queue — a hook thread per tempDir
+  // call would accumulate unboundedly when Bench/Verify re-run gates
+  // in a single JVM (32 call sites × runs)
+  private val pending = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+  private lazy val hookInstalled: Unit = {
+    sys.addShutdownHook {
+      var p = pending.poll()
+      while (p != null) { deleteTree(p); p = pending.poll() }
+    }
+    ()
+  }
+
   /** Temp dir deleted at JVM exit (for dirs still referenced by lazy
     * plans until the session ends). */
   def tempDir(prefix: String): Path = {
+    hookInstalled
     val d = Files.createTempDirectory(prefix)
-    sys.addShutdownHook(deleteTree(d))
+    pending.add(d)
     d
   }
 }

@@ -66,6 +66,10 @@ class SketchTableIOSpec extends AnyFunSuite {
       io.mergeCommit(Seq((1, "x", "upsert"), (1, "y", "upsert"))
         .toDF("id", "s", "op"), "id")
     }
+    intercept[IllegalArgumentException] { // NULL op would also silently delete
+      io.mergeCommit(Seq((1, "x", null.asInstanceOf[String]))
+        .toDF("id", "s", "op"), "id")
+    }
     // neither rejected batch burned a version or changed the table
     assert(io.versions == Seq(1L, 2L))
     assert(io.read(2).as[(Int, String)].collect().toSet ==
