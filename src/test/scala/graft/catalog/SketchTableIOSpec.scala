@@ -92,6 +92,23 @@ class SketchTableIOSpec extends AnyFunSuite {
     assert(nFiles(2) == 4 && nFiles(1) == 7)
   }
 
+  test("mergeCommit replay is state-idempotent: re-applying the same change set burns a version, not the table") {
+    import spark.implicits._
+    // the crash-replay contract StreamMerge.applyChanges relies on:
+    // foreachBatch may re-run a batch after failure, and the merge of
+    // an identical change set must be a fixed point of the table state
+    val io = new SketchTableIO(spark, Files.createTempDirectory("tio7").toString)
+    io.commit(Seq((1, "one"), (2, "two"), (3, "three")).toDF("id", "s"))
+    val batch = Seq((2, "TWO", "upsert"), (3, "", "delete"), (4, "four", "upsert"))
+      .toDF("id", "s", "op")
+    val v2 = io.mergeCommit(batch, "id")
+    val after = io.read(v2).as[(Int, String)].collect().toSet
+    val v3 = io.mergeCommit(batch, "id") // the replay
+    assert(v3 == v2 + 1)
+    assert(io.read(v3).as[(Int, String)].collect().toSet == after)
+    assert(after == Set((1, "one"), (2, "TWO"), (4, "four")))
+  }
+
   test("expireSnapshots: old versions unreadable, kept ones intact, aged orphans swept, young ones spared") {
     import spark.implicits._
     val io = new SketchTableIO(spark, Files.createTempDirectory("tio5").toString)
