@@ -92,6 +92,24 @@ class SketchTableIOSpec extends AnyFunSuite {
     assert(nFiles(2) == 4 && nFiles(1) == 7)
   }
 
+  test("mergeCommit agrees with a sequential map model over seeded-random change batches") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val io = new SketchTableIO(spark, Files.createTempDirectory("tio8").toString)
+    var model = (1 to 30).map(i => i -> s"v$i").toMap
+    io.commit(model.toSeq.toDF("id", "s"))
+    for (b <- 1 to 6) {
+      val keys = rnd.shuffle((1 to 40).toList).take(10)
+      val (dels, ups) = keys.splitAt(rnd.nextInt(keys.length + 1))
+      val batch = dels.map(k => (k, "", "delete")) ++
+        ups.map(k => (k, s"u$b-$k", "upsert"))
+      io.mergeCommit(batch.toDF("id", "s", "op"), "id")
+      model = model -- dels ++ ups.map(k => k -> s"u$b-$k")
+      assert(io.read().as[(Int, String)].collect().toMap == model,
+        s"diverged from the model after batch $b")
+    }
+  }
+
   test("mergeCommit replay is state-idempotent: re-applying the same change set burns a version, not the table") {
     import spark.implicits._
     // the crash-replay contract StreamMerge.applyChanges relies on:
