@@ -62,7 +62,94 @@ object PipelineQueries {
     exclude ++ ps.map(_.toString)
   }
 
+  /** Deterministically planted URL per document (the corpus carries no
+    * url column): scheme/host case, default and non-default ports, a
+    * www. prefix, tracking params in every position, trailing slashes
+    * and fragments all vary on co-prime doc_id residues, so every
+    * normalization rule both fires and is falsifiable, and distinct
+    * raw URLs collapse to shared canonical ones (real dedup). One
+    * definition feeds both URL gates; the oracle replays it in SQL. */
+  private def urlPlant: org.apache.spark.sql.Column =
+    concat(
+      when(col("doc_id") % 3 === 0, "HTTPS://")
+        .when(col("doc_id") % 3 === 1, "https://").otherwise("http://"),
+      when(col("doc_id") % 4 === 0, "WWW.News-Site.COM:443")
+        .when(col("doc_id") % 4 === 1, "www.news-site.com")
+        .when(col("doc_id") % 4 === 2, "Blog.Example.ORG")
+        .otherwise("cdn.example.org:80"),
+      lit("/Articles/"), (col("doc_id") % 25).cast("string"),
+      when(col("doc_id") % 2 === 0, "/").otherwise(""),
+      when(col("doc_id") % 5 === 0, "?utm_source=feed&utm_campaign=x&id=7")
+        .when(col("doc_id") % 5 === 1, "?id=7&fbclid=AbC123")
+        .when(col("doc_id") % 5 === 2, "?gclid=tr4ck").otherwise(""),
+      when(col("doc_id") % 7 === 0, "#Section-2").otherwise(""))
+
+  private val UrlPlantSql =
+    "(CASE doc_id % 3 WHEN 0 THEN 'HTTPS://' WHEN 1 THEN 'https://' ELSE 'http://' END) || " +
+    "(CASE doc_id % 4 WHEN 0 THEN 'WWW.News-Site.COM:443' WHEN 1 THEN 'www.news-site.com' " +
+    "WHEN 2 THEN 'Blog.Example.ORG' ELSE 'cdn.example.org:80' END) || " +
+    "'/Articles/' || (doc_id % 25)::VARCHAR || " +
+    "(CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) || " +
+    "(CASE doc_id % 5 WHEN 0 THEN '?utm_source=feed&utm_campaign=x&id=7' " +
+    "WHEN 1 THEN '?id=7&fbclid=AbC123' WHEN 2 THEN '?gclid=tr4ck' ELSE '' END) || " +
+    "(CASE WHEN doc_id % 7 = 0 THEN '#Section-2' ELSE '' END)"
+
+  /** DuckDB replay of [[UrlOps.normalizeUrl]] over a column `url`:
+    * same passes, same Java∩RE2 patterns, RE2 `\1` backrefs and
+    * explicit 'g' flags where a pass must hit every occurrence. */
+  private val UrlNormSqlSteps =
+    (s"s1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(" +
+      s"regexp_replace(url, '#.*', '', 'g'), " +
+      s"'&${UrlOps.TrackerPattern}=[^&]*', '', 'g'), " +
+      s"'[?]${UrlOps.TrackerPattern}=[^&]*&?', '?', 'g'), " +
+      "'[?]$', '', 'g') AS u FROM planted), " +
+      "s2 AS (SELECT doc_id, " +
+      "regexp_replace(regexp_replace(regexp_replace(" +
+      "lower(regexp_extract(u, '^[a-zA-Z]+://[^/?#]+')), " +
+      "'^(https://[a-z0-9.-]+):443$', '\\1'), " +
+      "'^(http://[a-z0-9.-]+):80$', '\\1'), " +
+      "'^(https?://)www[.]', '\\1') || " +
+      "regexp_replace(regexp_replace(regexp_replace(u, '^[a-zA-Z]+://[^/?#]+', ''), " +
+      "'/+[?]', '?', 'g'), '/+$', '', 'g') AS url_norm FROM s1)")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- URL curation ---------------------------------------------------
+
+    // URL-level dedup — C4/CCNet's first pass: canonicalize the
+    // (planted) URL and keep one doc per canonical form; the plant
+    // exercises every normalization rule including the traps (a :443
+    // port on an http URL must SURVIVE, parameter order and path case
+    // must be preserved), and the oracle replays plant + the full
+    // regex chain + the group-by in DuckDB
+    "dedup_url" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"), urlPlant.as("url"))
+      UrlOps.dedupByUrl(planted).orderBy("url_norm")
+    }),
+
+    // domain blocklist filtering — broadcast anti-join of the corpus
+    // against a (tiny) blocked-domain list, keyed on the canonical
+    // URL's registrable host; cdn.example.org appears in the plant so
+    // the filter provably drops rows
+    "pipeline_domain_filter" -> ((s, dir) => {
+      import s.implicits._
+      val planted = docs(s, dir).select(col("doc_id"), urlPlant.as("url"))
+      val blocked = Seq("cdn.example.org", "spam.example.net").toDF("domain")
+      UrlOps.filterBlockedDomains(planted, blocked)
+        .select(col("doc_id").cast("long").as("doc_id"), col("domain"))
+        .orderBy("doc_id")
+    }),
+
+    // per-domain contribution cap — keep the 3 smallest-coin docs per
+    // registrable domain via the mergeable exact top-k (partials carry
+    // <=k rows per domain per map partition: skew-immune, unlike a
+    // row_number window); the oracle replays the cap as the window it
+    // provably equals
+    "pipeline_domain_cap" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"), urlPlant.as("url"))
+      UrlOps.capPerDomain(planted, 3, expr(md5Coin("doc_id")))
+        .orderBy("domain", "priority")
+    }),
 
     // ---- text analysis --------------------------------------------------
 
@@ -1932,6 +2019,29 @@ object PipelineQueries {
         ") AS t(step, command, response) ORDER BY step")
 
   def oracleSql: Map[String, String] = Map(
+    "dedup_url" ->
+      (s"WITH planted AS (SELECT doc_id, $UrlPlantSql AS url FROM documents), " +
+        UrlNormSqlSteps +
+        " SELECT url_norm, min(doc_id) AS kept_doc_id, count(*) AS n_copies " +
+        "FROM s2 GROUP BY url_norm ORDER BY url_norm"),
+
+    "pipeline_domain_filter" ->
+      (s"WITH planted AS (SELECT doc_id, $UrlPlantSql AS url FROM documents), " +
+        UrlNormSqlSteps +
+        " SELECT doc_id, domain FROM (SELECT doc_id, " +
+        "regexp_extract(url_norm, '^[a-z]+://([^/:?]+)', 1) AS domain FROM s2) " +
+        "WHERE domain NOT IN ('cdn.example.org', 'spam.example.net') ORDER BY doc_id"),
+
+    "pipeline_domain_cap" ->
+      (s"WITH planted AS (SELECT doc_id, $UrlPlantSql AS url FROM documents), " +
+        UrlNormSqlSteps +
+        ", d AS (SELECT doc_id, regexp_extract(url_norm, '^[a-z]+://([^/:?]+)', 1) AS domain FROM s2), " +
+        "r AS (SELECT domain, doc_id, " +
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS priority, " +
+        "row_number() OVER (PARTITION BY domain " +
+        "ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 12), CAST(doc_id AS VARCHAR)) AS rn FROM d) " +
+        "SELECT domain, doc_id, priority FROM r WHERE rn <= 3 ORDER BY domain, priority"),
+
     "source_jsonl" ->
       ("SELECT CAST(doc_id AS BIGINT) AS doc_id, source, lang, " +
         "CAST(n_chars AS BIGINT) AS n_chars, " +
