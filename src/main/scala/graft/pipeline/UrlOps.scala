@@ -97,7 +97,9 @@ object UrlOps {
    * string form of doc_id, ascending). The caller supplies `priority`
    * — a deterministic, engine-reproducible expression (the gates use
    * the corpus md5 coin) so reruns and the oracle pick identical
-   * survivors.
+   * survivors. `priority` is negated internally to ride the max-k
+   * sketch, so it must stay above Long.MinValue (any hash-prefix coin
+   * does; the 12-hex-digit corpus coin is < 2^48).
    *
    * Built on the exact mergeable top-k aggregate rather than a
    * `row_number` window: a window hash-exchanges EVERY row of a hot
