@@ -633,6 +633,34 @@ object Dedup {
               struct(col("bidx"), col("btext"))))),
             s => s.getField("btext")), " ").as("clean_text"))
 
+  /**
+   * Cross-source duplication overlap matrix: for every pair of
+   * sources, how many DISTINCT document texts appear in both — the
+   * "where is my corpus mirrored" audit run before choosing mixture
+   * weights (a source that is 40% a copy of another should not get
+   * independent weight).
+   *
+   * One corpus-scale exchange, keyed on the 128-bit content digest
+   * (no hot keys by construction): `groupBy(md5(text))` with a
+   * map-side-combined `collect_set(source)` whose per-group payload
+   * is bounded by |sources|, never by clique size — the partial
+   * aggregate absorbs a text duplicated millions of times within one
+   * source into ONE set element per map partition. The pair
+   * explosion and final count then run on the digest-grained rows
+   * (≤ |sources|² pairs each), and the closing aggregation is
+   * |sources|²-sized. Text bytes never reach any exchange.
+   */
+  def sourceOverlap(docs: DataFrame): DataFrame =
+    docs.select(md5(col("text")).as("fp"), col("source"))
+      .groupBy("fp")
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+      .select(explode(col("srcs")).as("source_a"), col("srcs"))
+      .select(col("source_a"), explode(col("srcs")).as("source_b"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+
   /** Exact-Jaccard verification of candidate pairs against shingle sets. */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame, minJ: Double): DataFrame =
     cand

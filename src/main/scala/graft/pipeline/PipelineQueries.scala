@@ -168,6 +168,35 @@ object PipelineQueries {
     "text_quality_model" -> ((s, dir) =>
       TextOps.qualityModel(docs(s, dir)).orderBy("doc_id")),
 
+    // one-pass per-source datacard: exact distinct-text counts and
+    // char-volume totals, all integer columns. The plant re-emits
+    // every 5th doc under a fresh id in its own source so n_dup_docs
+    // is provably nonzero in every source
+    "corpus_stats" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"), col("source"))
+      val planted = d.union(d.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id") + 30000, col("text"), col("source")))
+      TextOps.corpusStats(planted).orderBy("source")
+    }),
+
+    // corpus version diff audit: v2 removes every 13th doc, rewrites
+    // every 11th surviving doc's text, and re-adds a copy of every
+    // 17th doc under fresh ids (shifted by observed max+1, so the
+    // plant is collision-free at every scale — the merge gates'
+    // sf1 lesson); the oracle replays the v2 construction and the
+    // digest full-outer-join independently
+    "corpus_diff" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"), col("source"))
+      val shift = d.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val v2 = d.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"), col("source"))
+        .union(d.filter(col("doc_id") % 17 === 0)
+          .select(col("doc_id") + shift, col("text"), col("source")))
+      TextOps.corpusDiff(d, v2).orderBy("source")
+    }),
+
     "text_fingerprints" -> ((s, dir) =>
       TextOps.fingerprints(docs(s, dir)).orderBy("doc_id")),
 
@@ -607,6 +636,20 @@ object PipelineQueries {
       val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"), col("text"))
       val dup = d.union(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
       Dedup.exactDedup(dup).orderBy("kept_doc_id")
+    }),
+
+    // cross-source duplication overlap matrix — the audit run before
+    // choosing mixture weights: per source pair, the number of
+    // distinct texts present in both. The plant mirrors every 7th doc
+    // into a 'mirror_'-prefixed source, so every (srcK, mirror_srcK)
+    // cell is provably nonzero and the oracle replays the full
+    // digest-join independently
+    "dedup_source_overlap" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"), col("source"))
+      val planted = d.union(d.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id") + 20000, col("text"),
+          concat(lit("mirror_"), col("source")).as("source")))
+      Dedup.sourceOverlap(planted).orderBy("source_a", "source_b")
     }),
 
     // C4-style exact span dedup (5-token blocks, global first-wins)
@@ -2181,6 +2224,47 @@ object PipelineQueries {
       ("SELECT md5(text) AS fp, min(doc_id) AS kept_doc_id, count(*) AS n_copies " +
         "FROM (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, text FROM documents) " +
         "GROUP BY md5(text) ORDER BY kept_doc_id"),
+
+    // independent replay of the overlap matrix: distinct (digest,
+    // source) pairs self-joined on the digest — structurally different
+    // from the operator's collect_set pair explosion, same answer
+    "dedup_source_overlap" ->
+      ("WITH planted AS (SELECT doc_id, text, source FROM documents " +
+        "UNION ALL SELECT doc_id + 20000, text, 'mirror_' || source FROM documents WHERE doc_id % 7 = 0), " +
+        "ds AS (SELECT DISTINCT md5(text) AS fp, source FROM planted) " +
+        "SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared " +
+        "FROM ds a JOIN ds b ON a.fp = b.fp AND a.source < b.source " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    "corpus_diff" ->
+      ("WITH mx AS (SELECT max(doc_id) + 1 AS sh FROM documents), " +
+        "v2 AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text, source " +
+        "FROM documents WHERE doc_id % 13 <> 0 " +
+        "UNION ALL SELECT doc_id + (SELECT sh FROM mx), text, source FROM documents WHERE doc_id % 17 = 0), " +
+        "o AS (SELECT doc_id, md5(text) AS fp, source FROM documents), " +
+        "n AS (SELECT doc_id, md5(text) AS fp, source FROM v2), " +
+        "j AS (SELECT coalesce(n.source, o.source) AS source, " +
+        "CASE WHEN o.doc_id IS NULL THEN 'added' WHEN n.doc_id IS NULL THEN 'removed' " +
+        "WHEN o.fp <> n.fp THEN 'changed' ELSE 'unchanged' END AS status " +
+        "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id) " +
+        "SELECT source, " +
+        "CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added, " +
+        "CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, " +
+        "CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed, " +
+        "CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged " +
+        "FROM j GROUP BY source ORDER BY source"),
+
+    "corpus_stats" ->
+      ("WITH planted AS (SELECT doc_id, text, source FROM documents " +
+        "UNION ALL SELECT doc_id + 30000, text, source FROM documents WHERE doc_id % 5 = 0), " +
+        "pt AS (SELECT source, md5(text) AS fp, count(*) AS cnt, min(length(text)) AS len " +
+        "FROM planted GROUP BY 1, 2) " +
+        "SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs, " +
+        "CAST(count(*) AS BIGINT) AS n_distinct_texts, " +
+        "CAST(sum(cnt) - count(*) AS BIGINT) AS n_dup_docs, " +
+        "CAST(sum(len * cnt) AS BIGINT) AS n_chars_total, " +
+        "CAST(min(len) AS BIGINT) AS min_chars, CAST(max(len) AS BIGINT) AS max_chars " +
+        "FROM pt GROUP BY source ORDER BY source"),
 
     "pipeline_curation" -> CurationOracle,
     // identical oracle: the LSH-mode pipeline must produce the SAME

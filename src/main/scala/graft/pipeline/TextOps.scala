@@ -187,4 +187,68 @@ object TextOps {
       size(expr(s"regexp_extract_all(regexp_replace(text, '$EmailPattern', '<EMAIL>'), '$NumberPattern', 0)"))
         .cast("int").as("n_numbers"))
   }
+
+  /**
+   * One-pass per-source corpus datacard — the summary table every
+   * released training corpus ships with: document counts, EXACT
+   * distinct-text counts (the honest denominator for a duplication
+   * rate; the sketch gates cover the approximate path), duplicate-doc
+   * counts, and character-volume totals/extrema.
+   *
+   * Two-phase shape built for 100 TB: phase 1 groups on
+   * `(source, md5(text))` — a 128-bit key space, so no hot keys and
+   * the map-side partial absorbs within-partition duplicate cliques;
+   * its exchange carries (source, digest, count, len) rows, never
+   * text. Phase 2 is a |distinct texts|-input, |sources|-output
+   * aggregation. All outputs are exact integers (no float columns),
+   * so the datacard is byte-stable across engines and reruns.
+   */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs.select(col("source"), md5(col("text")).as("fp"),
+        length(col("text")).cast("long").as("len"))
+      .groupBy("source", "fp")
+      .agg(count(lit(1)).as("cnt"), min("len").as("len"))
+      .groupBy("source")
+      .agg(
+        sum("cnt").as("n_docs"),
+        count(lit(1)).as("n_distinct_texts"),
+        (sum("cnt") - count(lit(1))).as("n_dup_docs"),
+        sum(col("len") * col("cnt")).as("n_chars_total"),
+        min("len").as("min_chars"),
+        max("len").as("max_chars"))
+
+  /**
+   * Corpus version diff — the audit between two releases of the same
+   * table: per source, how many docs were added, removed, changed
+   * (same doc_id, different text), or unchanged. The companion to
+   * [[corpusStats]] (one snapshot) and the snapshot/MERGE family
+   * (which WRITES versions; this op explains what changed between
+   * them).
+   *
+   * Scale shape: both sides are projected to (doc_id, md5(text),
+   * source) BEFORE the full-outer join, so the join exchange carries
+   * digests, never text; doc_id is a unique key on both sides, so
+   * there is no multiplicity blow-up and AQE is free to pick a
+   * broadcast side when one snapshot is small (the nightly-delta
+   * case). Classification is row-local; the closing aggregation is
+   * |sources|-sized with map-side partials.
+   */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def keyed(d: DataFrame, suffix: String): DataFrame =
+      d.select(col("doc_id").cast("long").as("doc_id"),
+        md5(col("text")).as(s"fp_$suffix"), col("source").as(s"src_$suffix"))
+    keyed(oldDocs, "o").join(keyed(newDocs, "n"), Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("src_n"), col("src_o")).as("source"),
+        when(col("fp_o").isNull, "added")
+          .when(col("fp_n").isNull, "removed")
+          .when(col("fp_o") =!= col("fp_n"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("source")
+      .agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
+  }
 }
