@@ -6,7 +6,7 @@ hash_match per query) plus the familiar PASS/FAIL lines.
 
 Usage: compare_oracle_par.py SFDIR OUTDIR [JSON_OUT] [WORKERS]
 """
-import sys, json, glob, time
+import os, sys, json, glob, time
 from concurrent.futures import ProcessPoolExecutor
 
 SFDIR, OUTDIR = sys.argv[1], sys.argv[2]
@@ -33,7 +33,11 @@ def run_one(item):
     con = duckdb.connect()
     con.execute("SET threads=4")  # 8 workers x 4 threads = the box
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SFDIR}/{t}.parquet'")
+        # driver testdata is a single file; GenData decades (sf1/sf10)
+        # are Spark part-file directories — read either layout
+        p = f"{SFDIR}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     try:
         duck_df = con.execute(sql).fetchdf()
     except Exception as e:
