@@ -79,6 +79,19 @@ class DatacardSpec extends AnyFunSuite {
     assert(m.values.map(v => v._1 + v._3 + v._4).sum == v2.count())
   }
 
+  test("corpusDiff plan: both join inputs reduce to (doc_id, digest, source) — text never joins") {
+    val v1 = corpus
+    val v2 = corpus.filter($"doc_id" =!= 2L)
+    val joins = TextOps.corpusDiff(v1, v2).queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty, "diff must plan a join")
+    joins.foreach { j =>
+      val names = (j.left.output ++ j.right.output).map(_.name)
+      assert(!names.contains("text"), s"text reached a join input: $names")
+    }
+  }
+
   test("corpusStats plan: two-phase (source,fp) then source — exactly two exchanges") {
     val plan = TextOps.corpusStats(corpus).queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
