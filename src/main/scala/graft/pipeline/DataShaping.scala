@@ -349,4 +349,42 @@ object DataShaping {
       .withColumn("pos", col("bucket_start") + row_number().over(w) - 1)
       .select(col("epoch"), col("doc_id"), col("pos").cast("long").as("pos"))
   }
+
+  /**
+   * Leakage-free train/val/test split: every member of a near-dup
+   * cluster is assigned the SAME split, so a document's near-copy can
+   * never sit in eval while the document trains (the leakage mode a
+   * per-doc coin cannot prevent, and the reason eval decontamination
+   * alone is insufficient once near-dups exist WITHIN the corpus).
+   *
+   * `clusterLabels` is any `(doc_id, cluster_rep)` frame — in
+   * production [[Dedup.nearDupClustersLsh]]'s output, so the pair
+   * generation is the banded LSH shape. The split coin is the first
+   * md5 nibble of the CLUSTER REP (not the doc): `< trainSlots` →
+   * train, `< trainSlots+valSlots` → val, else test (out of 16).
+   * Docs in no cluster are their own rep. Deterministic,
+   * content-independent, engine-reproducible — the same coin family
+   * as [[stratifiedSample]].
+   *
+   * Scale: one left join keyed on doc_id (labels are (id, rep) pairs
+   * — digest-grained, never text) + a row-local coin; the join side
+   * is only the clustered docs (near-dup members), which AQE
+   * broadcasts when duplication is sparse.
+   */
+  def leakFreeSplit(docs: DataFrame, clusterLabels: DataFrame,
+                    trainSlots: Int = 12, valSlots: Int = 2): DataFrame = {
+    require(trainSlots >= 1 && valSlots >= 0 && trainSlots + valSlots <= 16)
+    val labels = clusterLabels.select(col("doc_id").cast("long").as("doc_id"),
+      col("cluster_rep").cast("long").as("cluster_rep"))
+    docs.select(col("doc_id").cast("long").as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster_rep"), col("doc_id")))
+      .withColumn("nibble", expr(
+        "locate(substring(md5(cast(rep AS string)), 1, 1), '0123456789abcdef') - 1")
+        .cast("int"))
+      .select(col("doc_id"), col("rep"),
+        when(col("nibble") < trainSlots, "train")
+          .when(col("nibble") < trainSlots + valSlots, "val")
+          .otherwise("test").as("split"))
+  }
 }

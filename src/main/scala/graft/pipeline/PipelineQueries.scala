@@ -797,6 +797,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // leakage-free train/val/test split: the coin is tossed on the
+    // near-dup CLUSTER REP, so a doc and its near-copy can never
+    // straddle train and eval; the oracle replays clusters (recursive
+    // CTE over the exact-Jaccard pairs) + the same rep-keyed nibble
+    "pipeline_split_leakfree" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val labels = Dedup.nearDupClusters(d, 0.5)
+      DataShaping.leakFreeSplit(d, labels).orderBy("doc_id")
+    }),
+
     // token-budget packing over the north-rule token table: per
     // source, doc_id order, bin = the 4096-token window the doc's
     // starting offset falls in — one window aggregate
@@ -2279,6 +2289,15 @@ object PipelineQueries {
         "CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) AS nibble, " +
         "CAST(CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 12 ELSE 6 END AS INT) AS rate16 " +
         "FROM documents) WHERE nibble < rate16 ORDER BY doc_id"),
+
+    "pipeline_split_leakfree" ->
+      (s"WITH e AS (SELECT id_a AS a, id_b AS b FROM ($JaccardPairs) UNION SELECT id_b, id_a FROM ($JaccardPairs)), " +
+        "reach AS (WITH RECURSIVE r(a, b) AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a) SELECT * FROM r), " +
+        "lab AS (SELECT a AS doc_id, least(a, min(b)) AS rep FROM reach GROUP BY a) " +
+        "SELECT doc_id, rep, CASE WHEN nib < 12 THEN 'train' WHEN nib < 14 THEN 'val' ELSE 'test' END AS split FROM (" +
+        "SELECT d.doc_id AS doc_id, coalesce(l.rep, d.doc_id) AS rep, " +
+        "CAST(strpos('0123456789abcdef', substr(md5(CAST(coalesce(l.rep, d.doc_id) AS VARCHAR)), 1, 1)) - 1 AS INT) AS nib " +
+        "FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id) ORDER BY doc_id"),
 
     "pipeline_pack_sequences" ->
       ("SELECT source, doc_id, n_tok, cum_tok, CAST(floor((cum_tok - n_tok) / 4096.0) AS BIGINT) AS bin_id FROM (" +

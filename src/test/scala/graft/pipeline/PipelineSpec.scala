@@ -692,4 +692,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(top1(0) == 7L,
       "cache keyed on (path,len,mtime) must recompute after an in-place rewrite")
   }
+
+  test("leakFreeSplit: near-dup pairs never straddle splits; every doc assigned exactly once") {
+    import spark.implicits._
+    val d = docs
+    val labels = Dedup.nearDupClusters(d, 0.5)
+    val split = DataShaping.leakFreeSplit(d, labels).cache()
+    // the leakage property itself: every exact-Jaccard pair agrees
+    val pairs = Dedup.ngramJaccardPairs(d, 3, 0.5)
+    val disagree = pairs
+      .join(split.select($"doc_id".as("id_a"), $"split".as("sa")), Seq("id_a"))
+      .join(split.select($"doc_id".as("id_b"), $"split".as("sb")), Seq("id_b"))
+      .filter($"sa" =!= $"sb").count()
+    assert(disagree == 0, "a near-dup pair straddled train/eval")
+    assert(split.count() == d.count(), "every doc gets exactly one split row")
+    val dist = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dist.keySet == Set("train", "val", "test"),
+      s"all three splits populated on this corpus: $dist")
+    assert(dist("train") > dist("val") && dist("train") > dist("test"),
+      s"12/2/2 nibble slots must favor train: $dist")
+    split.unpersist()
+  }
 }
