@@ -179,6 +179,20 @@ object PipelineQueries {
       TextOps.corpusStats(planted).orderBy("source")
     }),
 
+    // per-doc novelty score over the token table: same 8-token
+    // rolling windows and same prefix plant as dedup_substrings
+    // (every 25th doc shares a planted 12-token prefix, so cross-doc
+    // sharing is guaranteed and falsifiable); the oracle re-derives
+    // windows from raw token text, so a window-key collision fails
+    // the gate rather than hiding
+    "text_novelty" -> ((s, dir) => {
+      val t = TokenTable.load(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          when(col("doc_id").cast("long") % 25 === 0,
+            expr(s"concat($SubstrPlant, tokens)")).otherwise(col("tokens")).as("tokens"))
+      TextOps.novelty(t, L = 8).orderBy("doc_id")
+    }),
+
     // corpus version diff audit: v2 removes every 13th doc, rewrites
     // every 11th surviving doc's text, and re-adds a copy of every
     // 17th doc under fresh ids (shifted by observed max+1, so the
@@ -2245,6 +2259,21 @@ object PipelineQueries {
         "SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared " +
         "FROM ds a JOIN ds b ON a.fp = b.fp AND a.source < b.source " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    "text_novelty" ->
+      (s"WITH tt AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
+        s"list_transform($W, w -> CAST(list_position(${TokenTable.vocabDuckArray}, w) - 1 AS INT)) AS tk " +
+        "FROM documents), " +
+        s"p1 AS (SELECT doc_id, CASE WHEN doc_id % 25 = 0 THEN $SubstrPlantDuck || tk ELSE tk END AS toks FROM tt), " +
+        "w AS (SELECT doc_id, unnest(range(0, len(toks) - 7)) AS pos, toks FROM p1 WHERE len(toks) >= 8), " +
+        "k AS (SELECT doc_id, pos, array_to_string(toks[pos + 1 : pos + 8], ',') AS wtext FROM w), " +
+        "s AS (SELECT wtext FROM (SELECT wtext, count(DISTINCT doc_id) AS nd FROM k GROUP BY wtext) WHERE nd > 1), " +
+        "sh AS (SELECT k.doc_id, count(*) AS n_shared FROM k JOIN s ON k.wtext = s.wtext GROUP BY k.doc_id) " +
+        "SELECT p1.doc_id, CAST(len(p1.toks) AS INT) AS n_tok, " +
+        "CAST(greatest(len(p1.toks) - 7, 0) AS INT) AS n_windows, " +
+        "CAST(COALESCE(sh.n_shared, 0) AS INT) AS n_shared_windows, " +
+        "CAST(greatest(len(p1.toks) - 7, 0) - COALESCE(sh.n_shared, 0) AS INT) AS n_novel_windows " +
+        "FROM p1 LEFT JOIN sh ON sh.doc_id = p1.doc_id ORDER BY p1.doc_id"),
 
     "corpus_diff" ->
       ("WITH mx AS (SELECT max(doc_id) + 1 AS sh FROM documents), " +

@@ -218,6 +218,45 @@ object TextOps {
         max("len").as("max_chars"))
 
   /**
+   * Per-document novelty scoring over the token table — the
+   * memorization-exposure audit (Lee et al. 2022's coverage measure,
+   * as a SCORE rather than a cut): for each doc, how many of its
+   * sliding L-token windows also occur in at least one OTHER
+   * document. High-shared docs are boilerplate/duplication hotspots;
+   * the score ranks them without mutating the corpus (the companion
+   * to [[Dedup.substringDedup]], which cuts).
+   *
+   * Shares [[Dedup.substringWindows]]'s rolling 64-bit window keys,
+   * so score and cut can never disagree about what "a window" is.
+   * Scale shape: the posexplode is row-local O(corpus tokens)
+   * (inherent to any exact-substring measure); the cross-doc vote is
+   * a distinct + count on (wkey) — 64-bit keys and doc ids on the
+   * exchange, never tokens; the shared-key set is
+   * duplication-proportional, so the join back to window occurrences
+   * broadcasts under AQE; the closing per-doc count partial-
+   * aggregates map-side. Key collisions are the same N²/2⁶⁴ trade as
+   * the substring gates — the oracle groups on raw window token text,
+   * so a collision fails the gate rather than hiding.
+   */
+  def novelty(toks: DataFrame, L: Int = 8): DataFrame = {
+    require(L >= 2, s"window length $L")
+    val base = Dedup.substringBase(toks)
+    val wins = Dedup.substringWindows(base, L)
+    val shared = wins.select(col("doc_id"), col("wkey")).distinct()
+      .groupBy("wkey").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1).select("wkey")
+    val perDoc = wins.join(shared, "wkey")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    val nWin = greatest(col("n_tok") - (L - 1), lit(0))
+    base.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_tok").cast("int").as("n_tok"),
+        nWin.cast("int").as("n_windows"),
+        coalesce(col("n_shared"), lit(0L)).cast("int").as("n_shared_windows"),
+        (nWin - coalesce(col("n_shared"), lit(0L))).cast("int").as("n_novel_windows"))
+  }
+
+  /**
    * Corpus version diff — the audit between two releases of the same
    * table: per source, how many docs were added, removed, changed
    * (same doc_id, different text), or unchanged. The companion to

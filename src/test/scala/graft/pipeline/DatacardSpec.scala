@@ -92,6 +92,22 @@ class DatacardSpec extends AnyFunSuite {
     }
   }
 
+  test("novelty: counts cross-doc shared windows only; within-doc repeats and short docs score zero") {
+    val toks = Seq(
+      (1L, (1 to 12).toArray),                                  // shares window [1..8] with doc 2 at pos 0
+      (2L, ((1 to 8) ++ Seq(20, 21, 22, 23)).toArray),
+      (3L, ((30 to 37) ++ (30 to 37)).toArray),                 // window repeats WITHIN one doc only
+      (4L, (40 to 45).toArray)                                  // shorter than L: no windows
+    ).toDF("doc_id", "tokens")
+    val m = TextOps.novelty(toks, L = 8).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(m(1L) == ((12, 5, 1, 4)), s"doc1: ${m(1L)}")
+    assert(m(2L) == ((12, 5, 1, 4)), s"doc2: ${m(2L)}")
+    assert(m(3L) == ((16, 9, 0, 9)), "a window repeated within ONE doc is not cross-doc shared")
+    assert(m(4L) == ((6, 0, 0, 0)), "docs shorter than L have no windows")
+    m.values.foreach { case (_, w, s, n) => assert(w == s + n, "windows = shared + novel") }
+  }
+
   test("corpusStats plan: two-phase (source,fp) then source — exactly two exchanges") {
     val plan = TextOps.corpusStats(corpus).queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
