@@ -813,11 +813,16 @@ object PipelineQueries {
 
     // leakage-free train/val/test split: the coin is tossed on the
     // near-dup CLUSTER REP, so a doc and its near-copy can never
-    // straddle train and eval; the oracle replays clusters (recursive
-    // CTE over the exact-Jaccard pairs) + the same rep-keyed nibble
+    // straddle train and eval. The pair source is the PRODUCTION
+    // LSH-banded clustering (no df² shingle-join term — the exact
+    // mode hits its documented wall at sf10), while the oracle
+    // replays clusters from the EXACT Jaccard pairs via a recursive
+    // CTE + the same rep-keyed nibble: banded recall ≈ 1 at minJ 0.5
+    // (the pipeline_curation_lsh discipline), so the gate proves
+    // LSH-mode labels reproduce the exact split doc-for-doc
     "pipeline_split_leakfree" -> ((s, dir) => {
       val d = docs(s, dir)
-      val labels = Dedup.nearDupClusters(d, 0.5)
+      val labels = Dedup.nearDupClustersLsh(d, 0.5)
       DataShaping.leakFreeSplit(d, labels).orderBy("doc_id")
     }),
 
