@@ -71,14 +71,26 @@ object Curation {
              pairSource: PairSource): DataFrame = {
     val base = docs.select(col("doc_id").cast("long").as("doc_id"),
       col("text"), col("lang"))
-    // 1. quality gate
+    // 1. quality gate — materialized once: the keep flags feed the
+    //    survivor filter AND n_words joins the final output, and the
+    //    metric projection (array aggregates per doc) is the kind of
+    //    row-local work that must not replay per reference
     val quality = TextOps.quality(docs)
+      .select("doc_id", "n_words", "quality_keep")
+      .localCheckpoint(true)
     val survivors = base.join(
       quality.filter(col("quality_keep")).select("doc_id"), Seq("doc_id"))
     // 2. exact dedup: keep the lowest doc_id of each content clique
     val keepers = Dedup.exactDedup(survivors)
       .select(col("kept_doc_id").as("doc_id"))
+    // the near-dup pair source, the survivor anti-join, and the
+    // metadata stage all read `deduped` — one stage-boundary
+    // materialization instead of replaying the scan->quality->exact-
+    // dedup chain per reference (in LSH mode the pair source alone
+    // held three such replays). Same discipline as the corpus_prep /
+    // lm_filter gates' stage checkpoints.
     val deduped = survivors.join(keepers, Seq("doc_id"))
+      .localCheckpoint(true)
     // 3. near-dup clustering over the chosen pair source: drop
     //    non-representatives
     val dropped = Dedup.clustersFromPairs(pairSource.pairs(deduped))

@@ -46,7 +46,11 @@ object Decontam {
     def sh(d: DataFrame) = d.select(
       col("doc_id").cast("long").as("doc_id"),
       shingles(words(col("text")), n).as("sh"))
-    val testG = evalGrams(test, n)
+    // the eval gram set is read twice — by the sketch build (an eager
+    // driver action) and by the exact verify semi-join — materialize
+    // it once (the streaming operator stages the same side to scratch
+    // parquet for the same reason)
+    val testG = evalGrams(test, n).localCheckpoint(true)
     scrubShingled(sh(train), evalSketch(testG, initialCapacity, p), testG, maxOverlap)
   }
 

@@ -57,7 +57,15 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJ: Double = 0.5,
                         maxShingleDocs: Long = 0): DataFrame = {
     val sh = shingled(docs, n)
+    // materialize the exploded inverted index ONCE: it feeds the hot-
+    // shingle census AND the anti-join left side in capped mode, and
+    // the per-doc counts AND both self-join sides in every mode — the
+    // shingle expressions (words -> n-gram -> distinct) replayed per
+    // reference before this (r5 verdict: the capped gate paid a
+    // doubled explode). One corpus-token-sized local materialization,
+    // the same bytes a single explode pass produces.
     val inv0 = sh.select(col("id"), explode(col("sh")).as("g"))
+      .localCheckpoint(true)
     val inv =
       if (maxShingleDocs > 0) {
         val hot = inv0.groupBy("g").agg(count(lit(1)).as("df"))
@@ -93,10 +101,21 @@ object Dedup {
    * J >= 0.95, so recall is 1 in practice (asserted by the spec).
    */
   def minhashLshPairs(docs: DataFrame, numPerms: Int = 128, bands: Int = 32,
-                      minJ: Double = 0.5): DataFrame = {
+                      minJ: Double = 0.5): DataFrame =
+    // materialize the shingle table ONCE: it feeds the banded bucket
+    // index (both self-join sides) AND both sides of the exact-Jaccard
+    // verify — un-checkpointed, the words->shingles projection (and
+    // everything upstream of `docs`) replayed per reference
+    minhashLshPairsSh(shingled(docs).localCheckpoint(true), numPerms, bands, minJ)
+
+  /** The banding+verify core over a PRE-MATERIALIZED shingle table
+    * (id, sh, ...): shared by [[minhashLshPairs]] and [[dedupAgainst]]
+    * so the intra-batch half of the incremental scrub reuses the
+    * already-checkpointed batch shingles instead of re-deriving them. */
+  private def minhashLshPairsSh(sh: DataFrame, numPerms: Int, bands: Int,
+                                minJ: Double): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val r = numPerms / bands
-    val sh = shingled(docs)
     val sig = sh.withColumn("sig", minhash_sig(col("sh"), numPerms))
     val buckets = sig.select(col("id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
@@ -139,8 +158,11 @@ object Dedup {
    */
   def dedupAgainst(newDocs: DataFrame, corpus: DataFrame, minJ: Double = 0.5,
                    numPerms: Int = 128, bands: Int = 32): DataFrame = {
-    val newSh = shingled(newDocs).select("id", "sh")
-    val corpusSh = shingled(corpus).select("id", "sh")
+    // each shingle table is read by the bucket index AND the verify
+    // join (corpus side also by the cross-set index build) —
+    // materialize once instead of replaying the projection per side
+    val newSh = shingled(newDocs).select("id", "sh").localCheckpoint(true)
+    val corpusSh = shingled(corpus).select("id", "sh").localCheckpoint(true)
     // cross-set matches through the SAME core the streaming scrub
     // uses (keep rules can't drift), intra-batch pairs through the
     // self-dedup operator — together exactly the not-both-corpus
@@ -149,7 +171,7 @@ object Dedup {
         minJ, numPerms, bands)
       .groupBy(col("id_n").as("doc_id"))
       .agg(count(lit(1)).as("mc"))
-    val mn = minhashLshPairs(newDocs, numPerms, bands, minJ)
+    val mn = minhashLshPairsSh(newSh, numPerms, bands, minJ)
       .groupBy(col("id_b").as("doc_id"))
       .agg(count(lit(1)).as("mn"))
     newDocs.select(col("doc_id").cast("long").as("doc_id"))
@@ -215,7 +237,9 @@ object Dedup {
    * bit_count Hamming gate and exact-Jaccard verification.
    */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 16, minJ: Double = 0.5): DataFrame = {
-    val sh = shingled(docs)
+    // verify reads the shingle table twice (id_a / id_b sides) —
+    // materialize it once
+    val sh = shingled(docs).localCheckpoint(true)
     val fp = docs.select(col("doc_id").cast("long").as("id"),
       simhash64(shingles(words(col("text")), 3)).as("f"))
     val buckets = fp.select(col("id"), col("f"),

@@ -76,9 +76,17 @@ object LmFilter {
     val grams = docBigrams(docs)
     val isRef = col("source") === lit(refSource)
 
-    val ref = grams.filter(isRef)
-    val c2 = ref.groupBy("g").agg(count(lit(1)).as("c2"))
-    val c1 = ref.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // ONE aggregation pass over the reference bigrams builds the whole
+    // model (g determines w1, so grouping by both is the same grouping
+    // as by g alone), materialized once — the build-once LM artifact.
+    // c1 (the conditional's denominator: ref bigrams whose first word
+    // is w) is then the sum of c2 over that model table, not a second
+    // explode of the reference slice.
+    val model = grams.filter(isRef).groupBy("g", "w1")
+      .agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true)
+    val c2 = model.select("g", "c2")
+    val c1 = model.groupBy("w1").agg(sum(col("c2")).as("c1"))
     // add-one vocabulary: distinct words ANYWHERE in the reference
     // (both bigram positions — i.e. every word of every ref doc)
     val vocab = docs.filter(isRef)

@@ -1017,7 +1017,7 @@ object PipelineQueries {
       val in = tmp.resolve("in").toString
       val d = docs(s, dir)
       d.filter(col("doc_id") % 7 =!= 0)
-        .repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id")
+        .repartitionByRange(2, col("doc_id")).sortWithinPartitions("doc_id")
         .write.mode("overwrite").parquet(in)
       graft.streaming.StreamDecontam.overlapStream(
         s, in, d.filter(col("doc_id") % 7 === 0),
@@ -1040,7 +1040,7 @@ object PipelineQueries {
         .withColumn("doc_id", col("doc_id") + 1000000L)
         .unionByName(corpus.filter(col("doc_id") % 7 === 0)
           .withColumn("doc_id", col("doc_id") + 2000000L))
-      fresh.repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id")
+      fresh.repartitionByRange(2, col("doc_id")).sortWithinPartitions("doc_id")
         .write.mode("overwrite").parquet(in)
       graft.streaming.StreamDedupIncremental.scrubStream(
         s, in, corpus,
@@ -1063,7 +1063,7 @@ object PipelineQueries {
           when(col("doc_id") % 4 === 0,
             expr("concat(slice(tokens, 1, 10), reverse(tokens))"))
             .otherwise(reverse(col("tokens"))).as("tokens"))
-      fresh.repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id")
+      fresh.repartitionByRange(2, col("doc_id")).sortWithinPartitions("doc_id")
         .write.mode("overwrite").parquet(in)
       graft.streaming.StreamSubstringScrub.scrubStream(
         s, in, corpus,
@@ -1360,7 +1360,7 @@ object PipelineQueries {
       d.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("q_id"),
           slice(TextFunctions.words(col("text")), 1, 8).as("terms"))
-        .repartitionByRange(4, col("q_id")).sortWithinPartitions("q_id")
+        .repartitionByRange(2, col("q_id")).sortWithinPartitions("q_id")
         .write.mode("overwrite").parquet(in)
       graft.streaming.StreamRetrieval.bm25Stream(
         s, in, d, tmp.resolve("cp").toString, tmp.resolve("out").toString,
@@ -1411,7 +1411,7 @@ object PipelineQueries {
       val tmp = graft.util.Scratch.tempDir("graftstream")
       val in = tmp.resolve("in").toString
       val cp = tmp.resolve("cp").toString
-      TokenTable.load(s, dir).repartition(8).write.mode("overwrite").parquet(in)
+      TokenTable.load(s, dir).repartition(4).write.mode("overwrite").parquet(in)
       val streamed = graft.streaming.SketchStream.runIncremental(s, in, cp)
       graft.streaming.SketchStream.compareToBatch(s, in, streamed)
         .select(col("source"), (col("n_batches") > 1).as("multi_batch_ok"),
@@ -1426,7 +1426,7 @@ object PipelineQueries {
     "stream_freq_heavy_hitters" -> ((s, dir) => {
       val tmp = graft.util.Scratch.tempDir("graftfreq")
       val in = tmp.resolve("in").toString
-      TokenTable.load(s, dir).repartition(8).write.mode("overwrite").parquet(in)
+      TokenTable.load(s, dir).repartition(4).write.mode("overwrite").parquet(in)
       val streamed = graft.streaming.SketchStream.runIncrementalFreq(
         s, in, tmp.resolve("cp").toString)
       graft.streaming.SketchStream.compareFreqToBatch(s, in, streamed)
@@ -1439,7 +1439,7 @@ object PipelineQueries {
     "stream_topk" -> ((s, dir) => {
       val tmp = graft.util.Scratch.tempDir("grafttopk")
       val in = tmp.resolve("in").toString
-      TokenTable.load(s, dir).repartition(8).write.mode("overwrite").parquet(in)
+      TokenTable.load(s, dir).repartition(4).write.mode("overwrite").parquet(in)
       graft.streaming.SketchStream.runIncrementalTopK(
         s, in, tmp.resolve("cp").toString)
         .orderBy("source", "rank")
@@ -1451,7 +1451,7 @@ object PipelineQueries {
     "stream_sketch_table" -> ((s, dir) => {
       val tmp = graft.util.Scratch.tempDir("graftstb")
       val in = tmp.resolve("in").toString
-      TokenTable.load(s, dir).repartition(8).write.mode("overwrite").parquet(in)
+      TokenTable.load(s, dir).repartition(4).write.mode("overwrite").parquet(in)
       val io = new graft.catalog.SketchTableIO(s, tmp.resolve("table").toString)
       val streamed = graft.streaming.SketchStream.runIncrementalToTable(
         s, in, tmp.resolve("cp").toString, io)
@@ -1475,7 +1475,7 @@ object PipelineQueries {
       // never drops on-time data (a time-shuffled replay WOULD drop —
       // that's the watermark doing its job)
       s.read.parquet(s"$dir/events.parquet")
-        .repartitionByRange(8, col("ts"))
+        .repartitionByRange(4, col("ts"))
         .sortWithinPartitions("ts")
         .write.mode("overwrite").parquet(in)
       // the file source replays in MODIFICATION-TIME order, and parallel
@@ -1574,7 +1574,7 @@ object PipelineQueries {
     "stream_user_state" -> ((s, dir) => {
       val tmp = graft.util.Scratch.tempDir("graftstate")
       val in = tmp.resolve("in").toString
-      s.read.parquet(s"$dir/events.parquet").repartition(8)
+      s.read.parquet(s"$dir/events.parquet").repartition(4)
         .write.mode("overwrite").parquet(in)
       val streamed = graft.streaming.WindowedSketch.userTypeState(
         s, in, tmp.resolve("cp").toString, tmp.resolve("out").toString)
@@ -1586,7 +1586,7 @@ object PipelineQueries {
     "stream_tws_user_state" -> ((s, dir) => {
       val tmp = graft.util.Scratch.tempDir("grafttws")
       val in = tmp.resolve("in").toString
-      s.read.parquet(s"$dir/events.parquet").repartition(8)
+      s.read.parquet(s"$dir/events.parquet").repartition(4)
         .write.mode("overwrite").parquet(in)
       val streamed = graft.streaming.WindowedSketch.userTypeStateTws(
         s, in, tmp.resolve("cp").toString, tmp.resolve("out").toString)
@@ -1604,7 +1604,7 @@ object PipelineQueries {
       val ev = s.read.parquet(s"$dir/events.parquet")
       // time-ordered files so the watermark never drops on-time data
       // (file source replays in mtime order; see stream_windowed_hll)
-      ev.repartitionByRange(8, col("ts")).sortWithinPartitions("ts")
+      ev.repartitionByRange(2, col("ts")).sortWithinPartitions("ts")
         .write.mode("overwrite").parquet(in)
       val phase1 = pinMtimes(in)(1000000000000L, Set.empty)
       // sentinel: one event 2 gaps past the corpus max — its watermark
@@ -1687,7 +1687,7 @@ object PipelineQueries {
     "resumable_build" -> ((s, dir) => {
       val tmp = graft.util.Scratch.tempDir("graftresume")
       val in = tmp.resolve("in").toString
-      TokenTable.load(s, dir).repartition(8).write.mode("overwrite").parquet(in)
+      TokenTable.load(s, dir).repartition(4).write.mode("overwrite").parquet(in)
       val ckpt = tmp.resolve("ckpt").toString
       val crashed =
         try { SketchBuildJob.run(s, in, ckpt, filesPerBatch = 2, failAfterBatches = 1); false }

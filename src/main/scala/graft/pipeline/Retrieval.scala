@@ -155,5 +155,9 @@ object Retrieval {
   def bm25(docs: DataFrame, queries: DataFrame, k: Int,
            k1: Double = 1.2, b: Double = 0.75,
            maxDf: Long = Long.MaxValue): DataFrame =
-    bm25TopK(invertedIndex(docs), queries, k, k1, b, maxDf)
+    // the index feeds termStats, corpusStats AND the posting join —
+    // materialize it once (the build-once artifact this scaladoc
+    // already promises at scale; the streaming entry point persists
+    // the same two sides explicitly)
+    bm25TopK(invertedIndex(docs).localCheckpoint(true), queries, k, k1, b, maxDf)
 }
