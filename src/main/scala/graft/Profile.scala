@@ -19,9 +19,139 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     args.headOption.getOrElse("check") match {
       case "check" => profileCheck(spark)
+      case "lm" => profileLm(spark)
+      case "lsh" => profileLsh(spark)
+      case "sretr" => profileStreamRetrieval(spark)
       case other => println(s"unknown mode $other")
     }
     spark.stop()
+  }
+
+  private def noop(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** Stage-by-stage dissection of the text_lm_filter leg. */
+  private def profileLm(spark: SparkSession): Unit = {
+    import graft.pipeline._
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def stage(label: String)(f: => Unit): Unit = {
+      f // warm
+      val t = (1 to 2).map(_ => timed(f)).min
+      println(f"[prof] $label%-28s $t%.2f s")
+    }
+    val words = TextFunctions.words(col("text"))
+    stage("docs scan")(noop(docs))
+    stage("words size")(noop(docs.select(org.apache.spark.sql.functions.size(words).as("n"))))
+    val bigrams = docs.filter(org.apache.spark.sql.functions.size(words) >= 2)
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        explode(transform(sequence(lit(0), org.apache.spark.sql.functions.size(words) - 2),
+          i => concat(element_at(words, i + 1), lit(" "), element_at(words, i + 2)))).as("g"))
+    stage("bigram explode")(noop(bigrams))
+    stage("bigram explode+w1")(noop(bigrams.withColumn("w1", split(col("g"), " ").getItem(0))))
+    val pool = bigrams.filter(col("source") =!= "src0")
+    stage("pool groupBy doc")(noop(pool.groupBy("doc_id").agg(count(lit(1)).as("n"))))
+    stage("full rareBigramScore")(noop(LmFilter.rareBigramScore(docs, "src0")))
+  }
+
+  /** Does CollapseProject inline minhash_sig into the per-band
+    * lambda (32x re-evaluation)? Times banding with sig as a
+    * collapsed projection vs a checkpoint-bound attribute. */
+  private def profileLsh(spark: SparkSession): Unit = {
+    import graft.pipeline.TextFunctions._
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val sh = docs.select(col("doc_id").cast("long").as("id"),
+      shingles(words(col("text")), 3).as("sh")).localCheckpoint(true)
+    val bands = 32; val r = 4
+    def bucketsOf(sig: org.apache.spark.sql.DataFrame) = sig.select(col("id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), hash(org.apache.spark.sql.functions.slice(col("sig"), b * r + 1, lit(r))).as("bh")))).as("e"))
+      .select(col("id"), col("e.band").as("band"), col("e.bh").as("bh"))
+    def stage(label: String)(f: => Unit): Unit = {
+      f; val t = (1 to 2).map(_ => timed(f)).min
+      println(f"[prof] $label%-28s $t%.2f s")
+    }
+    val sigProj = sh.withColumn("sig", minhash_sig(col("sh"), 128))
+    stage("sig only")(noop(sigProj.select("id", "sig")))
+    stage("buckets, collapsed sig")(noop(bucketsOf(sigProj)))
+    val sigCk = sigProj.select("id", "sig").localCheckpoint(true)
+    stage("buckets, bound sig")(noop(bucketsOf(sigCk)))
+    println("---- collapsed plan Generate node: ----")
+    bucketsOf(sigProj).queryExecution.optimizedPlan.toString.split("\n")
+      .filter(l => l.contains("Generate") || l.contains("minhash"))
+      .take(4).foreach(println)
+  }
+
+  /** Piece timing of the stream_retrieval leg's fixed costs. */
+  private def profileStreamRetrieval(spark: SparkSession): Unit = {
+    import graft.pipeline._
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    def stage(label: String)(f: => Unit): Unit = {
+      val t = timed(f)
+      println(f"[prof] $label%-28s $t%.2f s")
+    }
+    stage("seed queries") {
+      val qs = d.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("q_id"),
+          org.apache.spark.sql.functions.slice(TextFunctions.words(col("text")), 1, 8).as("terms"))
+      qs.repartitionByRange(2, col("q_id")).sortWithinPartitions("q_id")
+        .write.mode("overwrite").parquet("/tmp/prof_sretr_in")
+    }
+    stage("index build+write") {
+      Retrieval.invertedIndex(d).write.mode("overwrite").parquet("/tmp/prof_sretr_idx")
+    }
+    val idx = spark.read.parquet("/tmp/prof_sretr_idx").persist()
+    stage("stats build+write") {
+      Retrieval.termStats(idx)
+        .crossJoin(broadcast(Retrieval.corpusStats(idx)))
+        .write.mode("overwrite").parquet("/tmp/prof_sretr_stats")
+    }
+    val stats = spark.read.parquet("/tmp/prof_sretr_stats").persist()
+    val qs = spark.read.parquet("/tmp/prof_sretr_in")
+    stage("one bm25FromIndex batch") {
+      noop(Retrieval.bm25FromIndex(idx, stats, qs, 10))
+    }
+    stage("one bm25FromIndex again") {
+      noop(Retrieval.bm25FromIndex(idx, stats, qs, 10))
+    }
+    // sub-pieces of one scoring pass
+    val qterms = qs.select(col("q_id").cast("long").as("q_id"),
+      explode(col("terms")).as("term")).distinct()
+    stage("qterms distinct")(noop(qterms))
+    val qstats = stats.join(qterms.select("term").distinct(), Seq("term"))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("idf2", log(col("n_docs").cast("double") / col("df")))
+      .withColumn("avgdl", col("total_len").cast("double") / col("n_docs"))
+      .select("term", "idf", "idf2", "avgdl")
+    val contrib = idx
+      .join(broadcast(qstats), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .withColumn("tfnorm", col("tf") * (lit(1.2) + 1.0) /
+        (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))))
+      .select(col("q_id"), col("doc_id"),
+        round(col("idf") * col("tfnorm") * lit(1e6)).cast("long").as("c_bm25"),
+        round(col("tf") * col("idf2") * lit(1e6)).cast("long").as("c_tfidf"))
+    stage("contrib join")(noop(contrib))
+    val scored = contrib.groupBy("q_id", "doc_id")
+      .agg(sum(col("c_bm25")).as("score_micros"), sum(col("c_tfidf")).as("tfidf_micros"))
+    stage("scored agg")(noop(scored))
+    stage("ranked window") {
+      import org.apache.spark.sql.expressions.Window
+      noop(scored.withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("score_micros").desc, col("doc_id").asc)))
+        .filter(col("rank") <= 10))
+    }
+    val tmp = graft.util.Scratch.tempDir("profsrt")
+    stage("full bm25Stream drain") {
+      graft.streaming.StreamRetrieval.bm25Stream(
+        spark, "/tmp/prof_sretr_in", d, tmp.resolve("cp").toString,
+        tmp.resolve("out").toString, k = 10)
+        .write.format("noop").mode("overwrite").save()
+    }
   }
 
   private def profileCheck(spark: SparkSession): Unit = {

@@ -251,7 +251,12 @@ object SparkEntry {
     // spark.sql.extensions install path exercised by GraftExtensions)
     "q_sql_surface" -> ((s, dir) => {
       graft.agg.GraftFunctions.register(s)
-      TokenTable.tokens(s, dir).createOrReplaceTempView("graft_toks")
+      // the SQL below scans graft_toks three times (per-source
+      // sketches, the merged-global rollup, the exact global truth);
+      // materialize the tokenization once per invocation — recomputed
+      // from parquet every run, nothing survives the query
+      TokenTable.tokens(s, dir).localCheckpoint(true)
+        .createOrReplaceTempView("graft_toks")
       // all 8 sketch aggregates + probes + a pure-SQL MERGE rollup
       // (per-source HLLs merged to the global sketch, checked against
       // the true global distinct count) — the whole engine driven by

@@ -184,7 +184,16 @@ object Ann {
     }.mkString(",")
   }
 
+  /** Exact top-k FIXTURE for the recall gates — NOT a corpus
+    * operator: the result (nQueries x k id pairs) is collected to the
+    * driver and memoized per (input files, nQueries, k) so one round
+    * pays one exact pass. The guard below keeps misuse at corpus
+    * scale impossible: the driver-side result is bounded to 1M pairs
+    * (a recall harness probes hundreds of queries, not a corpus). */
   def exactTopPairs(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    require(nQueries.toLong * k <= 1000000L,
+      s"exactTopPairs is a recall-gate fixture, not a corpus operator: " +
+        s"nQueries=$nQueries x k=$k exceeds the 1M driver-side pair bound")
     val spark = emb.sparkSession
     import spark.implicits._
     val files = emb.inputFiles

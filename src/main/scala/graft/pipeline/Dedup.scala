@@ -569,8 +569,13 @@ object Dedup {
     // aggregates map-side with no sort). pos is an Int < 2^31, so
     // doc_id * 2^31 + pos is lexicographic-exact and tops out near
     // 2^94 — well inside decimal(38, 0).
+    // the window table feeds the first-occurrence vote AND the join
+    // back; AQE broadcasts the (duplication-proportional) dupKeys
+    // side, so without a materialization the posexplode + per-window
+    // md5 pass runs twice
     val wins = substringWindows(base, L)
       .withColumn("pk", expr("cast(doc_id as decimal(38, 0)) * 2147483648 + pos"))
+      .localCheckpoint(true)
     val dupKeys = wins.groupBy("wkey")
       .agg(count(lit(1)).as("n_occ"), min(col("pk")).as("first"))
       .filter(col("n_occ") > 1)

@@ -54,16 +54,26 @@ import graft.pipeline.TextFunctions.words
  */
 object LmFilter {
 
-  /** multiset bigrams "w1 w2" of a whitespace word array */
+  /** (g = "w1 w2", w1) bigram structs of a BOUND word-array column.
+    * The column must be a projected attribute, not the raw split
+    * expression: a lambda that closes over an unbound `split(text)`
+    * re-evaluates the split per element — O(words²) regex splits per
+    * document (measured 7.4 s of the 8 s text_lm_filter leg at
+    * sf0.1). `zip_with` over two slices of the bound array is one
+    * O(words) pass, and carrying w1 from the zip drops the per-gram
+    * re-split the old `split(g, " ")[0]` projection paid. */
   private def bigramsOf(wc: Column): Column =
-    transform(sequence(lit(0), size(wc) - 2),
-      i => concat(element_at(wc, i + 1), lit(" "), element_at(wc, i + 2)))
+    zip_with(slice(wc, lit(1), size(wc) - 1), slice(wc, lit(2), size(wc) - 1),
+      (a, b) => struct(concat(a, lit(" "), b).as("g"), a.as("w1")))
 
   private def docBigrams(docs: DataFrame): DataFrame =
-    docs.filter(size(words(col("text"))) >= 2)
-      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
-        explode(bigramsOf(words(col("text")))).as("g"))
-      .withColumn("w1", split(col("g"), " ").getItem(0))
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(bigramsOf(col("ws"))).as("e"))
+      .select(col("doc_id"), col("source"),
+        col("e.g").as("g"), col("e.w1").as("w1"))
 
   /**
    * Score every non-reference document against the bigram LM of

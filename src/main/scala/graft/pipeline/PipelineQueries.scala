@@ -1017,7 +1017,7 @@ object PipelineQueries {
       val in = tmp.resolve("in").toString
       val d = docs(s, dir)
       d.filter(col("doc_id") % 7 =!= 0)
-        .repartitionByRange(2, col("doc_id")).sortWithinPartitions("doc_id")
+        .coalesce(2)
         .write.mode("overwrite").parquet(in)
       graft.streaming.StreamDecontam.overlapStream(
         s, in, d.filter(col("doc_id") % 7 === 0),
@@ -1040,7 +1040,7 @@ object PipelineQueries {
         .withColumn("doc_id", col("doc_id") + 1000000L)
         .unionByName(corpus.filter(col("doc_id") % 7 === 0)
           .withColumn("doc_id", col("doc_id") + 2000000L))
-      fresh.repartitionByRange(2, col("doc_id")).sortWithinPartitions("doc_id")
+      fresh.coalesce(2)
         .write.mode("overwrite").parquet(in)
       graft.streaming.StreamDedupIncremental.scrubStream(
         s, in, corpus,
@@ -1063,7 +1063,7 @@ object PipelineQueries {
           when(col("doc_id") % 4 === 0,
             expr("concat(slice(tokens, 1, 10), reverse(tokens))"))
             .otherwise(reverse(col("tokens"))).as("tokens"))
-      fresh.repartitionByRange(2, col("doc_id")).sortWithinPartitions("doc_id")
+      fresh.coalesce(2)
         .write.mode("overwrite").parquet(in)
       graft.streaming.StreamSubstringScrub.scrubStream(
         s, in, corpus,
@@ -1360,7 +1360,7 @@ object PipelineQueries {
       d.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("q_id"),
           slice(TextFunctions.words(col("text")), 1, 8).as("terms"))
-        .repartitionByRange(2, col("q_id")).sortWithinPartitions("q_id")
+        .coalesce(2)
         .write.mode("overwrite").parquet(in)
       graft.streaming.StreamRetrieval.bm25Stream(
         s, in, d, tmp.resolve("cp").toString, tmp.resolve("out").toString,

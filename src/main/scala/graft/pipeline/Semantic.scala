@@ -86,22 +86,32 @@ object Semantic {
         col("keep").as("keep_a")), Seq("id_a"))
       .join(cellOf.select(col("vec_id").as("id_b"), col("cell").as("cell_b"),
         col("keep").as("keep_b")), Seq("id_b"))
-    // violations of cell-completeness: co-located exact pair, both kept
-    val nIncomplete = pairsWithCells
-      .filter(col("cell_a") === col("cell_b") && col("keep_a") && col("keep_b"))
-      .count()
-    // soundness: every dropped id touches >=1 co-located exact pair
+    // ONE aggregation job over the pair set yields the exact-pair
+    // count and the completeness violations (previously two separate
+    // count() actions over the same join)
+    val pairAgg = pairsWithCells.agg(
+      count(lit(1)).as("n_exact"),
+      sum(when(col("cell_a") === col("cell_b") && col("keep_a") && col("keep_b"), 1L)
+        .otherwise(0L)).as("n_incomplete")).head()
+    val nExact = pairAgg.getLong(0)
+    val nIncomplete = pairAgg.getLong(1)
+    // soundness: every dropped id touches >=1 co-located exact pair —
+    // one aggregation job over verdict (+ left join on the distinct
+    // partnered-dropped ids) replaces three count() actions
     val droppedWithPartner = pairsWithCells
       .filter(col("cell_a") === col("cell_b"))
       .select(explode(array(
         when(!col("keep_a"), col("id_a")), when(!col("keep_b"), col("id_b"))))
         .as("vec_id"))
       .filter(col("vec_id").isNotNull).distinct()
-    val nDropped = verdict.filter(!col("keep")).count()
-    val nSoundDropped = verdict.filter(!col("keep"))
-      .join(droppedWithPartner, Seq("vec_id"), "left_semi").count()
-    val nEmb = verdict.count()
-    val nExact = exact.count()
+      .withColumn("has_partner", lit(true))
+    val vAgg = verdict.join(droppedWithPartner, Seq("vec_id"), "left").agg(
+      count(lit(1)).as("n_emb"),
+      sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"),
+      sum(when(!col("keep") && col("has_partner"), 1L).otherwise(0L)).as("n_sound")).head()
+    val nEmb = vAgg.getLong(0)
+    val nDropped = vAgg.getLong(1)
+    val nSoundDropped = vAgg.getLong(2)
     verdict.unpersist(); exact.unpersist()
     val spark = emb.sparkSession
     import spark.implicits._

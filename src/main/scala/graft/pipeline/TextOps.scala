@@ -25,13 +25,15 @@ object TextOps {
    * (alphabetical), "und" when no profile matches.
    */
   def langId(docs: DataFrame): DataFrame = {
-    val cols = Seq(
-      col("doc_id").cast("long").as("doc_id"),
-      col("lang").as("lang_label")) ++
+    // bind the split once: each profile's score references the word
+    // array, and an unbound `words(text)` re-splits per profile
+    val bound = docs.select(col("doc_id").cast("long").as("doc_id"),
+      col("lang").as("lang_label"), ws.as("ws"))
+    val cols = Seq(col("doc_id"), col("lang_label")) ++
       TextFunctions.StopwordProfiles.map { case (l, stops) =>
-        langScore(ws, stops).as(s"score_$l")
+        langScore(col("ws"), stops).as(s"score_$l")
       }
-    val scored = docs.select(cols: _*)
+    val scored = bound.select(cols: _*)
     val scoreCols = TextFunctions.StopwordProfiles.map { case (l, _) => col(s"score_$l") }
     val m = greatest(scoreCols: _*)
     val pred = TextFunctions.StopwordProfiles.foldLeft(when(m === 0, "und")) {
@@ -47,14 +49,19 @@ object TextOps {
    * rules), restricted to ones computable from this corpus.
    */
   def quality(docs: DataFrame): DataFrame = {
-    val nWords = size(ws)
-    val sumWordLen = aggregate(transform(ws, w => length(w)), lit(0L), (a, x) => a + x)
-    val nDistinct = size(array_distinct(ws))
-    val stopHits = langScore(ws, TextFunctions.StopwordProfiles.toMap.apply("en"))
-    docs.select(
-      col("doc_id").cast("long").as("doc_id"),
+    // bind the split once: five metric expressions reference the word
+    // array, and an unbound `words(text)` re-splits per metric
+    val wc = col("ws")
+    val nWords = size(wc)
+    val sumWordLen = aggregate(transform(wc, w => length(w)), lit(0L), (a, x) => a + x)
+    val nDistinct = size(array_distinct(wc))
+    val stopHits = langScore(wc, TextFunctions.StopwordProfiles.toMap.apply("en"))
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        length(col("text")).as("n_chars_calc"), ws.as("ws"))
+      .select(
+      col("doc_id"),
       nWords.as("n_words"),
-      length(col("text")).as("n_chars_calc"),
+      col("n_chars_calc"),
       round(sumWordLen / nWords, 6).as("mean_word_len"),
       round(nDistinct.cast("double") / nWords, 6).as("type_token_ratio"),
       round(stopHits.cast("double") / nWords, 6).as("stopword_ratio"),
@@ -106,7 +113,9 @@ object TextOps {
    * ([[fingerprints]]), bucketed mod `dim`.
    */
   def qualityModel(docs: DataFrame, dim: Int = 512): DataFrame = {
-    val grams = TextFunctions.shingles(ws, 2)
+    // bound attribute: the feature count and the score both reference
+    // the gram array — one shingle pass instead of two
+    val grams = col("grams")
     def bucketOf(g: Column): Column =
       pmod(aggregate(split(g, ""), lit(0L),
         (a, c) => (a * lit(31L) + ascii(c)) % lit(1000000007L)), lit(dim.toLong))
@@ -114,6 +123,9 @@ object TextOps {
       i * lit(2654435761L) % lit(1000003L) % lit(2001L) - lit(1000L)
     docs.select(
         col("doc_id").cast("long").as("doc_id"),
+        TextFunctions.shingles(ws, 2).as("grams"))
+      .select(
+        col("doc_id"),
         size(grams).cast("int").as("n_features"),
         aggregate(transform(grams, g => weightOf(bucketOf(g))),
           lit(0L), (a, w) => a + w).as("score_milli"))
@@ -140,8 +152,12 @@ object TextOps {
     docs.select(
         col("doc_id").cast("long").as("doc_id"),
         length(col("text")).as("n_chars_doc"),
-        repetitionStats(ws, 2).as("r2"),
-        repetitionStats(ws, 3).as("r3"))
+        ws.as("ws"))
+      .select(
+        col("doc_id"),
+        col("n_chars_doc"),
+        repetitionStats(col("ws"), 2).as("r2"),
+        repetitionStats(col("ws"), 3).as("r3"))
       .select(col("doc_id"), col("n_chars_doc"),
         col("r2.n_grams").as("g2"), col("r2.top_cnt").as("top2_cnt"),
         col("r2.top_chars").as("top2_chars"), col("r2.dup_chars").as("dup2_chars"),
@@ -241,7 +257,10 @@ object TextOps {
   def novelty(toks: DataFrame, L: Int = 8): DataFrame = {
     require(L >= 2, s"window length $L")
     val base = Dedup.substringBase(toks)
-    val wins = Dedup.substringWindows(base, L)
+    // both the cross-doc vote and the per-doc count read the window
+    // table — materialize the posexplode + per-window md5 pass once
+    // (same discipline as substringDedup)
+    val wins = Dedup.substringWindows(base, L).localCheckpoint(true)
     val shared = wins.select(col("doc_id"), col("wkey")).distinct()
       .groupBy("wkey").agg(count(lit(1)).as("nd"))
       .filter(col("nd") > 1).select("wkey")
