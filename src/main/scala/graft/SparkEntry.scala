@@ -37,7 +37,10 @@ object SparkEntry {
     // bloom `bulk`+`check`: zero false negatives over every inserted
     // (source, token) pair — `csrc/libbloom/bloom.c:105-150` semantics
     "bloom_member_tokens" -> ((s, dir) => {
-      val toks = TokenTable.tokens(s, dir)
+      // the sketch build and the probe side both scan the tokenization
+      // (an explode + vocab lookup per word) - materialize it once per
+      // invocation, recomputed from parquet every run
+      val toks = TokenTable.tokens(s, dir).localCheckpoint(true)
       val sketches = toks.groupBy("source")
         .agg(bloom_agg(col("token").cast("string"), 100000L, 1e-4).as("sketch"))
       toks.select("source", "token").distinct()
@@ -92,7 +95,8 @@ object SparkEntry {
     // operator enforces its regime — without the cap this was a 303 s
     // build (thousands of layers, megabyte blobs), measured in round 1.
     "lbf_multiplicity" -> ((s, dir) => {
-      val toks = TokenTable.tokens(s, dir)
+      // truth and sketch sides both scan the tokenization - one pass
+      val toks = TokenTable.tokens(s, dir).localCheckpoint(true)
       val truth = toks.groupBy("source", "token").agg(count(lit(1)).as("m_true"))
       val sketches = toks.groupBy("source")
         .agg(lbf_agg(col("token").cast("string"), 100000L, 1e-4).as("sketch"))
@@ -328,7 +332,8 @@ object SparkEntry {
 
     // CMS companion: per-(source,token) frequency within eps-delta bound
     "cms_freq_bound" -> ((s, dir) => {
-      val toks = TokenTable.tokens(s, dir)
+      // truth and sketch sides both scan the tokenization - one pass
+      val toks = TokenTable.tokens(s, dir).localCheckpoint(true)
       val sk = toks.groupBy("source").agg(
         cms_agg(col("token").cast("string"), 1e-4, 0.01).as("sk"),
         count(lit(1)).as("n_total"))
@@ -348,7 +353,8 @@ object SparkEntry {
     // (exact integer form of error <= n/(k+1)), and completeness —
     // any token with true > error must be tracked
     "freq_heavy_hitters" -> ((s, dir) => {
-      val toks = TokenTable.tokens(s, dir)
+      // truth and sketch sides both scan the tokenization - one pass
+      val toks = TokenTable.tokens(s, dir).localCheckpoint(true)
       val k = 32
       val sk = toks.groupBy("source").agg(
         freq_agg(col("token").cast("string"), k).as("sk"),

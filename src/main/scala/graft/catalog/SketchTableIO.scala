@@ -132,22 +132,30 @@ class SketchTableIO(val spark: SparkSession, val root: String) {
    * one aggregation over the batch-sized change set.
    */
   def mergeCommit(changes: DataFrame, key: String): Long = {
-    import org.apache.spark.sql.functions.{col, count, lit}
+    import org.apache.spark.sql.functions._
+    // BOTH validations in ONE aggregation job over the batch-sized
+    // change set (this runs per micro-batch in the streaming path, so
+    // per-commit driver actions are the constant that matters).
     // NULL op must be flagged too: isin is NULL for NULL input, the
-    // negation stays NULL, and filter would drop the row — letting a
+    // negation stays NULL, and a filter would drop the row — letting a
     // malformed record slip into `touched` and silently delete its key
-    val badOps = changes
-      .filter(col("op").isNull || !col("op").isin("upsert", "delete"))
-      .select("op").distinct().collect()
-      .map(r => if (r.isNullAt(0)) "NULL" else r.getString(0))
+    val chk = changes.groupBy(col(key)).agg(
+        collect_set(when(col("op").isNull || !col("op").isin("upsert", "delete"),
+          coalesce(col("op"), lit("NULL")))).as("bad"),
+        count(when(col("op") === "upsert", lit(1))).as("nup"))
+      .agg(
+        array_distinct(flatten(collect_list(col("bad")))).as("bad_ops"),
+        slice(sort_array(collect_list(when(col("nup") > 1, col(key).cast("string")))),
+          1, 5).as("dup_keys"))
+      .head()
+    val badOps = chk.getSeq[String](0)
     require(badOps.isEmpty,
       s"unknown op value(s) ${badOps.mkString(", ")} — only upsert/delete are applied")
-    val upserts = changes.filter(col("op") === "upsert").drop("op")
-    val dupKeys = upserts.groupBy(col(key)).agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1).limit(5).collect().map(_.get(0))
+    val dupKeys = chk.getSeq[String](1)
     require(dupKeys.isEmpty,
       s"multiple upserts for key(s) ${dupKeys.mkString(", ")} in one change batch — " +
         "resolve to one row per key upstream (no order exists within a batch)")
+    val upserts = changes.filter(col("op") === "upsert").drop("op")
     val current = read()
     val touched = changes.select(col(key)).distinct()
     val merged = current.join(touched, Seq(key), "left_anti")

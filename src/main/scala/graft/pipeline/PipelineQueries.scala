@@ -1107,9 +1107,13 @@ object PipelineQueries {
     "kmv_set_ops" -> ((s, dir) => {
       import graft.sketch.Kmv
       val k = 64
+      // the gram set feeds three actions (sketches, sizes, and BOTH
+      // sides of the pair-intersection self-join) — one materialized
+      // explode+distinct instead of four replays
       val grams = docs(s, dir).select(col("source"),
         explode(TextFunctions.shingles(TextFunctions.words(col("text")), 3)).as("gram"))
         .distinct()
+        .localCheckpoint(true)
       val sketches: Map[String, Kmv] = grams.groupBy("source")
         .agg(kmv_agg(col("gram"), k).as("sk"))
         .collect()
