@@ -255,16 +255,22 @@ object SparkEntry {
     // spark.sql.extensions install path exercised by GraftExtensions)
     "q_sql_surface" -> ((s, dir) => {
       graft.agg.GraftFunctions.register(s)
-      // the SQL below scans graft_toks three times (per-source
-      // sketches, the merged-global rollup, the exact global truth);
-      // materialize the tokenization once per invocation — recomputed
-      // from parquet every run, nothing survives the query
-      TokenTable.tokens(s, dir).localCheckpoint(true)
-        .createOrReplaceTempView("graft_toks")
+      // NOT checkpointed (unlike the token-sketch gates): the three
+      // graft_toks scans here each feed heavy ObjectHashAggregates,
+      // and re-reading the materialized post-explode rows from the
+      // block manager measured SLOWER (11 s vs 8 s) than three
+      // codegen'd parquet re-scans of the 5k-doc table
+      TokenTable.tokens(s, dir).createOrReplaceTempView("graft_toks")
       // all 8 sketch aggregates + probes + a pure-SQL MERGE rollup
       // (per-source HLLs merged to the global sketch, checked against
       // the true global distinct count) — the whole engine driven by
-      // SQL text through the graft_* registry
+      // SQL text through the graft_* registry.
+      // CMS eps is 1e-3 here (not the 1e-4 the dedicated
+      // cms_freq_bound gate proves the error bound at): this gate's
+      // assertion is cms_total = n, exact at ANY width, and the
+      // 1e-4 width put ~540 KB of counter buffer per (source,
+      // partition) partial — ~350 MB of allocation churn for a
+      // registry smoke test (measured 2 s of the leg)
       s.sql("""
         WITH sk AS (
           SELECT source,
@@ -272,7 +278,7 @@ object SparkEntry {
                  graft_sbf_agg(token) AS sbf,
                  graft_lbf_agg(token, 100000, 0.0001) AS lbf,
                  graft_hll_agg(token, 14) AS hll,
-                 graft_cms_agg(token, 0.0001, 0.01) AS cms,
+                 graft_cms_agg(token, 0.001, 0.01) AS cms,
                  graft_tdigest_agg(CAST(token AS DOUBLE), 100.0) AS td,
                  graft_kll_agg(CAST(token AS DOUBLE), 200) AS kll,
                  graft_freq_agg(token, 32) AS freq,

@@ -1492,8 +1492,12 @@ object PipelineQueries {
         java.nio.file.Files.setLastModifiedTime(p,
           java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
       }
+      // 4 state partitions: proportionate to the gate corpus (the
+      // stream_interval_join precedent); exact operator, so the
+      // answer is partitioning-invariant
       val streamed = graft.streaming.WindowedSketch.windowedHll(
-        s, in, tmp.resolve("cp").toString, tmp.resolve("out").toString)
+        s, in, tmp.resolve("cp").toString, tmp.resolve("out").toString,
+        statePartitions = 4)
       graft.streaming.WindowedSketch.compareWindowedToBatch(s, in, streamed)
     }),
 
@@ -1581,7 +1585,8 @@ object PipelineQueries {
       s.read.parquet(s"$dir/events.parquet").repartition(4)
         .write.mode("overwrite").parquet(in)
       val streamed = graft.streaming.WindowedSketch.userTypeState(
-        s, in, tmp.resolve("cp").toString, tmp.resolve("out").toString)
+        s, in, tmp.resolve("cp").toString, tmp.resolve("out").toString,
+        statePartitions = 4)
       graft.streaming.WindowedSketch.compareUserStateToBatch(s, in, streamed)
     }),
 
@@ -1593,7 +1598,8 @@ object PipelineQueries {
       s.read.parquet(s"$dir/events.parquet").repartition(4)
         .write.mode("overwrite").parquet(in)
       val streamed = graft.streaming.WindowedSketch.userTypeStateTws(
-        s, in, tmp.resolve("cp").toString, tmp.resolve("out").toString)
+        s, in, tmp.resolve("cp").toString, tmp.resolve("out").toString,
+        statePartitions = 4)
       graft.streaming.WindowedSketch.compareUserStateToBatch(s, in, streamed)
     }),
 
@@ -1623,7 +1629,7 @@ object PipelineQueries {
       pinMtimes(in)(2000000000000L, phase1)
       val streamed = graft.streaming.StreamSessionize.sessionize(
         s, in, tmp.resolve("cp").toString, tmp.resolve("out").toString,
-        gap = "8 hours")
+        gap = "8 hours", statePartitions = 4)
       graft.streaming.StreamSessionize.compareSessionsToBatch(s, in, streamed, Temporal8hUs)
         .orderBy("user_id", "start_us")
     }),
