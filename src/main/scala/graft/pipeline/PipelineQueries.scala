@@ -1523,7 +1523,7 @@ object PipelineQueries {
       // first — file-at-a-time replay makes arrival order total
       val streamed = graft.streaming.StreamDedup.dedupExact(
         s, in, tmp.resolve("cp").toString, tmp.resolve("out").toString,
-        maxFilesPerTrigger = 1)
+        maxFilesPerTrigger = 1, statePartitions = 4)
       val batchKept = Dedup.exactDedup(dup)
       streamed.join(batchKept, Seq("fp"))
         .select(col("fp"), col("kept_doc_id"),
@@ -1572,7 +1572,7 @@ object PipelineQueries {
       }
       graft.streaming.StreamDedup.dedupWithinWatermark(s, in.toString,
           tmp.resolve("cp").toString, tmp.resolve("out").toString,
-          tsCol = "ts", delay = "30 minutes")
+          tsCol = "ts", delay = "30 minutes", statePartitions = 4)
         .select(col("doc_id"), col("ts").cast("string").as("event_ts"))
         .orderBy("doc_id")
     }),

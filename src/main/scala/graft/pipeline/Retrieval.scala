@@ -108,9 +108,13 @@ object Retrieval {
       .withColumn("idf2", log(col("n_docs").cast("double") / col("df")))
       .withColumn("avgdl", col("total_len").cast("double") / col("n_docs"))
       .select("term", "idf", "idf2", "avgdl")
+    // ONE broadcast join against the postings: (q_id, term, idf,
+    // idf2, avgdl) is still query-vocabulary-sized, and pre-joining
+    // the two tiny sides halves the per-posting probe work (the old
+    // shape probed two broadcast hash tables per posting row)
+    val qside = qterms.join(qstats, Seq("term"))
     val contrib = index
-      .join(broadcast(qstats), Seq("term"))
-      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(qside), Seq("term"))
       .withColumn("tfnorm",
         col("tf") * (lit(k1) + 1.0) /
           (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
