@@ -265,18 +265,24 @@ object SparkEntry {
       // (per-source HLLs merged to the global sketch, checked against
       // the true global distinct count) — the whole engine driven by
       // SQL text through the graft_* registry.
-      // CMS eps is 1e-3 here (not the 1e-4 the dedicated
-      // cms_freq_bound gate proves the error bound at): this gate's
-      // assertion is cms_total = n, exact at ANY width, and the
-      // 1e-4 width put ~540 KB of counter buffer per (source,
-      // partition) partial — ~350 MB of allocation churn for a
-      // registry smoke test (measured 2 s of the leg)
+      // Sketch params here are sized for what THIS gate asserts —
+      // registry dispatch + membership/total booleans that hold at
+      // any capacity/width (bloom/sbf/lbf have no false negatives;
+      // cms_total and kll_n are exact by construction) — not for the
+      // accuracy contracts, which keep reference/production params in
+      // their dedicated gates (bloom_member_tokens and
+      // lbf_multiplicity at the 100k server default, cms_freq_bound
+      // at eps 1e-4, bloom_fp_bound at design load). At the old
+      // params the partial-aggregation buffers (234 KB bloom + up to
+      // 5x234 KB lbf layers + 544 KB cms, per source per partition)
+      // were ~700 MB of allocation churn per run — measured as the
+      // difference between this leg's 8.3 s and 2.7 s floors
       s.sql("""
         WITH sk AS (
           SELECT source,
-                 graft_bloom_agg(token, 100000, 0.0001) AS bloom,
+                 graft_bloom_agg(token, 20000, 0.001) AS bloom,
                  graft_sbf_agg(token) AS sbf,
-                 graft_lbf_agg(token, 100000, 0.0001) AS lbf,
+                 graft_lbf_agg(token, 20000, 0.001) AS lbf,
                  graft_hll_agg(token, 14) AS hll,
                  graft_cms_agg(token, 0.001, 0.01) AS cms,
                  graft_tdigest_agg(CAST(token AS DOUBLE), 100.0) AS td,
