@@ -82,7 +82,18 @@ class SketchTableIO(val spark: SparkSession, val root: String) {
         if (p.getFileName.toString.endsWith(".parquet")) fileList += p.toString
       }
     } finally listing.close()
-    val rows = spark.read.parquet(fileList.toSeq: _*).count()
+    // manifest row count from the parquet FOOTERS (each footer's row
+    // groups carry exact counts) — a driver-side metadata read per
+    // file instead of a Spark count() job per commit (the streaming
+    // merge path commits once per micro-batch; manifest-sized
+    // metadata IO is the table-format norm)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rows = fileList.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val rootNode = mapper.createObjectNode()
     rootNode.put("version", v)
