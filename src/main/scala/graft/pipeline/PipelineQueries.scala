@@ -1364,7 +1364,10 @@ object PipelineQueries {
       d.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("q_id"),
           slice(TextFunctions.words(col("text")), 1, 8).as("terms"))
-        .coalesce(2)
+        // repartition, not coalesce: coalesce(2) collapses the whole
+        // corpus scan + filter into 2 tasks; the round-robin exchange
+        // moves only the ~2% surviving query rows (r6 A/B: 6.0 -> 5.5 s)
+        .repartition(2)
         .write.mode("overwrite").parquet(in)
       graft.streaming.StreamRetrieval.bm25Stream(
         s, in, d, tmp.resolve("cp").toString, tmp.resolve("out").toString,

@@ -81,7 +81,14 @@ object Retrieval {
   def bm25TopK(index: DataFrame, queries: DataFrame, k: Int,
                k1: Double = 1.2, b: Double = 0.75,
                maxDf: Long = Long.MaxValue): DataFrame =
-    bm25FromIndex(index,
+    // postings repartitioned by doc_id before scoring: the in-query
+    // exchange is index-sized (cheap), and HashPartitioning(doc_id)
+    // satisfies the score agg's ClusteredDistribution(q_id, doc_id) —
+    // so the (postings x queries) contribution set, which is strictly
+    // larger whenever >1 query shares a term, never crosses an
+    // exchange (the streaming path gets the same shape by CACHING the
+    // index doc_id-partitioned, amortized across micro-batches)
+    bm25FromIndex(index.repartition(col("doc_id")),
       termStats(index).crossJoin(broadcast(corpusStats(index))),
       queries, k, k1, b, maxDf)
 

@@ -41,7 +41,13 @@ object StreamRetrieval {
     val statsPath = scratch.resolve("stats").toString
     val idx = graft.pipeline.Retrieval.invertedIndex(corpus)
     idx.write.mode("overwrite").parquet(idxPath)
-    val idxStatic = ss.read.parquet(idxPath).persist()
+    // cache the postings PARTITIONED BY doc_id: the cached
+    // InMemoryRelation reports HashPartitioning(doc_id), which
+    // satisfies the score agg's ClusteredDistribution(q_id, doc_id) —
+    // so EVERY micro-batch's per-(query, doc) sum runs exchange-free;
+    // the one index-sized repartition is paid once at build time
+    val idxStatic = ss.read.parquet(idxPath)
+      .repartition(col("doc_id")).persist()
     graft.pipeline.Retrieval.termStats(idxStatic)
       .crossJoin(broadcast(graft.pipeline.Retrieval.corpusStats(idxStatic)))
       .write.mode("overwrite").parquet(statsPath)
