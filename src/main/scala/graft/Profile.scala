@@ -22,6 +22,7 @@ object Profile {
       case "lm" => profileLm(spark)
       case "lsh" => profileLsh(spark)
       case "sretr" => profileStreamRetrieval(spark)
+      case "cprep" => profileCorpusPrep(spark)
       case other => println(s"unknown mode $other")
     }
     spark.stop()
@@ -151,6 +152,62 @@ object Profile {
         spark, "/tmp/prof_sretr_in", d, tmp.resolve("cp").toString,
         tmp.resolve("out").toString, k = 10)
         .write.format("noop").mode("overwrite").save()
+    }
+  }
+
+  /** Stage timing of the pipeline_corpus_prep gate's composition. */
+  private def profileCorpusPrep(spark: SparkSession): Unit = {
+    import graft.pipeline._
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    def stage(label: String)(f: => Unit): Unit = {
+      val t = timed(f)
+      println(f"[prof] $label%-28s $t%.2f s")
+    }
+    val eval = d.filter(col("doc_id") % 7 === 0)
+    val trainBase = d.filter(col("doc_id") % 7 =!= 0)
+    val train = trainBase.unionByName(
+      trainBase.withColumn("doc_id", col("doc_id") + 100000))
+    var curated: org.apache.spark.sql.DataFrame = null
+    stage("curate (LSH) build+noop") {
+      curated = Curation.curate(train, minJ = 0.5,
+        pairSource = Curation.PairSource.Lsh(minJ = 0.5))
+      noop(curated)
+    }
+    var kept: org.apache.spark.sql.DataFrame = null
+    stage("kept checkpoint") {
+      kept = train.select(col("doc_id").cast("long").as("doc_id"),
+          col("text"), col("source"))
+        .join(curated.select("doc_id", "lang_pred"), Seq("doc_id"))
+        .localCheckpoint()
+    }
+    var ovl: org.apache.spark.sql.DataFrame = null
+    stage("decontam overlap ckpt") {
+      ovl = Decontam.overlap(kept, eval, n = 3, maxOverlap = 0).localCheckpoint()
+    }
+    var med = 0.0
+    stage("median agg") {
+      med = Option(ovl.agg(expr("percentile(n_overlap, 0.5)")).head().get(0))
+        .map(_.toString.toDouble).getOrElse(0.0)
+    }
+    val cleanIds = ovl.filter(col("n_overlap") <= med)
+      .select(col("doc_id").as("kept_id"))
+    val clean = kept.join(cleanIds, kept("doc_id") === cleanIds("kept_id"), "left_semi")
+    var redacted: org.apache.spark.sql.DataFrame = null
+    stage("redact join noop") {
+      redacted = clean.join(
+        TextOps.redactPii(clean).select("doc_id", "text_clean"), Seq("doc_id"))
+      noop(redacted)
+    }
+    val evens = (0 until 20 by 2).map(i => s"src$i" -> 12).toMap
+    val sampled = DataShaping.stratifiedSample(redacted, evens, defaultRate16 = 6)
+    val withTok = sampled.withColumn("n_tok",
+      expr("size(split(text_clean, '\\\\s+'))"))
+    stage("sample+pack+join noop") {
+      noop(DataShaping.packSequences(withTok, budget = 4096)
+        .join(sampled.select("doc_id", "lang_pred"), Seq("doc_id"))
+        .select("doc_id", "source", "lang_pred", "n_tok", "cum_tok", "bin_id")
+        .orderBy("doc_id"))
     }
   }
 

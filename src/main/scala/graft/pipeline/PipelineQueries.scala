@@ -997,11 +997,18 @@ object PipelineQueries {
         TextOps.redactPii(clean).select("doc_id", "text_clean"), Seq("doc_id"))
       val evens = (0 until 20 by 2).map(i => s"src$i" -> 12).toMap
       val sampled = DataShaping.stratifiedSample(redacted, evens, defaultRate16 = 6)
-      // what ships is the REDACTED text, so bins budget its tokens
+      // what ships is the REDACTED text, so bins budget its tokens.
+      // Third stage boundary: packSequences scans its input three
+      // times (min/max bucket agg, phase-1 totals, phase-2 join) and
+      // the lang_pred join reads it a fourth — checkpoint the SLIM
+      // per-doc token table once (ids + counts, never text) so the
+      // redact -> sample -> tokenize chain computes exactly once
       val withTok = sampled.withColumn("n_tok",
-        expr("size(split(text_clean, '\\\\s+'))"))
+          expr("size(split(text_clean, '\\\\s+'))"))
+        .select("doc_id", "source", "lang_pred", "n_tok")
+        .localCheckpoint()
       DataShaping.packSequences(withTok, budget = 4096)
-        .join(sampled.select("doc_id", "lang_pred"), Seq("doc_id"))
+        .join(withTok.select("doc_id", "lang_pred"), Seq("doc_id"))
         .select("doc_id", "source", "lang_pred", "n_tok", "cum_tok", "bin_id")
         .orderBy("doc_id")
     }),
