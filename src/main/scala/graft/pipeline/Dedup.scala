@@ -484,7 +484,7 @@ object Dedup {
    * the span repeats.
    *
    * Scale: blocks are a row-local posexplode; the global first-wins
-   * vote is ONE hash agg on a 16-hex-char md5 prefix of the block
+   * vote is ONE hash agg on the 64-bit xxhash64 key of the block
    * text, so that exchange carries (key, ids) — never text. The only
    * text-bearing exchange is the final per-document regroup, the same
    * volume as writing the cleaned corpus out (unavoidable for an
@@ -545,7 +545,7 @@ object Dedup {
    * distributed re-expression is rolling-window keys: one row-local
    * `posexplode` (same cardinality as `explode(tokens)` — the cost
    * any exact-substring method pays), one partially-aggregated hash
-   * agg on a 64-bit-equivalent md5-prefix window key carrying
+   * agg on a 64-bit xxhash64 window key carrying
    * `(key, count, first-occurrence)` — never token content — and a
    * key-equality join back that touches only duplicated keys. A
    * mega-repeated substring makes one hot `wkey` whose occurrence
@@ -593,13 +593,16 @@ object Dedup {
       col("tokens"), size(col("tokens")).as("n_tok"))
 
   /** Sliding L-token rolling-window keys `(doc_id, pos, wkey)` — one
-    * row-local posexplode per doc, 16-hex md5 prefix of the window's
-    * token csv (see [[substringDedup]] for the collision trade). */
+    * row-local posexplode per doc, 64-bit xxhash64 of the window's
+    * token csv (see [[substringDedup]] for the collision trade; the
+    * key never reaches any output — r6 swapped the md5-prefix16
+    * string for the native 8-byte hash: no MessageDigest + hex
+    * round-trip per window, and the vote/join exchanges carry longs). */
   private[graft] def substringWindows(base: DataFrame, L: Int): DataFrame =
     base.filter(col("n_tok") >= L)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, size(tokens) - $L), p -> " +
-          s"substring(md5(array_join(cast(slice(tokens, p + 1, $L) as array<string>), ',')), 1, 16))"))
+          s"xxhash64(array_join(cast(slice(tokens, p + 1, $L) as array<string>), ',')))"))
         .as(Seq("pos", "wkey")))
 
   /**
@@ -638,16 +641,16 @@ object Dedup {
         array_join(col("clean").cast("array<string>"), ",").as("clean_csv"))
   }
 
-  /** Consecutive w-token blocks per doc, keyed by a 64-bit-equivalent
-    * md5 prefix of the block text (see [[spanDedup]] doc for the
-    * collision trade). */
+  /** Consecutive w-token blocks per doc, keyed by the 64-bit
+    * xxhash64 of the block text (see [[spanDedup]] doc for the
+    * collision trade; internal key only — never surfaced). */
   private def blockify(docs: DataFrame, w: Int): DataFrame =
     docs
       .select(col("doc_id").cast("long").as("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, cast(ceil(size(ws) / ${w}.0) as int) - 1), " +
           s"i -> array_join(slice(ws, i * $w + 1, $w), ' '))")).as(Seq("bidx", "btext")))
-      .withColumn("bkey", substring(md5(col("btext")), 1, 16))
+      .withColumn("bkey", xxhash64(col("btext")))
 
   /** Reassemble per-doc output from blocks carrying a `keep` flag. */
   private def regroup(flagged: DataFrame): DataFrame =

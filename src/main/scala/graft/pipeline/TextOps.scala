@@ -258,7 +258,7 @@ object TextOps {
     require(L >= 2, s"window length $L")
     val base = Dedup.substringBase(toks)
     // both the cross-doc vote and the per-doc count read the window
-    // table — materialize the posexplode + per-window md5 pass once
+    // table — materialize the posexplode + per-window hash pass once
     // (same discipline as substringDedup)
     val wins = Dedup.substringWindows(base, L).localCheckpoint(true)
     val shared = wins.select(col("doc_id"), col("wkey")).distinct()
