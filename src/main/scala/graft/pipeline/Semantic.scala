@@ -78,8 +78,22 @@ object Semantic {
    */
   def semDedupGate(emb: DataFrame, minCos: Double, nCells: Int = 16,
                    lloydIters: Int = 4): DataFrame = {
+    // the exact pair set and the verdict are INDEPENDENT subtrees (the
+    // gate joins them only afterwards); semDedup is a chain of small
+    // sequential jobs (Lloyd round trips, label-propagation rounds)
+    // that leaves most cores idle, so the all-pairs exact verify runs
+    // concurrently on a second driver thread and back-fills them
+    // (actions are only serial because driver code calls them serially)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val exactF = Future {
+      val e = Dedup.cosinePairs(emb, minCos).select("id_a", "id_b")
+        .localCheckpoint(true)
+      e
+    }
     val verdict = semDedup(emb, minCos, nCells, lloydIters).persist()
-    val exact = Dedup.cosinePairs(emb, minCos).select("id_a", "id_b").persist()
+    val exact = Await.result(exactF, Duration.Inf)
     val cellOf = verdict.select(col("vec_id"), col("cell"), col("keep"))
     val pairsWithCells = exact
       .join(cellOf.select(col("vec_id").as("id_a"), col("cell").as("cell_a"),
