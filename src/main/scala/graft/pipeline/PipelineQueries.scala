@@ -1023,13 +1023,19 @@ object PipelineQueries {
       val tmp = graft.util.Scratch.tempDir("graftsdc")
       val in = tmp.resolve("in").toString
       val d = docs(s, dir)
-      d.filter(col("doc_id") % 7 =!= 0)
-        .coalesce(2)
-        .write.mode("overwrite").parquet(in)
+      // seed write overlapped with the operator's static-side build
+      // (independent jobs back-fill each other's idle cores)
+      val seedF = scala.concurrent.Future {
+        d.filter(col("doc_id") % 7 =!= 0)
+          .coalesce(2)
+          .write.mode("overwrite").parquet(in)
+      }(scala.concurrent.ExecutionContext.global)
       graft.streaming.StreamDecontam.overlapStream(
         s, in, d.filter(col("doc_id") % 7 === 0),
         tmp.resolve("cp").toString, tmp.resolve("out").toString,
-        n = 3, maxOverlap = 0).orderBy("doc_id")
+        n = 3, maxOverlap = 0, awaitInput = () =>
+          scala.concurrent.Await.result(seedF, scala.concurrent.duration.Duration.Inf))
+        .orderBy("doc_id")
     }),
 
     // always-on incremental near-dedup: the fresh crawl (same planted
@@ -1047,12 +1053,16 @@ object PipelineQueries {
         .withColumn("doc_id", col("doc_id") + 1000000L)
         .unionByName(corpus.filter(col("doc_id") % 7 === 0)
           .withColumn("doc_id", col("doc_id") + 2000000L))
-      fresh.coalesce(2)
-        .write.mode("overwrite").parquet(in)
+      val seedF = scala.concurrent.Future {
+        fresh.coalesce(2)
+          .write.mode("overwrite").parquet(in)
+      }(scala.concurrent.ExecutionContext.global)
       graft.streaming.StreamDedupIncremental.scrubStream(
         s, in, corpus,
         tmp.resolve("cp").toString, tmp.resolve("out").toString,
-        minJ = 0.5).orderBy("doc_id")
+        minJ = 0.5, awaitInput = () =>
+          scala.concurrent.Await.result(seedF, scala.concurrent.duration.Duration.Inf))
+        .orderBy("doc_id")
     }),
 
     // always-on exact-substring scrub: fresh pre-tokenized docs
@@ -1070,12 +1080,16 @@ object PipelineQueries {
           when(col("doc_id") % 4 === 0,
             expr("concat(slice(tokens, 1, 10), reverse(tokens))"))
             .otherwise(reverse(col("tokens"))).as("tokens"))
-      fresh.coalesce(2)
-        .write.mode("overwrite").parquet(in)
+      val seedF = scala.concurrent.Future {
+        fresh.coalesce(2)
+          .write.mode("overwrite").parquet(in)
+      }(scala.concurrent.ExecutionContext.global)
       graft.streaming.StreamSubstringScrub.scrubStream(
         s, in, corpus,
         tmp.resolve("cp").toString, tmp.resolve("out").toString,
-        L = 8).orderBy("doc_id")
+        L = 8, awaitInput = () =>
+          scala.concurrent.Await.result(seedF, scala.concurrent.duration.Duration.Inf))
+        .orderBy("doc_id")
     }),
 
     // ---- KMV set-operation sketches -------------------------------------
@@ -1368,17 +1382,21 @@ object PipelineQueries {
       val tmp = graft.util.Scratch.tempDir("graftsrt")
       val in = tmp.resolve("in").toString
       val d = docs(s, dir)
-      d.filter(col("doc_id") % 50 === 0)
-        .select(col("doc_id").as("q_id"),
-          slice(TextFunctions.words(col("text")), 1, 8).as("terms"))
-        // repartition, not coalesce: coalesce(2) collapses the whole
-        // corpus scan + filter into 2 tasks; the round-robin exchange
-        // moves only the ~2% surviving query rows (r6 A/B: 6.0 -> 5.5 s)
-        .repartition(2)
-        .write.mode("overwrite").parquet(in)
+      val seedF = scala.concurrent.Future {
+        d.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("q_id"),
+            slice(TextFunctions.words(col("text")), 1, 8).as("terms"))
+          // repartition, not coalesce: coalesce(2) collapses the whole
+          // corpus scan + filter into 2 tasks; the round-robin exchange
+          // moves only the ~2% surviving query rows (r6 A/B: 6.0 -> 5.5 s)
+          .repartition(2)
+          .write.mode("overwrite").parquet(in)
+      }(scala.concurrent.ExecutionContext.global)
       graft.streaming.StreamRetrieval.bm25Stream(
         s, in, d, tmp.resolve("cp").toString, tmp.resolve("out").toString,
-        k = 10).orderBy("q_id", "rank")
+        k = 10, awaitInput = () =>
+          scala.concurrent.Await.result(seedF, scala.concurrent.duration.Duration.Inf))
+        .orderBy("q_id", "rank")
     }),
 
     // ---- multimodal -----------------------------------------------------

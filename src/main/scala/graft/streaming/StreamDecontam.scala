@@ -49,7 +49,8 @@ object StreamDecontam {
   def overlapStream(spark: SparkSession, inDir: String, test: DataFrame,
                     checkpointDir: String, sinkDir: String, n: Int = 3,
                     maxOverlap: Long = 0, statePartitions: Int = 8,
-                    maxFilesPerTrigger: Int = 2): DataFrame = {
+                    maxFilesPerTrigger: Int = 2,
+                    awaitInput: () => Unit = () => ()): DataFrame = {
     val ss = StreamSinks.sessionForState(spark, statePartitions)
     val testG = graft.pipeline.Decontam.evalGrams(test, n)
     // static side computed once; sketch bytes ride every batch's plan
@@ -64,6 +65,10 @@ object StreamDecontam {
     testG.write.mode("overwrite").parquet(testGPath)
     val testGStatic = ss.read.parquet(testGPath).persist()
 
+    // callers producing `inDir` concurrently (overlapping the seed
+    // write with the static-side build above — guide-style
+    // independent-job overlap) join here, before the schema read
+    awaitInput()
     val schema = ss.read.parquet(inDir).schema
     val docStream = ss.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

@@ -45,7 +45,8 @@ object StreamDedupIncremental {
                   checkpointDir: String, sinkDir: String,
                   minJ: Double = 0.5, numPerms: Int = 128, bands: Int = 32,
                   statePartitions: Int = 8,
-                  maxFilesPerTrigger: Int = 2): DataFrame = {
+                  maxFilesPerTrigger: Int = 2,
+                  awaitInput: () => Unit = () => ()): DataFrame = {
     import graft.pipeline.Dedup
     import graft.pipeline.TextFunctions.{shingles, words}
     val ss = StreamSinks.sessionForState(spark, statePartitions)
@@ -61,6 +62,9 @@ object StreamDedupIncremental {
       .write.mode("overwrite").parquet(stagingDir.resolve("idx").toString)
     val corpusIdxStatic = ss.read.parquet(stagingDir.resolve("idx").toString).persist()
 
+    // callers producing `inDir` concurrently (seed write overlapped
+    // with the corpus shingle/index build above) join here
+    awaitInput()
     val schema = ss.read.parquet(inDir).schema
     val docStream = ss.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

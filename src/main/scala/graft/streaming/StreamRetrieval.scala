@@ -31,7 +31,8 @@ object StreamRetrieval {
                  checkpointDir: String, sinkDir: String, k: Int,
                  k1: Double = 1.2, b: Double = 0.75,
                  maxDf: Long = Long.MaxValue, statePartitions: Int = 8,
-                 maxFilesPerTrigger: Int = 2): DataFrame = {
+                 maxFilesPerTrigger: Int = 2,
+                 awaitInput: () => Unit = () => ()): DataFrame = {
     val ss = StreamSinks.sessionForState(spark, statePartitions)
     // build-once static sides, materialized executor-side (never
     // collected) and cached across micro-batches; scratch is
@@ -53,6 +54,9 @@ object StreamRetrieval {
       .write.mode("overwrite").parquet(statsPath)
     val statsStatic = ss.read.parquet(statsPath).persist()
 
+    // callers producing `inDir` concurrently (seed write overlapped
+    // with the index/stats build above) join here
+    awaitInput()
     val schema = ss.read.parquet(inDir).schema
     val qStream = ss.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

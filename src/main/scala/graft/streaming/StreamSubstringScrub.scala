@@ -46,7 +46,8 @@ object StreamSubstringScrub {
   def scrubStream(spark: SparkSession, inDir: String, corpus: DataFrame,
                   checkpointDir: String, sinkDir: String, L: Int = 8,
                   statePartitions: Int = 8,
-                  maxFilesPerTrigger: Int = 2): DataFrame = {
+                  maxFilesPerTrigger: Int = 2,
+                  awaitInput: () => Unit = () => ()): DataFrame = {
     import graft.pipeline.Dedup
     val ss = StreamSinks.sessionForState(spark, statePartitions)
 
@@ -59,6 +60,9 @@ object StreamSubstringScrub {
       .write.mode("overwrite").parquet(stagingDir.resolve("keys").toString)
     val corpusKeys = ss.read.parquet(stagingDir.resolve("keys").toString).persist()
 
+    // callers producing `inDir` concurrently (seed write overlapped
+    // with the corpus window-key build above) join here
+    awaitInput()
     val schema = ss.read.parquet(inDir).schema
     val docStream = ss.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
