@@ -104,9 +104,13 @@ object Bpe {
       require(l.matches("[a-z0-9]+") && r.matches("[a-z0-9]+"),
         s"merge symbols must be alphanumeric: '$l' '$r'")
     }
+    // char stream per word WITHOUT the per-character regex pass:
+    // split(w, '') enumerates characters like regexp_replace(w, '(.)',
+    // '$1 ') + trim does (words are whitespace-free by construction,
+    // so the two forms agree on every input), but runs regex-free
     val seq0 = expr(
       "array_join(transform(split(trim(text), '\\\\s+'), " +
-        "w -> trim(regexp_replace(w, '(.)', '$1 '))), ' | ')")
+        "w -> array_join(split(w, ''), ' ')), ' | ')")
     var enc = docs.select(col("doc_id"), seq0.as("seq"),
       expr("array_join(split(trim(text), '\\\\s+'), ' ')").as("norm"))
     for ((l, r) <- merges)
