@@ -59,31 +59,61 @@ object Ann {
 
   /**
    * Deterministic Lloyd quantizer: centroids seeded from the first
-   * `nCells` vectors, refined by `lloydIters` one-pass DataFrame jobs
-   * (assign = row-local argmin over vec_dot distances; update =
-   * native vector-sum aggregate per cell — O(cells * dims) shuffle,
-   * no posexplode row blowup). At corpus scale, train on a bounded
-   * deterministic sample (`trainCap` lowest vec_ids) — the quantizer
-   * only needs the density shape, not every row.
+   * `nCells` vectors, refined by `lloydIters` local passes over the
+   * bounded deterministic sample (`trainCap` lowest vec_ids — the
+   * quantizer only needs the density shape, not every row). The
+   * sample is a MODEL input, bounded by `trainCap` like any literal
+   * model table, so it collects ONCE and all Lloyd rounds iterate on
+   * the driver — one round trip instead of 1 + lloydIters sequential
+   * jobs, each of which left the cluster idle between argmax
+   * round-trips. Assignment replicates [[VecFunctions.nearest_cell_l2]]
+   * exactly (same dot fold order, score = -2*dot + |c|^2, first
+   * index wins ties); sums accumulate in ascending vec_id order, so
+   * training is reproducible on any cluster layout.
    */
   def trainCentroids(e: DataFrame, nCells: Int, lloydIters: Int,
                      trainCap: Long = 10000L): Seq[Array[Double]] = {
-    val train = e.filter(col("vec_id") < trainCap).persist()
-    var centroids: Seq[Array[Double]] = train.filter(col("vec_id") < nCells)
-      .orderBy("vec_id").collect()
-      .map(_.getSeq[Double](1).toArray).toSeq
+    require(trainCap <= 1000000L,
+      s"trainCap $trainCap: the Lloyd sample is a driver-side model input, keep it bounded")
+    val rows = e.filter(col("vec_id") < trainCap).orderBy("vec_id").collect()
+    val ids = rows.map(_.get(0) match { case n: Number => n.longValue })
+    val data = rows.map(_.getSeq[Double](1).toArray)
+    var centroids: Seq[Array[Double]] =
+      ids.zip(data).filter(_._1 < nCells).map(_._2).toSeq
     for (_ <- 1 to lloydIters) {
-      val stats = train.withColumn("cell", cellCol(centroids))
-        .groupBy("cell")
-        .agg(VecFunctions.vec_sum_agg(col("v")).as("s"), count(lit(1)).as("n"))
-        .collect()
-      val means = stats.map { r =>
-        val n = r.getLong(2)
-        r.getInt(0) -> r.getSeq[Double](1).map(_ / n).toArray
-      }.toMap
-      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
+      val cents = centroids.toArray
+      val nc = cents.length
+      val sums = Array.fill(nc)(Array.ofDim[Double](cents.headOption.map(_.length).getOrElse(0)))
+      val cnts = new Array[Long](nc)
+      data.foreach { v =>
+        // argmin of -2*dot(v,c) + |c|^2, first index wins (the
+        // nearest_cell_l2 contract)
+        var best = 0
+        var bestScore = Double.NaN
+        var c = 0
+        while (c < nc) {
+          val cent = cents(c)
+          val n = math.min(v.length, cent.length)
+          var s = 0.0
+          var d = 0
+          while (d < n) { s += v(d) * cent(d); d += 1 }
+          val score = s * -2.0 + sqNorm(cent)
+          val better =
+            if (java.lang.Double.isNaN(bestScore)) !java.lang.Double.isNaN(score)
+            else score < bestScore
+          if (c == 0 || better) { best = c; bestScore = score }
+          c += 1
+        }
+        val acc = sums(best)
+        var d = 0
+        val m = math.min(v.length, acc.length)
+        while (d < m) { acc(d) += v(d); d += 1 }
+        cnts(best) += 1
+      }
+      centroids = centroids.indices.map { i =>
+        if (cnts(i) > 0) sums(i).map(_ / cnts(i)) else centroids(i)
+      }
     }
-    train.unpersist()
     centroids
   }
 
