@@ -1612,10 +1612,15 @@ object PipelineQueries {
       val in = tmp.resolve("in").toString
       s.read.parquet(s"$dir/events.parquet").repartition(4)
         .write.mode("overwrite").parquet(in)
+      // exact batch answer materializes concurrently with the drain
+      val batchF = scala.concurrent.Future {
+        graft.streaming.WindowedSketch.batchUserTypeCounts(s, in).localCheckpoint()
+      }(scala.concurrent.ExecutionContext.global)
       val streamed = graft.streaming.WindowedSketch.userTypeState(
         s, in, tmp.resolve("cp").toString, tmp.resolve("out").toString,
         statePartitions = 4)
-      graft.streaming.WindowedSketch.compareUserStateToBatch(s, in, streamed)
+      graft.streaming.WindowedSketch.compareUserState(streamed,
+        scala.concurrent.Await.result(batchF, scala.concurrent.duration.Duration.Inf))
     }),
 
     // same contract on the transformWithState API (explicit ValueState
@@ -1625,10 +1630,14 @@ object PipelineQueries {
       val in = tmp.resolve("in").toString
       s.read.parquet(s"$dir/events.parquet").repartition(4)
         .write.mode("overwrite").parquet(in)
+      val batchF = scala.concurrent.Future {
+        graft.streaming.WindowedSketch.batchUserTypeCounts(s, in).localCheckpoint()
+      }(scala.concurrent.ExecutionContext.global)
       val streamed = graft.streaming.WindowedSketch.userTypeStateTws(
         s, in, tmp.resolve("cp").toString, tmp.resolve("out").toString,
         statePartitions = 4)
-      graft.streaming.WindowedSketch.compareUserStateToBatch(s, in, streamed)
+      graft.streaming.WindowedSketch.compareUserState(streamed,
+        scala.concurrent.Await.result(batchF, scala.concurrent.duration.Duration.Inf))
     }),
 
     // streaming gap sessionization on the native session_window
@@ -1655,10 +1664,16 @@ object PipelineQueries {
           lit("{}").as("props"))
         .coalesce(1).write.mode("append").parquet(in)
       pinMtimes(in)(2000000000000L, phase1)
+      // exact batch sessionization materializes concurrently with
+      // the drain (it reads the same pinned seed files, read-only)
+      val batchF = scala.concurrent.Future {
+        graft.streaming.StreamSessionize.batchSessions(s, in, Temporal8hUs).localCheckpoint()
+      }(scala.concurrent.ExecutionContext.global)
       val streamed = graft.streaming.StreamSessionize.sessionize(
         s, in, tmp.resolve("cp").toString, tmp.resolve("out").toString,
         gap = "8 hours", statePartitions = 4)
-      graft.streaming.StreamSessionize.compareSessionsToBatch(s, in, streamed, Temporal8hUs)
+      graft.streaming.StreamSessionize.compareSessions(streamed,
+          scala.concurrent.Await.result(batchF, scala.concurrent.duration.Duration.Inf))
         .orderBy("user_id", "start_us")
     }),
 

@@ -95,12 +95,20 @@ object StreamSessionize {
    * join surfaces extra/missing sessions as `matches_batch = false`.
    */
   def compareSessionsToBatch(spark: SparkSession, inDir: String, streamed: DataFrame,
-                             gapUs: Long): DataFrame = {
-    val batch = graft.pipeline.Temporal.sessionize(
+                             gapUs: Long): DataFrame =
+    compareSessions(streamed, batchSessions(spark, inDir, gapUs))
+
+  /** The exact batch sessionization the streamed sessions must match —
+    * split out so gate callers can materialize it CONCURRENTLY with
+    * the drain (independent jobs back-fill the drain's idle cores). */
+  def batchSessions(spark: SparkSession, inDir: String, gapUs: Long): DataFrame =
+    graft.pipeline.Temporal.sessionize(
         spark.read.parquet(inDir).filter(col("user_id") =!= lit(SentinelUser)), gapUs)
       .select(col("user_id"), col("start_us"),
         (col("end_us") + gapUs).as("b_end_us"), col("n_events").as("b_n"),
         col("cents").as("b_cents"), col("n_purchases").as("b_purch"))
+
+  def compareSessions(streamed: DataFrame, batch: DataFrame): DataFrame = {
     streamed.join(batch, Seq("user_id", "start_us"), "full_outer")
       .select(col("user_id"), col("start_us"), col("end_us"),
         col("n_events"), col("cents"), col("n_purchases"),

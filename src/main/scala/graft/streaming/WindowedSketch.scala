@@ -180,13 +180,20 @@ object WindowedSketch {
     StreamSinks.readLatestByKey(spark, sinkDir, Seq("user_id"))
   }
 
-  def compareUserStateToBatch(spark: SparkSession, inDir: String, streamed: DataFrame): DataFrame = {
-    val batch = spark.read.parquet(inDir)
+  def compareUserStateToBatch(spark: SparkSession, inDir: String, streamed: DataFrame): DataFrame =
+    compareUserState(streamed, batchUserTypeCounts(spark, inDir))
+
+  /** The exact batch answer the streamed state must match — split out
+    * so gate callers can materialize it CONCURRENTLY with the drain
+    * (independent jobs back-fill the drain's idle cores). */
+  def batchUserTypeCounts(spark: SparkSession, inDir: String): DataFrame =
+    spark.read.parquet(inDir)
       .groupBy(col("user_id").cast("long").as("user_id"))
       .agg(countDistinct(col("event_type")).as("n_exact"))
+
+  def compareUserState(streamed: DataFrame, batch: DataFrame): DataFrame =
     streamed.join(batch, Seq("user_id"), "full_outer")
       .select(col("user_id"), coalesce(col("n_exact"), lit(-1L)).as("n_types_exact"),
         (col("n_types_sketch") === col("n_exact")).as("state_ok"))
       .orderBy("user_id")
-  }
 }
