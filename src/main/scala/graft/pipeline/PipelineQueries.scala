@@ -1444,8 +1444,13 @@ object PipelineQueries {
       val in = tmp.resolve("in").toString
       val cp = tmp.resolve("cp").toString
       TokenTable.load(s, dir).repartition(4).write.mode("overwrite").parquet(in)
+      // one-shot batch sketches materialize concurrently with the drain
+      val batchF = scala.concurrent.Future {
+        graft.streaming.SketchStream.batchSketches(s, in).localCheckpoint()
+      }(scala.concurrent.ExecutionContext.global)
       val streamed = graft.streaming.SketchStream.runIncremental(s, in, cp)
-      graft.streaming.SketchStream.compareToBatch(s, in, streamed)
+      graft.streaming.SketchStream.compareSketches(streamed,
+          scala.concurrent.Await.result(batchF, scala.concurrent.duration.Duration.Inf))
         .select(col("source"), (col("n_batches") > 1).as("multi_batch_ok"),
           col("rows_ok"), col("bloom_ok"), col("hll_ok"))
         .orderBy("source")
@@ -1459,9 +1464,13 @@ object PipelineQueries {
       val tmp = graft.util.Scratch.tempDir("graftfreq")
       val in = tmp.resolve("in").toString
       TokenTable.load(s, dir).repartition(4).write.mode("overwrite").parquet(in)
+      val batchF = scala.concurrent.Future {
+        graft.streaming.SketchStream.batchFreqTruth(s, in).localCheckpoint()
+      }(scala.concurrent.ExecutionContext.global)
       val streamed = graft.streaming.SketchStream.runIncrementalFreq(
         s, in, tmp.resolve("cp").toString)
-      graft.streaming.SketchStream.compareFreqToBatch(s, in, streamed)
+      graft.streaming.SketchStream.compareFreq(streamed,
+        scala.concurrent.Await.result(batchF, scala.concurrent.duration.Duration.Inf))
     }),
 
     // always-on exact top-k: per-batch TopK partials merged into
@@ -1485,12 +1494,16 @@ object PipelineQueries {
       val in = tmp.resolve("in").toString
       TokenTable.load(s, dir).repartition(4).write.mode("overwrite").parquet(in)
       val io = new graft.catalog.SketchTableIO(s, tmp.resolve("table").toString)
+      val batchF = scala.concurrent.Future {
+        graft.streaming.SketchStream.batchSketches(s, in).localCheckpoint()
+      }(scala.concurrent.ExecutionContext.global)
       val streamed = graft.streaming.SketchStream.runIncrementalToTable(
         s, in, tmp.resolve("cp").toString, io)
       val growth = (1L to io.currentVersion).map(v =>
         io.read(v).agg(sum(col("n_rows"))).head().getLong(0))
       val monotone = growth.zip(growth.tail).forall { case (a, b) => a <= b }
-      graft.streaming.SketchStream.compareToBatch(s, in, streamed)
+      graft.streaming.SketchStream.compareSketches(streamed,
+          scala.concurrent.Await.result(batchF, scala.concurrent.duration.Duration.Inf))
         .select(col("source"), (col("n_batches") > 1).as("multi_version_ok"),
           lit(monotone).as("history_monotone"),
           col("rows_ok"), col("bloom_ok"), col("hll_ok"))
@@ -1523,10 +1536,14 @@ object PipelineQueries {
       // 4 state partitions: proportionate to the gate corpus (the
       // stream_interval_join precedent); exact operator, so the
       // answer is partitioning-invariant
+      val batchF = scala.concurrent.Future {
+        graft.streaming.WindowedSketch.batchWindowed(s, in).localCheckpoint()
+      }(scala.concurrent.ExecutionContext.global)
       val streamed = graft.streaming.WindowedSketch.windowedHll(
         s, in, tmp.resolve("cp").toString, tmp.resolve("out").toString,
         statePartitions = 4)
-      graft.streaming.WindowedSketch.compareWindowedToBatch(s, in, streamed)
+      graft.streaming.WindowedSketch.compareWindowed(streamed,
+        scala.concurrent.Await.result(batchF, scala.concurrent.duration.Duration.Inf))
     }),
 
     // streaming exact dedup: dropDuplicates state across micro-batches;

@@ -230,14 +230,24 @@ object SketchStream {
    * tracked — regardless of how the stream was batched.
    */
   def compareFreqToBatch(spark: SparkSession, inDir: String, streamed: DataFrame,
-                         k: Int = 32): DataFrame = {
+                         k: Int = 32): DataFrame =
+    compareFreq(streamed, batchFreqTruth(spark, inDir), k)
+
+  /** Exact (source, token) truth + per-source totals — split out so
+    * gate callers can materialize it CONCURRENTLY with the drain. */
+  def batchFreqTruth(spark: SparkSession, inDir: String): DataFrame = {
     val tokens = spark.read.parquet(inDir)
       .select(col("source"), explode(col("tokens")).as("tok"))
       .select(col("source"), col("tok").cast("string").as("token"))
     val truth = tokens.groupBy("source", "token").agg(count(lit(1)).as("m_true"))
     val totals = tokens.groupBy("source").agg(count(lit(1)).as("n"))
+    truth.join(totals, Seq("source"))
+  }
+
+  def compareFreq(streamed: DataFrame, truthWithTotals: DataFrame,
+                  k: Int = 32): DataFrame = {
     val est = freq_estimate(col("freq"), col("token"))
-    truth.join(broadcast(streamed.join(totals, Seq("source"))), Seq("source"))
+    truthWithTotals.join(broadcast(streamed), Seq("source"))
       .select(col("source"), col("n_batches"), col("n"), col("freq"),
         (est <= col("m_true") && col("m_true") <= est + freq_error(col("freq"))).as("g_ok"),
         (col("m_true") <= freq_error(col("freq")) || est > 0L).as("h_ok"))
@@ -257,13 +267,21 @@ object SketchStream {
    * must equal a one-shot batch aggregation over the same input.
    */
   def compareToBatch(spark: SparkSession, inDir: String, streamed: DataFrame,
-                     capacity: Long = 100000L, fpProb: Double = 1e-4): DataFrame = {
-    val tokens = spark.read.parquet(inDir)
+                     capacity: Long = 100000L, fpProb: Double = 1e-4): DataFrame =
+    compareSketches(streamed, batchSketches(spark, inDir, capacity, fpProb))
+
+  /** One-shot batch sketches — split out so gate callers can
+    * materialize them CONCURRENTLY with the drain. */
+  def batchSketches(spark: SparkSession, inDir: String,
+                    capacity: Long = 100000L, fpProb: Double = 1e-4): DataFrame =
+    spark.read.parquet(inDir)
       .select(col("source"), explode(col("tokens")).as("token"))
-    val batch = tokens.groupBy("source").agg(
-      bloom_agg(col("token").cast("string"), capacity, fpProb).as("bloom_b"),
-      hll_agg(col("token").cast("string"), 14).as("hll_b"),
-      count(lit(1)).as("n_b"))
+      .groupBy("source").agg(
+        bloom_agg(col("token").cast("string"), capacity, fpProb).as("bloom_b"),
+        hll_agg(col("token").cast("string"), 14).as("hll_b"),
+        count(lit(1)).as("n_b"))
+
+  def compareSketches(streamed: DataFrame, batch: DataFrame): DataFrame = {
     streamed.join(batch, Seq("source"))
       .select(col("source"), col("n_batches"),
         (col("n_rows") === col("n_b")).as("rows_ok"),

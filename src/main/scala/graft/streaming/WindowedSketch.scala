@@ -64,13 +64,20 @@ object WindowedSketch {
   }
 
   /** streaming == batch contract for the windowed aggregation */
-  def compareWindowedToBatch(spark: SparkSession, inDir: String, streamed: DataFrame): DataFrame = {
-    val batch = spark.read.parquet(inDir)
+  def compareWindowedToBatch(spark: SparkSession, inDir: String, streamed: DataFrame): DataFrame =
+    compareWindowed(streamed, batchWindowed(spark, inDir))
+
+  /** One-shot batch windowed sketches — split out so gate callers can
+    * materialize them CONCURRENTLY with the drain. */
+  def batchWindowed(spark: SparkSession, inDir: String): DataFrame =
+    spark.read.parquet(inDir)
       .withColumn("ts", col("ts").cast("timestamp"))
       .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
       .agg(hll_agg(col("user_id").cast("string"), 14).as("hll_b"),
         count(lit(1)).as("n_b"))
       .select(col("w.start").as("ws"), col("event_type"), col("hll_b"), col("n_b"))
+
+  def compareWindowed(streamed: DataFrame, batch: DataFrame): DataFrame = {
     streamed.join(batch, Seq("ws", "event_type"), "full_outer")
       .select(col("ws").cast("string").as("window_start"), col("event_type"),
         coalesce(col("n_b"), lit(-1L)).as("n_events"),
