@@ -1566,10 +1566,16 @@ object PipelineQueries {
       // duplicates, and two clique members in different files of the
       // SAME micro-batch would race on who reaches the dedup state
       // first — file-at-a-time replay makes arrival order total
+      // the batch keep rule reads the SOURCE table, not the seed —
+      // materialize it concurrently with the drain
+      val batchF = scala.concurrent.Future {
+        Dedup.exactDedup(dup).localCheckpoint()
+      }(scala.concurrent.ExecutionContext.global)
       val streamed = graft.streaming.StreamDedup.dedupExact(
         s, in, tmp.resolve("cp").toString, tmp.resolve("out").toString,
         maxFilesPerTrigger = 1, statePartitions = 4)
-      val batchKept = Dedup.exactDedup(dup)
+      val batchKept =
+        scala.concurrent.Await.result(batchF, scala.concurrent.duration.Duration.Inf)
       streamed.join(batchKept, Seq("fp"))
         .select(col("fp"), col("kept_doc_id"),
           (col("doc_id") === col("kept_doc_id")).as("stream_matches_batch"),
