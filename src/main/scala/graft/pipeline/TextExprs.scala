@@ -301,10 +301,68 @@ case class StripAccents(child: Expression)
   override def prettyName: String = "strip_accents"
 }
 
+/**
+ * fastText-style hashed-bag score over a gram array in ONE compiled
+ * pass: per gram g, bucket = (fold over characters: a = (a*31 +
+ * char) mod 1e9+7) mod dim, weight = bucket*2654435761 mod 1000003
+ * mod 2001 - 1000; emits (n_features, sum of weights). Bit-identical
+ * to the higher-order-function form
+ * `aggregate(transform(grams, g -> weightOf(bucketOf(g))), 0L, +)`
+ * with `bucketOf = pmod(aggregate(split(g, ''), ...), dim)` — the
+ * character value replicates Spark's `ascii` on a split('') element
+ * (first UTF-16 unit of the code point, = the code point itself for
+ * BMP text), and all arithmetic is the same long ops in the same
+ * order — but higher-order functions run as interpreted lambda
+ * frames per character, and a quality model reads every gram of all
+ * 100 TB, so this is the one projection where that interpreter tax
+ * is the whole inference bill.
+ */
+case class QualityScore(child: Expression, dim: Int)
+    extends UnaryExpression with UnaryRefCodegen {
+  require(dim >= 1, s"feature dim $dim")
+  override def evalRef(input: AnyRef): AnyRef = nullSafeEval(input).asInstanceOf[AnyRef]
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_features", IntegerType, nullable = false),
+    StructField("score_milli", LongType, nullable = false)))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var score = 0L
+    var i = 0
+    while (i < n) {
+      val g = arr.getUTF8String(i).toString
+      var a = 0L
+      var j = 0
+      while (j < g.length) {
+        val cp = g.codePointAt(j)
+        // ascii(split-element) = the element's FIRST UTF-16 unit
+        val v = if (Character.isSupplementaryCodePoint(cp))
+          Character.highSurrogate(cp).toInt else cp
+        a = (a * 31L + v) % 1000000007L
+        j += Character.charCount(cp)
+      }
+      score += (a % dim) * 2654435761L % 1000003L % 2001L - 1000L
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, score))
+  }
+
+  override protected def withNewChildInternal(c: Expression): QualityScore = copy(child = c)
+  override def prettyName: String = "quality_score"
+}
+
 object TextFunctions {
 
   def minhash_sig(shingles: Column, numPerms: Int): Column =
     ColumnShim.column(MinHashSig(ColumnShim.expression(shingles), numPerms))
+
+  /** Hashed-bag classifier score struct (native single pass, see
+    * QualityScore). */
+  def qualityScore(gramsCol: Column, dim: Int): Column =
+    ColumnShim.column(QualityScore(ColumnShim.expression(gramsCol), dim))
 
   /** Unicode NFC canonical composition (native, codegen'd). */
   def nfc(text: Column): Column =

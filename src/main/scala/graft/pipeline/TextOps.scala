@@ -112,25 +112,19 @@ object TextOps {
    * Feature hashing reuses the corpus rolling-hash convention
    * ([[fingerprints]]), bucketed mod `dim`.
    */
-  def qualityModel(docs: DataFrame, dim: Int = 512): DataFrame = {
-    // bound attribute: the feature count and the score both reference
-    // the gram array — one shingle pass instead of two
-    val grams = col("grams")
-    def bucketOf(g: Column): Column =
-      pmod(aggregate(split(g, ""), lit(0L),
-        (a, c) => (a * lit(31L) + ascii(c)) % lit(1000000007L)), lit(dim.toLong))
-    def weightOf(i: Column): Column =
-      i * lit(2654435761L) % lit(1000003L) % lit(2001L) - lit(1000L)
+  def qualityModel(docs: DataFrame, dim: Int = 512): DataFrame =
+    // ONE native pass over the gram array ([[QualityScore]] — bit-
+    // identical to the aggregate/transform higher-order form, whose
+    // interpreted per-character lambda frames were the whole
+    // inference cost of this scan-shaped filter)
     docs.select(
         col("doc_id").cast("long").as("doc_id"),
-        TextFunctions.shingles(ws, 2).as("grams"))
+        TextFunctions.qualityScore(TextFunctions.shingles(ws, 2), dim).as("qs"))
       .select(
         col("doc_id"),
-        size(grams).cast("int").as("n_features"),
-        aggregate(transform(grams, g => weightOf(bucketOf(g))),
-          lit(0L), (a, w) => a + w).as("score_milli"))
+        col("qs.n_features").as("n_features"),
+        col("qs.score_milli").as("score_milli"))
       .withColumn("keep", col("score_milli") > 0)
-  }
 
   /**
    * Gopher-style repetition filtering (Rae et al. 2021 §A1.1): per
