@@ -317,6 +317,38 @@ case class StripAccents(child: Expression)
  * 100 TB, so this is the one projection where that interpreter tax
  * is the whole inference bill.
  */
+/**
+ * 31-base polynomial rolling hash mod 1e9+7 over a string's
+ * characters in one compiled pass — bit-identical to
+ * `aggregate(transform(split(text, ''), c -> ascii(c)), 0L,
+ * (a, c) -> (a * 31 + c) % 1000000007)` (same character values as
+ * Spark's ascii on split('') elements, same long arithmetic), minus
+ * the interpreted lambda frame per character of the corpus.
+ */
+case class RollingHash(child: Expression)
+    extends UnaryExpression with UnaryRefCodegen {
+  override def evalRef(input: AnyRef): AnyRef = nullSafeEval(input).asInstanceOf[AnyRef]
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var a = 0L
+    var j = 0
+    while (j < s.length) {
+      val cp = s.codePointAt(j)
+      val v = if (Character.isSupplementaryCodePoint(cp))
+        Character.highSurrogate(cp).toInt else cp
+      a = (a * 31L + v) % 1000000007L
+      j += Character.charCount(cp)
+    }
+    a
+  }
+
+  override protected def withNewChildInternal(c: Expression): RollingHash = copy(child = c)
+  override def prettyName: String = "rolling_hash"
+}
+
 case class QualityScore(child: Expression, dim: Int)
     extends UnaryExpression with UnaryRefCodegen {
   require(dim >= 1, s"feature dim $dim")
@@ -363,6 +395,11 @@ object TextFunctions {
     * QualityScore). */
   def qualityScore(gramsCol: Column, dim: Int): Column =
     ColumnShim.column(QualityScore(ColumnShim.expression(gramsCol), dim))
+
+  /** 31-base polynomial rolling hash mod 1e9+7 (native single pass,
+    * see RollingHash). */
+  def rollingHash(text: Column): Column =
+    ColumnShim.column(RollingHash(ColumnShim.expression(text)))
 
   /** Unicode NFC canonical composition (native, codegen'd). */
   def nfc(text: Column): Column =

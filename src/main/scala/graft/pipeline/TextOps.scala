@@ -92,8 +92,10 @@ object TextOps {
     docs.select(
       col("doc_id").cast("long").as("doc_id"),
       md5(col("text")).as("fp_md5"),
-      expr("aggregate(transform(split(text, ''), c -> ascii(c)), 0L, (a, c) -> (a * 31 + c) % 1000000007)")
-        .as("fp_rolling"))
+      // native single pass ([[RollingHash]]) — bit-identical to the
+      // aggregate(transform(split(text, ''), ascii)) fold the oracle
+      // replays, minus the interpreted lambda frame per character
+      TextFunctions.rollingHash(col("text")).as("fp_rolling"))
 
   /**
    * Model-based quality filtering — the INFERENCE half of the
