@@ -50,9 +50,11 @@ object Quantize {
   private def vecs(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
-  /** exact integer dot of two long arrays */
+  /** exact integer dot of two long arrays (native tight loop —
+    * bit-identical to the aggregate(zip_with) fold it replaces;
+    * integer adds are order-free anyway) */
   private def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    VecFunctions.vec_dot_long(a, b)
 
   /**
    * Per-vector symmetric int8: adds `amax` (the per-vector scale

@@ -228,9 +228,54 @@ case class QuantizeInt8(child: Expression)
   override def prettyName: String = "quantize_int8"
 }
 
+/**
+ * Exact integer dot product over two array<long> columns — the
+ * int8-code scoring primitive. Same tight-loop codegen rationale as
+ * [[VecDot]]; bit-identical to the aggregate(zip_with) fold for
+ * equal-length arrays (quantized codes always are — both sides come
+ * from the same quantizer).
+ */
+case class VecDotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |${ev.value} = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += $x.getLong($i) * $y.getLong($i);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDotLong = copy(l, r)
+  override def prettyName: String = "vec_dot_long"
+}
+
 object VecFunctions {
   def vec_dot(a: Column, b: Column): Column =
     ColumnShim.column(VecDot(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  def vec_dot_long(a: Column, b: Column): Column =
+    ColumnShim.column(VecDotLong(ColumnShim.expression(a), ColumnShim.expression(b)))
 
   def lsh_buckets(v: Column, tables: Int, bitsPerTable: Int): Column =
     ColumnShim.column(SignLshBuckets(ColumnShim.expression(v), tables, bitsPerTable))
