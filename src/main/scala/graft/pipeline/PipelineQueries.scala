@@ -1135,18 +1135,24 @@ object PipelineQueries {
         explode(TextFunctions.shingles(TextFunctions.words(col("text")), 3)).as("gram"))
         .distinct()
         .localCheckpoint(true)
-      val sketches: Map[String, Kmv] = grams.groupBy("source")
-        .agg(kmv_agg(col("gram"), k).as("sk"))
-        .collect()
-        .map(r => r.getString(0) -> Kmv.deserialize(r.getAs[Array[Byte]]("sk")))
-        .toMap
-      val sizes: Map[String, Long] = grams.groupBy("source").count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // sketches + sizes in ONE aggregation job (grams rows are
+      // already distinct, so count(*) per source IS the distinct
+      // size), overlapped with the pair-intersection job on a second
+      // driver thread — both read the materialized gram table
+      val skSzF = scala.concurrent.Future {
+        grams.groupBy("source")
+          .agg(kmv_agg(col("gram"), k).as("sk"), count(lit(1)).as("n"))
+          .collect()
+      }(scala.concurrent.ExecutionContext.global)
       val a = grams.select(col("source").as("sa"), col("gram"))
       val b = grams.select(col("source").as("sb"), col("gram"))
       val inters = a.join(b, "gram").where(col("sa") < col("sb"))
         .groupBy("sa", "sb").count()
         .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val skSz = scala.concurrent.Await.result(skSzF, scala.concurrent.duration.Duration.Inf)
+      val sketches: Map[String, Kmv] =
+        skSz.map(r => r.getString(0) -> Kmv.deserialize(r.getAs[Array[Byte]]("sk"))).toMap
+      val sizes: Map[String, Long] = skSz.map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
       val srcs = sketches.keys.toSeq.sorted
       val out = for {
         i <- srcs.indices; j <- (i + 1) until srcs.size
@@ -1222,21 +1228,25 @@ object PipelineQueries {
       val d = docs(s, dir)
       val cap = 40L * d.count()
       // one distinct-gram materialization feeds both distributed aggs
+      // eager materialization, then BOTH sketch jobs in parallel
+      // driver threads (each reads the materialized gram table)
       val grams = d.select(col("source"),
         explode(TextFunctions.shingles(TextFunctions.words(col("text")), 3)).as("gram"))
-        .distinct().persist()
+        .distinct().localCheckpoint()
       // plain count beside the sketch agg is ONE pass (only a
       // DISTINCT aggregate would force the per-(source, gram) plan)
-      val perSrc = grams.groupBy("source").agg(
-        bloom_agg(col("gram"), cap, 0.01).as("sk"), count(lit(1)).as("n_exact"))
-        .collect()
-        .map(r => (r.getString(0),
-          BloomFilter.deserialize(r.getAs[Array[Byte]]("sk")), r.getAs[Long]("n_exact")))
-        .sortBy(_._1)
+      val perSrcF = scala.concurrent.Future {
+        grams.groupBy("source").agg(
+          bloom_agg(col("gram"), cap, 0.01).as("sk"), count(lit(1)).as("n_exact"))
+          .collect()
+          .map(r => (r.getString(0),
+            BloomFilter.deserialize(r.getAs[Array[Byte]]("sk")), r.getAs[Long]("n_exact")))
+          .sortBy(_._1)
+      }(scala.concurrent.ExecutionContext.global)
       val directRow = grams.select("gram").distinct()
         .agg(bloom_agg(col("gram"), cap, 0.01).as("d"), count(lit(1)).as("n_exact"))
         .collect()(0)
-      grams.unpersist()
+      val perSrc = scala.concurrent.Await.result(perSrcF, scala.concurrent.duration.Duration.Inf)
       val direct = BloomFilter.deserialize(directRow.getAs[Array[Byte]]("d"))
       val nUnionExact = directRow.getAs[Long]("n_exact")
       def estOk(est: Long, n: Long): Boolean = math.abs(est - n) * 20 <= n + 1000L
@@ -1741,8 +1751,14 @@ object PipelineQueries {
         .agg(hll_agg(col("token").cast("string"), 14).as("hll"), count(lit(1)).as("n"))
       val all = TokenTable.load(s, dir)
       val half = all.filter(col("doc_id").cast("long") < 250)
-      io.commit(build(half), Map("docs" -> half.count()))
-      io.commit(build(all), Map("docs" -> all.count()))
+      // metric counts on a second driver thread, overlapped with the
+      // commits' own build/write jobs
+      val cHalfF = scala.concurrent.Future { half.count() }(scala.concurrent.ExecutionContext.global)
+      val cAllF = scala.concurrent.Future { all.count() }(scala.concurrent.ExecutionContext.global)
+      io.commit(build(half), Map("docs" ->
+        scala.concurrent.Await.result(cHalfF, scala.concurrent.duration.Duration.Inf)))
+      io.commit(build(all), Map("docs" ->
+        scala.concurrent.Await.result(cAllF, scala.concurrent.duration.Duration.Inf)))
       val v1 = io.read(1).select(col("source"),
         hll_estimate(col("hll")).as("e1"), col("n").as("n1"))
       val v2 = io.read(2).select(col("source"),
