@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /**
@@ -32,48 +32,81 @@ import org.apache.spark.sql.functions._
  */
 object Bpe {
 
-  /** (round, lhs, rhs, pair_count) for `rounds` merge rounds. */
+  /** (round, lhs, rhs, pair_count) for `rounds` merge rounds.
+    *
+    * The corpus is touched ONCE (the distributed word-frequency
+    * aggregation); the R merge rounds then iterate over that
+    * vocabulary-sized table ON THE DRIVER — the shape every
+    * production tokenizer trainer uses (a tokenizer's working set is
+    * the vocab, not the corpus), bounded by the guard below. Before
+    * r6 each round was a separate Spark job (pair-count shuffle +
+    * argmax round-trip) whose driver turnaround left the cluster
+    * idle; the local fold replays the identical semantics — adjacent
+    * pairs of the space-split symbol seq weighted by cnt, argmax by
+    * (count desc, lhs, rhs) over ASCII-alphanumeric symbols (binary
+    * order == UTF8 order), and the same single-pass
+    * replace-all-resume-after application (java.lang.String.replace
+    * and Spark's replace share it). */
   def train(docs: DataFrame, rounds: Int): DataFrame = {
     val spark = docs.sparkSession
     // corpus -> word-frequency table, symbols space-separated chars
-    val words = docs
+    val rows = docs
       .select(explode(split(col("text"), "\\s+")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("seq"), col("cnt"))
-      .cache()
-    try {
-      var seqs = words
-      val merges = Seq.newBuilder[(Int, String, String, Long)]
-      var r = 1
-      var exhausted = false
-      while (r <= rounds && !exhausted) {
-        val arr = split(col("seq"), " ")
-        val top = seqs
-          .select(col("cnt"),
-            explode(arrays_zip(
-              slice(arr, lit(1), size(arr) - 1),
-              slice(arr, lit(2), size(arr) - 1))).as("p"))
-          .groupBy(col("p").getField("0").as("lhs"), col("p").getField("1").as("rhs"))
-          .agg(sum(col("cnt")).as("c"))
-          .orderBy(col("c").desc, col("lhs"), col("rhs"))
-          .limit(1)
-          .collect()
-        top.headOption match {
-          case None => exhausted = true
-          case Some(Row(l: String, rr: String, c: Long)) =>
-            require(l.matches("[a-z0-9]+") && rr.matches("[a-z0-9]+"),
-              s"BPE symbols must be alphanumeric to inline safely: '$l' '$rr'")
-            merges += ((r, l, rr, c))
-            seqs = seqs.select(
-              trim(expr(s"replace(' ' || seq || ' ', ' $l $rr ', ' $l$rr ')")).as("seq"),
-              col("cnt"))
-          case Some(other) => sys.error(s"unexpected row $other")
+      .select(expr("array_join(split(w, ''), ' ')").as("seq"), col("cnt"))
+      .collect()
+    require(rows.length <= 10000000,
+      s"word-frequency table ${rows.length} rows: the merge loop is a driver-side " +
+        "model computation, keep the vocabulary bounded")
+    var seqs = rows.map(r => (r.getString(0), r.getLong(1)))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      seqs.foreach { case (seq, cnt) =>
+        val parts = seq.split(" ")
+        var i = 0
+        while (i + 1 < parts.length) {
+          val k = (parts(i), parts(i + 1))
+          val prev = counts.get(k)
+          counts.put(k, (if (prev == null) 0L else prev.longValue()) + cnt)
+          i += 1
         }
-        r += 1
       }
-      import spark.implicits._
-      merges.result().toDF("round", "lhs", "rhs", "pair_count")
-    } finally words.unpersist()
+      if (counts.isEmpty) exhausted = true
+      else {
+        // argmax by (count desc, lhs asc, rhs asc) — symbols are
+        // ASCII alphanumeric (enforced below), so String ordering
+        // matches the distributed UTF8 binary ordering
+        var best: ((String, String), Long) = null
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val k = e.getKey
+          val c = e.getValue.longValue()
+          val better = best == null || c > best._2 ||
+            (c == best._2 && {
+              val cl = k._1.compareTo(best._1._1)
+              cl < 0 || (cl == 0 && k._2.compareTo(best._1._2) < 0)
+            })
+          if (better) best = (k, c)
+        }
+        val ((l, rr), c) = best
+        require(l.matches("[a-z0-9]+") && rr.matches("[a-z0-9]+"),
+          s"BPE symbols must be alphanumeric to inline safely: '$l' '$rr'")
+        merges += ((r, l, rr, c))
+        val from = s" $l $rr "
+        val to = s" $l$rr "
+        seqs = seqs.map { case (seq, cnt) =>
+          val replaced = (" " + seq + " ").replace(from, to)
+          (replaced.substring(1, replaced.length - 1), cnt)
+        }
+      }
+      r += 1
+    }
+    import spark.implicits._
+    merges.result().toDF("round", "lhs", "rhs", "pair_count")
   }
 
   /**
