@@ -451,8 +451,13 @@ object Dedup {
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .distinct()
       .cache()
-    var labels = edges.select(col("id_a").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // seed labels with min(own, min neighbor) — exactly what the
+    // first propagation round would compute from label = id, for the
+    // cost of the node-distinct aggregation we pay anyway; every
+    // connected graph saves one full join round
+    var labels = edges.groupBy(col("id_a").as("id"))
+      .agg(min(col("id_b")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("label"))
       .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
