@@ -323,8 +323,13 @@ object PipelineQueries {
                 lit("crawl2").as("source"),
                 concat(lit("new "), col("text")).as("text"),
                 lit("upsert").as("op")))
+      // the time-travel check reads only v1 — overlap it with the
+      // merge's validation + CoW rewrite
+      val v1OkF = scala.concurrent.Future {
+        t.read(1).count() == d.count()
+      }(scala.concurrent.ExecutionContext.global)
       val v2 = t.mergeCommit(changes, "doc_id")
-      val v1Ok = t.read(1).count() == d.count()
+      val v1Ok = scala.concurrent.Await.result(v1OkF, scala.concurrent.duration.Duration.Inf)
       t.read().select(col("doc_id"), col("source"),
           md5(col("text")).as("text_md5"),
           lit(v2).as("version"), lit(v1Ok).as("time_travel_ok"))
@@ -347,7 +352,11 @@ object PipelineQueries {
       val in = tmp.resolve("in").toString
       val root = tmp.resolve("table").toString
       val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
-      new SketchTableIO(s, root).commit(d)
+      // the v1 corpus commit and the ordered seed writes are
+      // independent job chains — overlap them (the drain needs both)
+      val io0 = new SketchTableIO(s, root)
+      val commitF = scala.concurrent.Future { io0.commit(d) }(
+        scala.concurrent.ExecutionContext.global)
       val b1 = d.filter(col("doc_id") % 5 === 0)
         .select(col("doc_id"), col("source"), upper(col("text")).as("text"),
           lit("upsert").as("op"))
@@ -368,10 +377,16 @@ object PipelineQueries {
       val seen2 = pinMtimes(in)(2000000000000L, seen1)
       b3.coalesce(1).write.mode("append").parquet(in)
       pinMtimes(in)(3000000000000L, seen2)
+      scala.concurrent.Await.result(commitF, scala.concurrent.duration.Duration.Inf)
+      // the time-travel check reads only v1 (committed above) — it
+      // runs concurrently with the merge drain
+      val v1OkF = scala.concurrent.Future {
+        io0.read(1).count() == d.count()
+      }(scala.concurrent.ExecutionContext.global)
       val merged = graft.streaming.StreamMerge.applyChanges(
         s, in, root, "doc_id", tmp.resolve("cp").toString)
       val t = new SketchTableIO(s, root)
-      val v1Ok = t.read(1).count() == d.count()
+      val v1Ok = scala.concurrent.Await.result(v1OkF, scala.concurrent.duration.Duration.Inf)
       merged.select(col("doc_id"), col("source"),
           md5(col("text")).as("text_md5"),
           lit(t.currentVersion).as("version"), lit(v1Ok).as("time_travel_ok"))
