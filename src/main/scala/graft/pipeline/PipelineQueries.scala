@@ -1205,11 +1205,18 @@ object PipelineQueries {
       // the explode+distinct shuffle six times
       val corpusG = grams.filter(col("doc_id") % 3 =!= 0).select("gram").distinct().persist()
       val crawlG = grams.filter(col("doc_id") % 3 === 0).select("gram").distinct().persist()
-      def sketchOf(g: DataFrame): Kmv = Kmv.deserialize(
-        g.agg(kmv_agg(col("gram"), k).as("sk")).collect()(0).getAs[Array[Byte]]("sk"))
-      val (skCorpus, skCrawl) = (sketchOf(corpusG), sketchOf(crawlG))
-      val nCorpus = corpusG.count()
-      val nCrawl = crawlG.count()
+      // sketch + size in ONE agg per side (rows are distinct, so
+      // count(*) is the distinct size), the two sides in parallel
+      // driver threads; the except runs after on the warm caches
+      def aggOf(g: DataFrame) = scala.concurrent.Future {
+        val r = g.agg(kmv_agg(col("gram"), k).as("sk"), count(lit(1)).as("n")).head()
+        (Kmv.deserialize(r.getAs[Array[Byte]]("sk")), r.getAs[Long]("n"))
+      }(scala.concurrent.ExecutionContext.global)
+      val (aF, bF) = (aggOf(corpusG), aggOf(crawlG))
+      val (skCorpus, nCorpus) =
+        scala.concurrent.Await.result(aF, scala.concurrent.duration.Duration.Inf)
+      val (skCrawl, nCrawl) =
+        scala.concurrent.Await.result(bF, scala.concurrent.duration.Duration.Inf)
       val nNew = crawlG.except(corpusG).count()
       corpusG.unpersist()
       crawlG.unpersist()
