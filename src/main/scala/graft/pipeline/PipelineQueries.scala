@@ -979,6 +979,13 @@ object PipelineQueries {
       val trainBase = d.filter(col("doc_id") % 7 =!= 0)
       val train = trainBase.unionByName(
         trainBase.withColumn("doc_id", col("doc_id") + 100000))
+      // the decontamination EVAL side (distinct eval grams + their
+      // sketch) is independent of the whole curation chain — build it
+      // on a second driver thread while curation runs
+      val evalF = scala.concurrent.Future {
+        val g = Decontam.evalGrams(eval, 3).localCheckpoint()
+        (g, Decontam.evalSketch(g))
+      }(scala.concurrent.ExecutionContext.global)
       val curated = Curation.curate(train, minJ = 0.5,
         pairSource = Curation.PairSource.Lsh(minJ = 0.5))
       // stage boundary: materialize the curation survivors ONCE
@@ -1000,7 +1007,12 @@ object PipelineQueries {
       // or nearly nothing (sf0.001); the median always splits ~half
       // second boundary: the overlap frame feeds both the median agg
       // (an eager driver action) and the clean-id semi join
-      val ovl = Decontam.overlap(kept, eval, n = 3, maxOverlap = 0)
+      val (testG, evalSk) =
+        scala.concurrent.Await.result(evalF, scala.concurrent.duration.Duration.Inf)
+      val ovl = Decontam.scrubShingled(
+          kept.select(col("doc_id"),
+            TextFunctions.shingles(TextFunctions.words(col("text")), 3).as("sh")),
+          evalSk, testG, maxOverlap = 0)
         .localCheckpoint()
       val med = Option(ovl.agg(expr("percentile(n_overlap, 0.5)")).head().get(0))
         .map(_.toString.toDouble).getOrElse(0.0)
