@@ -160,9 +160,14 @@ object Dedup {
                    numPerms: Int = 128, bands: Int = 32): DataFrame = {
     // each shingle table is read by the bucket index AND the verify
     // join (corpus side also by the cross-set index build) —
-    // materialize once instead of replaying the projection per side
-    val newSh = shingled(newDocs).select("id", "sh").localCheckpoint(true)
+    // materialize once instead of replaying the projection per side;
+    // the two sides are independent, so they materialize concurrently
+    val newShF = scala.concurrent.Future {
+      shingled(newDocs).select("id", "sh").localCheckpoint(true)
+    }(scala.concurrent.ExecutionContext.global)
     val corpusSh = shingled(corpus).select("id", "sh").localCheckpoint(true)
+    val newSh = scala.concurrent.Await.result(newShF,
+      scala.concurrent.duration.Duration.Inf)
     // cross-set matches through the SAME core the streaming scrub
     // uses (keep rules can't drift), intra-batch pairs through the
     // self-dedup operator — together exactly the not-both-corpus
