@@ -318,6 +318,47 @@ case class StripAccents(child: Expression)
  * is the whole inference bill.
  */
 /**
+ * Vocabulary lookup of a whole word array in ONE call: word ->
+ * 0-based index in `vocab`, null for out-of-vocabulary words —
+ * element-for-element identical to
+ * `transform(words, w -> cast(array_position(vocab, w) - 1 as int))`
+ * (array_position takes the FIRST match, replicated by putIfAbsent),
+ * but via one hash-map probe per word instead of a linear scan of
+ * the vocab literal, and one boxed call per ROW instead of per word.
+ * The tokenization projection runs in front of every token-sketch
+ * gate, so its per-word constant is corpus-proportional work.
+ */
+case class VocabIds(child: Expression, vocab: Seq[String])
+    extends UnaryExpression with UnaryRefCodegen {
+  override def evalRef(input: AnyRef): AnyRef = nullSafeEval(input).asInstanceOf[AnyRef]
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
+
+  @transient private lazy val idx: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer]()
+    vocab.zipWithIndex.foreach { case (w, i) =>
+      m.putIfAbsent(UTF8String.fromString(w), Integer.valueOf(i))
+    }
+    m
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = idx.get(arr.getUTF8String(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): VocabIds = copy(child = c)
+  override def prettyName: String = "vocab_ids"
+}
+
+/**
  * 31-base polynomial rolling hash mod 1e9+7 over a string's
  * characters in one compiled pass — bit-identical to
  * `aggregate(transform(split(text, ''), c -> ascii(c)), 0L,
@@ -400,6 +441,11 @@ object TextFunctions {
     * see RollingHash). */
   def rollingHash(text: Column): Column =
     ColumnShim.column(RollingHash(ColumnShim.expression(text)))
+
+  /** word array -> 0-based vocab ids, null when out-of-vocabulary
+    * (native single pass, see VocabIds). */
+  def vocabIds(wordsCol: Column, vocab: Seq[String]): Column =
+    ColumnShim.column(VocabIds(ColumnShim.expression(wordsCol), vocab))
 
   /** Unicode NFC canonical composition (native, codegen'd). */
   def nfc(text: Column): Column =

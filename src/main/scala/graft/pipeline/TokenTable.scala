@@ -32,14 +32,19 @@ object TokenTable {
   def documents(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
-  /** The token table (doc_id, tokens, n_tok, source). */
+  /** The token table (doc_id, tokens, n_tok, source). The vocab
+    * lookup is the native [[VocabIds]] pass (element-identical to
+    * `transform(split(text), w -> array_position(vocab, w) - 1)`),
+    * and `n_tok` counts the tokens array itself (transform preserves
+    * cardinality, so it equals the split's size) — one split per row
+    * instead of two, no per-word vocab scan. */
   def load(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir).select(
-      col("doc_id").cast("string").as("doc_id"),
-      expr(s"transform(split(text, '\\\\s+'), w -> cast(array_position($vocabSqlArray, w) - 1 as int))")
-        .as("tokens"),
-      expr("cast(size(split(text, '\\\\s+')) as int)").as("n_tok"),
-      col("source"))
+        col("doc_id").cast("string").as("doc_id"),
+        TextFunctions.vocabIds(split(col("text"), "\\s+"), Vocab.toSeq).as("tokens"),
+        col("source"))
+      .select(col("doc_id"), col("tokens"),
+        expr("cast(size(tokens) as int)").as("n_tok"), col("source"))
 
   /** Exploded (doc_id, source, token:int) view — the bulk-insert feed. */
   def tokens(spark: SparkSession, dir: String): DataFrame =
