@@ -41,7 +41,7 @@ object TokenTable {
   def load(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir).select(
         col("doc_id").cast("string").as("doc_id"),
-        TextFunctions.vocabIds(split(col("text"), "\\s+"), Vocab.toSeq).as("tokens"),
+        TextFunctions.vocabIds(TextFunctions.words(col("text")), Vocab.toSeq).as("tokens"),
         col("source"))
       .select(col("doc_id"), col("tokens"),
         expr("cast(size(tokens) as int)").as("n_tok"), col("source"))
