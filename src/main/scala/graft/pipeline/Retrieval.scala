@@ -46,13 +46,19 @@ object Retrieval {
 
   /** Posting lists: (term, doc_id, tf, dl), one row per distinct term
     * per doc. `dl` (doc length in tokens) rides the posting so
-    * scoring never re-joins the corpus. */
+    * scoring never re-joins the corpus. A document's words all live
+    * in its own row, so the per-(term, doc) counts come from one
+    * row-local pass ([[graft.pipeline.WordCounts]]) — the index
+    * build is scan + explode with NO aggregation operator (the
+    * explode + groupBy form exchanged the same rows just to count
+    * what was already colocated). */
   def invertedIndex(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id").cast("long").as("doc_id"), words(col("text")).as("ws"))
-      .select(col("doc_id"), size(col("ws")).as("dl"), explode(col("ws")).as("term"))
-      .groupBy("term", "doc_id", "dl")
-      .agg(count(lit(1)).cast("int").as("tf"))
+      .select(col("doc_id"), size(col("ws")).as("dl"),
+        explode(TextFunctions.wordCounts(col("ws"))).as("e"))
+      .select(col("e.term").as("term"), col("doc_id"), col("dl"),
+        col("e.tf").as("tf"))
 
   /** Document frequency per term. Input: `invertedIndex` output. */
   def termStats(index: DataFrame): DataFrame =

@@ -318,6 +318,51 @@ case class StripAccents(child: Expression)
  * is the whole inference bill.
  */
 /**
+ * Per-document term frequencies in ONE row-local pass: word array ->
+ * array<struct<term, tf>> with one entry per DISTINCT word, ordered
+ * by first occurrence (deterministic on any layout). Replaces the
+ * explode + groupBy(term, doc_id) hash aggregation in the inverted-
+ * index build: a document's words all live in its own row, so the
+ * per-(term, doc) counts never needed an aggregation operator at all
+ * — this emits the aggregated postings directly and the index build
+ * becomes scan + explode (its only exchange is whatever the CONSUMER
+ * needs, e.g. the doc_id scoring repartition).
+ */
+case class WordCounts(child: Expression)
+    extends UnaryExpression with UnaryRefCodegen {
+  override def evalRef(input: AnyRef): AnyRef = nullSafeEval(input).asInstanceOf[AnyRef]
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", IntegerType, nullable = false))), containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new java.util.LinkedHashMap[UTF8String, Integer]()
+    var i = 0
+    while (i < n) {
+      val w = arr.getUTF8String(i)
+      val prev = counts.get(w)
+      counts.put(w, if (prev == null) 1 else prev + 1)
+      i += 1
+    }
+    val out = new Array[Any](counts.size())
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(e.getKey, e.getValue.intValue())
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordCounts = copy(child = c)
+  override def prettyName: String = "word_counts"
+}
+
+/**
  * Vocabulary lookup of a whole word array in ONE call: word ->
  * 0-based index in `vocab`, null for out-of-vocabulary words —
  * element-for-element identical to
@@ -446,6 +491,11 @@ object TextFunctions {
     * (native single pass, see VocabIds). */
   def vocabIds(wordsCol: Column, vocab: Seq[String]): Column =
     ColumnShim.column(VocabIds(ColumnShim.expression(wordsCol), vocab))
+
+  /** word array -> array<struct<term, tf>> per distinct word
+    * (native single pass, see WordCounts). */
+  def wordCounts(wordsCol: Column): Column =
+    ColumnShim.column(WordCounts(ColumnShim.expression(wordsCol)))
 
   /** Unicode NFC canonical composition (native, codegen'd). */
   def nfc(text: Column): Column =
